@@ -1,0 +1,91 @@
+"""Iterative connected components over a sameAs edge DataFrame
+(SURVEY.md O20/O43; north_rule: union-find via DataFrame self-joins with
+salted keys for hub-entity skew).
+
+Twine merges proxies pairwise per message (spindle correlate `[U~]`);
+at batch scale that is connected components.  Algorithm: min-label
+propagation to fixpoint —
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+which converges in O(diameter) rounds; labels only decrease, so
+``changed = count(new < old)`` is an exact convergence test.  Each
+round is a pure DataFrame job; ``localCheckpoint`` cuts lineage so
+plans don't grow (§4: Catalyst has no fixpoint operator — the loop is
+driver-side).
+
+Skew handling (hub entities: one IRI in 30% of docs):
+* the propagate join shuffles on ``src`` — AQE skew-join splits
+  oversized partitions at runtime (enabled in session.py);
+* optional **deterministic salting** (``salt_buckets > 1``): the min
+  aggregation per node is computed in two phases,
+  groupBy(node, pmod(xxhash64(label), S)) → groupBy(node), bounding
+  any single reducer's input — the classic hot-key two-phase combine.
+Both paths produce identical labels (tested).
+
+For graphs with giant diameters, large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond") would
+bound rounds to ~O(log n); mention-coref graphs have tiny diameters
+(components are near-cliques), so min-propagation with early exit is
+both simpler and faster here — documented as the scale-up lever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    max_iter: int = 50,
+    salt_buckets: int = 1,
+) -> DataFrame:
+    """edges: (norm_a, norm_b) undirected; nodes: 1-col DataFrame of all
+    node ids (singletons included).  Returns (node, label) where label =
+    lexicographic min member of the component."""
+    spark = edges.sparkSession
+    bidir = (
+        edges.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("norm_b").alias("src"), F.col("norm_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        msgs = (
+            bidir.join(labels, bidir.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        cand = msgs.unionByName(labels.select("node", "label"))
+        if salt_buckets > 1:
+            # two-phase salted min: bound per-reducer input on hub nodes
+            partial = (
+                cand.withColumn(
+                    "salt", F.pmod(F.xxhash64("label"), F.lit(salt_buckets))
+                )
+                .groupBy("node", "salt")
+                .agg(F.min("label").alias("label"))
+            )
+            new_labels = partial.groupBy("node").agg(F.min("label").alias("label"))
+        else:
+            new_labels = cand.groupBy("node").agg(F.min("label").alias("label"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

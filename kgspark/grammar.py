@@ -1,0 +1,143 @@
+"""Shared deterministic spec for the KG-construction pipeline.
+
+Every constant here is consumed by THREE independent implementations
+that must agree bit-for-bit:
+
+1. the Spark pipeline (``kgspark.*``),
+2. the pure-pandas reference oracle (``tests/oracle_kg.py``) standing in
+   for Twine's processor/spindle fixtures (reference checkout empty at
+   survey time — see SURVEY.md §0),
+3. the DuckDB oracle SQL (``__spark_entry__.oracle_sql``).
+
+Twine parity notes (bbcarchdev/twine, upstream module paths, unverified
+``[U~]`` per SURVEY.md §0):
+ - the closed-vocabulary mention grammar stands in for the RDF/XML /
+   Turtle / N-Triples processor modules (``rdf/`` processor via librdf);
+ - coreference predicates / linking thresholds stand in for
+   ``spindle/correlate`` coref configuration;
+ - LANG_PREF mirrors ``spindle/generate/props.c`` language preference.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Closed token vocabulary of the `documents` fixture (verified by scanning
+# /root/testdata/sf0.001/documents.parquet — 31 tokens).
+# ---------------------------------------------------------------------------
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+# "Entity" tokens — the nouns; maximal runs of these within a text span
+# are mentions (Twine analogue: resource IRIs found by the RDF parsers).
+ENTITY_TOKENS = [
+    "batch", "column", "customer", "data", "group", "hash", "key",
+    "line", "order", "part", "query", "row", "spark", "stream",
+    "table", "value", "vector", "window",
+]
+
+# Non-entity tokens (stopwords / verbs / adjectives).
+STOP_TOKENS = sorted(set(VOCAB) - set(ENTITY_TOKENS))
+
+# Regex extracting maximal entity-token runs from a SPACE-PADDED span
+# text (' ' || text || ' ').  Group 1 is the run.  Works identically in
+# Java regex (Spark), RE2 (DuckDB — no lookarounds used) and Python re.
+_ALT = "|".join(ENTITY_TOKENS)
+MENTION_PATTERN = rf"[ ]((?:{_ALT})(?:[ ](?:{_ALT}))*)[ ]"
+
+# ---------------------------------------------------------------------------
+# Interleaved span synthesis (FIXTURES.md §B — the `input_hint` shape).
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 8      # tokens per text span
+MEDIA_EVERY = 2       # a media span after every 2nd text span
+MEDIA_MOD = 500       # media_ref = 'media://vec/' || (doc_id % MEDIA_MOD)
+
+# ---------------------------------------------------------------------------
+# IRI scheme (Twine: proxies under {root}{uuid}#id — ours deterministic).
+# ---------------------------------------------------------------------------
+DOC_IRI_PREFIX = "doc://"
+MENTION_IRI_PREFIX = "ex://"           # ex://{source}/{norm with _ }
+ENTITY_IRI_PREFIX = "ex://entity/"     # ex://entity/{sha256[:32]}#id
+ENTITY_IRI_SUFFIX = "#id"
+
+P_MENTIONS = "ex:mentions"
+P_TYPE = "rdf:type"
+P_HAS_MEDIA = "ex:hasMedia"
+P_LANGUAGE = "dc:language"
+P_SAME_AS = "owl:sameAs"
+P_LABEL = "rdfs:label"
+O_ENTITY_CLASS = "ex:Entity"
+
+# Coreference predicates (spindle/correlate coref set analogue).
+COREF_PREDICATES = [P_SAME_AS, "skos:exactMatch"]
+
+# ---------------------------------------------------------------------------
+# Entity-link scoring (spindle/correlate replacement, BASELINE.json:6).
+# ---------------------------------------------------------------------------
+# Acceptance rule for a candidate pair (a, b) sharing ≥1 token:
+#     jaccard(a, b) >= JACCARD_TAU
+#  OR (jaccard(a, b) >= COSINE_JACCARD_MIN AND cosine(va, vb) >= COSINE_TAU)
+# — the cosine path rescues moderate-overlap pairs whose embeddings
+# agree (validated empirically: healthy cluster-size distribution, no
+# giant-component collapse; see tests/test_link.py).
+JACCARD_TAU = 0.8     # token-set Jaccard acceptance threshold
+COSINE_TAU = 0.95     # embedding cosine acceptance threshold
+COSINE_JACCARD_MIN = 0.5
+
+# Deterministic pseudo-embedding assignment for a normalized mention
+# text: vec_id = fingerprint(tokens(norm)) % n_embeddings  (rolling hash,
+# see FP_MOD below) — a stand-in for a real text-encoder lookup, kept
+# SQL-expressible so the DuckDB oracle reproduces it exactly.
+
+# Language preference for proxy label selection
+# (spindle/generate/props.c `[U~]` analogue).
+LANG_PREF = ["en", "es", "de", "fr", "zh"]
+
+# ---------------------------------------------------------------------------
+# Hash family — SQL-expressible (pure int64 arithmetic, no engine hash
+# builtins so Spark/DuckDB/numpy agree exactly).
+# tokcode(t) = ascii(t[0])*65536 + ascii(t[1] or '')*256 + len(t)
+# h_i(code)  = (A_i * code + B_i) % HASH_P
+# ---------------------------------------------------------------------------
+HASH_P = 2147483647                     # 2^31 - 1
+_MULT = 2654435761                      # Knuth multiplicative constant
+
+
+def hash_a(i: int) -> int:
+    return ((2 * i + 1) * _MULT) % HASH_P
+
+
+def hash_b(i: int) -> int:
+    return (i * 40503 + 1) % HASH_P
+
+
+def tokcode_py(t: str) -> int:
+    """Python reference of the token code (mirrors the SQL expression)."""
+    c0 = ord(t[0]) if len(t) >= 1 else 0
+    c1 = ord(t[1]) if len(t) >= 2 else 0
+    return c0 * 65536 + c1 * 256 + len(t)
+
+
+# MinHash-LSH (near-dup dedup over documents; also O21 banding).
+MINHASH_PERMS = 64
+LSH_BANDS = 32
+LSH_ROWS = 2                         # MINHASH_PERMS = LSH_BANDS * LSH_ROWS
+DEDUP_JACCARD_TAU = 0.6              # near-dup acceptance (post-LSH verify)
+# P(miss | J=0.6) = (1 - 0.6^2)^32 ≈ 6e-7 → LSH-then-verify ≡ all-pairs.
+
+# SimHash near-dup.
+SIMHASH_BITS = 62                    # keep int64-positive
+SIMHASH_HASH_OFFSET = MINHASH_PERMS  # simhash bit b uses hash index 64+b
+HAMMING_TAU = 3
+
+# n-gram Jaccard dedup.
+NGRAM_N = 3
+
+# Quality scoring stopword set = STOP_TOKENS; token-count regex:
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Rolling-hash document fingerprint: acc = (acc*31 + tokcode) % FP_MOD.
+FP_MOD = 1000000007

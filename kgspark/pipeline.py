@@ -1,0 +1,95 @@
+"""End-to-end pipeline composition (the stage DAG of SURVEY.md §3):
+
+    documents ─→ spans ─→ extract(mentions, media, base triples)
+        ─→ link(candidates → scored edges) ─→ cc(labels)
+        ─→ generate(entities, attrs, proxy triples) ─→ triples ∪
+
+Stages are pure functions DataFrame → DataFrame; runner.py adds
+checkpointed materialization between them.  ``repartition_docs``
+applies the explicit doc_id-hash partitioning the north_rule requires
+between document-keyed stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cc, extract, fixtures, generate, link
+
+
+def repartition_docs(df: DataFrame, n_parts: int) -> DataFrame:
+    """Explicit partitioning between stages: pmod(xxhash64(doc_id), P).
+
+    Emulates the Iceberg bucket(doc_id) partition spec (D5) — same
+    hash-bucket co-location the real table gives for free."""
+    return df.repartition(n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)))
+
+
+@dataclass
+class PipelineResult:
+    docs_spans: DataFrame
+    flat_spans: DataFrame
+    mentions: DataFrame
+    media_features: DataFrame
+    edges: DataFrame
+    labels: DataFrame
+    entities: DataFrame
+    entity_attrs: DataFrame
+    triples: DataFrame
+    counts: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    n_parts: int | None = None,
+    use_native_extract: bool = False,
+    salt_buckets: int = 1,
+    materialize: bool = True,
+) -> PipelineResult:
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ds = fixtures.docs_spans(spark, sf_dir)
+    flat = fixtures.flat_spans(repartition_docs(ds, n_parts))
+
+    mentions = (
+        extract.mentions_df_native(flat)
+        if use_native_extract
+        else extract.mentions_df(flat)
+    )
+    if materialize:
+        # extraction feeds 4 consumers (edges, base triples, attrs,
+        # membership) — materialize once instead of re-parsing 4×
+        mentions = mentions.localCheckpoint(eager=False)
+
+    media_features = extract.media_features_df(flat)
+    base = extract.base_triples(flat, mentions)
+
+    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = link.scored_edges(mentions, embeddings)
+    if materialize:
+        edges = edges.localCheckpoint(eager=False)
+
+    norms = mentions.select(F.col("norm_text").alias("node")).distinct()
+    labels = cc.connected_components(edges, norms, salt_buckets=salt_buckets)
+
+    entities = generate.entities_df(mentions, labels)
+    attrs = generate.entity_attrs_df(mentions, labels)
+    proxies = generate.proxy_triples(mentions, labels)
+    triples = base.unionByName(proxies).dropDuplicates(["s", "p", "o"])
+
+    return PipelineResult(
+        docs_spans=ds,
+        flat_spans=flat,
+        mentions=mentions,
+        media_features=media_features,
+        edges=edges,
+        labels=labels,
+        entities=entities,
+        entity_attrs=attrs,
+        triples=triples,
+    )
