@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in the ``kgspark`` package; this module is the
+thin binding.  Column names/types are aligned pairwise between each
+Spark builder (kgspark/queries.py) and its DuckDB SQL
+(kgspark/oracle_sql.py); floats are emitted as floor(1e6*x) BIGINT on
+both sides, timestamps as unix micros.
 """
 
 from __future__ import annotations
@@ -13,26 +18,64 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kgspark import oracle_sql as OS
+from kgspark import queries as Q
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full KG-construction pipeline on sf0.001 —
+    documents → interleaved spans → mention extraction → LSH-blocked
+    link scoring → connected components → canonical entities → the
+    final distinct (s,p,o) triple set."""
+    from kgspark.pipeline import run_pipeline
+
+    return run_pipeline(spark, SF_SMOKE).triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (SURVEY.md §2.2/§2.4/§2.5; BASELINE.json north_star)
+        "kg_spans_flat": Q.kg_spans_flat,           # O13/O29 span synthesis
+        "kg_span_invariant": Q.kg_span_invariant,   # BASELINE.json:15
+        "kg_mentions": Q.kg_mentions,               # O14 mapInPandas kernel
+        "kg_mention_counts": Q.kg_mention_counts,   # O26
+        "kg_link_edges": Q.kg_link_edges,           # O21+O22
+        "kg_entities": Q.kg_entities,               # O20+O34
+        "kg_entity_attrs": Q.kg_entity_attrs,       # O24/O25/O28 + O7
+        "kg_triples": Q.kg_triples,                 # end-to-end (flagship)
+        "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
+        # relational operator coverage (SURVEY.md §2 oracle sketches)
+        "tpch_q1": Q.tpch_q1,                                       # O26 agg
+        "revenue_by_nation": Q.revenue_by_nation,                   # O19 join
+        "customers_without_orders": Q.customers_without_orders,     # O23 anti
+        "order_priorities_with_lineitems": Q.order_priorities_with_lineitems,  # O23 semi
+        "top2_lineitems_per_order": Q.top2_lineitems_per_order,     # O28 window
+        "event_gaps": Q.event_gaps,                                 # O29 lead
+        "top10_orders": Q.top10_orders,                             # O31 top-k
+        "lineitem_except_all": Q.lineitem_except_all,               # O32 set op
+        "distinct_segments": Q.distinct_segments,                   # O27
+        "events_isin_counts": Q.events_isin_counts,                 # O15/O16
+        "events_json_k": Q.events_json_k,                           # O39 JSON
+        "best_order_per_customer": Q.best_order_per_customer,       # O24 max_by
+        "event_type_stats": Q.event_type_stats,                     # O26
+        "latest_event_per_user": Q.latest_event_per_user,           # O30
+        "norm_iri_demo": Q.norm_iri_demo,                           # O33
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "kg_spans_flat": OS.SPANS_SQL,
+        "kg_span_invariant": OS.SPAN_INVARIANT_SQL,
+        "kg_mentions": OS.MENTIONS_SQL,
+        "kg_mention_counts": OS.MENTION_COUNTS_SQL,
+        "kg_link_edges": OS.EDGES_SQL,
+        "kg_entities": OS.ENTITIES_SQL,
+        "kg_entity_attrs": OS.ENTITY_ATTRS_SQL,
+        "kg_triples": OS.TRIPLES_SQL,
+        "kg_media_features": OS.MEDIA_FEATURES_SQL,
+    }
+    out.update(OS.RELATIONAL_SQL)
+    return out

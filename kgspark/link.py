@@ -139,7 +139,14 @@ def scored_edges(
             F.size(F.array_intersect("tokset_a", "tokset_b")).cast("double")
             / F.size(F.array_union("tokset_a", "tokset_b")),
         )
-        .withColumn("cosine", _cosine_batch(F.col("emb_a"), F.col("emb_b")))
+        # same vec id ⇒ cosine is 1 by definition — avoids float-noise
+        # flapping around the exactly-representable 1.0 grid point
+        .withColumn(
+            "cosine",
+            F.when(F.col("vec_a") == F.col("vec_b"), F.lit(1.0)).otherwise(
+                _cosine_batch(F.col("emb_a"), F.col("emb_b"))
+            ),
+        )
     )
     accepted = scored.filter(
         (F.col("jaccard") >= G.JACCARD_TAU)

@@ -1,0 +1,404 @@
+"""DuckDB oracle-SQL builders for the driver's correctness gate.
+
+Every SQL string here re-states, in DuckDB's dialect, the exact
+deterministic spec from grammar.py that the Spark pipeline implements —
+a third independent implementation (after the Spark engine and the
+pure-pandas oracle).  The driver runs these side-by-side with
+``queries()`` at sf0.01 and compares row-count + schema +
+order-insensitive value hash.
+
+Conventions for cross-engine hash equality:
+* float outputs are emitted as ``floor(1e6 * x)`` BIGINT in BOTH
+  engines (raw doubles never hash-compare);
+* every computed column is aliased identically on both sides;
+* all hashes are explicit int64 arithmetic (no engine hash builtins).
+
+Tables referenced are the driver's pre-registered views: region nation
+customer supplier part orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from . import grammar as G
+
+# ---------------------------------------------------------------------------
+# Interleaved spans (mirrors kgspark.fixtures.SPANS_EXPR exactly).
+# ---------------------------------------------------------------------------
+C = G.CHUNK_TOKENS
+
+SPANS_CTE = f"""
+doc_toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+         string_split(text, ' ') AS toks,
+         'media://vec/' || CAST(doc_id % {G.MEDIA_MOD} AS VARCHAR) AS mref
+  FROM documents
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, lang, source, mref, k,
+         array_to_string(list_slice(toks, {C}*k + 1, {C}*k + {C}), ' ') AS chunk,
+         CASE WHEN k = 0 THEN 0
+              ELSE length(array_to_string(list_slice(toks, 1, {C}*k), ' ')) + 1
+         END AS off
+  FROM doc_toks,
+       UNNEST(generate_series(0, CAST(ceil(len(toks) / {C}.0) AS INT) - 1)) AS t(k)
+),
+spans AS (
+  SELECT doc_id, lang, source, 2*k + seq AS ord,
+         CASE WHEN seq = 0 THEN 'text' ELSE 'media' END AS kind,
+         CASE WHEN seq = 0 THEN chunk ELSE '' END AS text,
+         CASE WHEN seq = 0 THEN '' ELSE mref END AS media_ref,
+         CASE WHEN seq = 0 THEN off ELSE off + length(chunk) END AS "offset"
+  FROM chunks, UNNEST([0, 1]) AS u(seq)
+  WHERE seq = 0 OR (k + 1) % {G.MEDIA_EVERY} = 0
+),
+spans_pos AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT)
+           AS span_pos,
+         kind, text, media_ref, CAST("offset" AS INT) AS "offset"
+  FROM spans
+)
+"""
+
+SPANS_SQL = f"""
+WITH {SPANS_CTE}
+SELECT doc_id, span_pos, kind, text, media_ref, "offset"
+FROM spans_pos
+ORDER BY doc_id, span_pos
+"""
+
+# ---------------------------------------------------------------------------
+# Mentions (mirrors processors/text.py kernel).
+# ---------------------------------------------------------------------------
+_PAT = G.MENTION_PATTERN
+
+MENTIONS_CTE = f"""
+runs AS (
+  SELECT doc_id, lang, source, span_pos,
+         regexp_extract_all(' ' || text || ' ', '{_PAT}', 1) AS ms
+  FROM spans_pos WHERE kind = 'text'
+),
+mentions AS MATERIALIZED (
+  SELECT doc_id, lang, source, span_pos,
+         CAST(generate_subscripts(ms, 1) - 1 AS INT) AS mention_ord,
+         unnest(ms) AS mention_text,
+         unnest(ms) AS norm_text,
+         '{G.MENTION_IRI_PREFIX}' || source || '/' || replace(unnest(ms), ' ', '_')
+           AS mention_iri
+  FROM runs
+)
+"""
+
+MENTIONS_SQL = f"""
+WITH {SPANS_CTE}, {MENTIONS_CTE}
+SELECT doc_id, lang, source, span_pos, mention_ord, mention_text,
+       norm_text, mention_iri
+FROM mentions
+ORDER BY doc_id, span_pos, mention_ord
+"""
+
+# ---------------------------------------------------------------------------
+# Linking: distinct norms → token-block candidates → Jaccard/cosine scores
+# (mirrors kgspark.link).
+# ---------------------------------------------------------------------------
+_TOKCODE = "(ascii(substr(t,1,1))*65536 + ascii(substr(t,2,1))*256 + length(t))::BIGINT"
+
+NORMS_CTE = f"""
+norms AS (SELECT DISTINCT norm_text AS norm FROM mentions),
+ntok AS MATERIALIZED (
+  SELECT norm,
+         list_distinct(string_split(norm, ' ')) AS tokset,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(norm, ' '), t -> {_TOKCODE})),
+           (a, b) -> (a*31 + b) % {G.FP_MOD}
+         ) % (SELECT count(*) FROM embeddings) AS vec_id
+  FROM norms
+)
+"""
+
+EDGES_CTE = f"""
+inv AS (SELECT norm, unnest(tokset) AS tok FROM ntok),
+cand AS MATERIALIZED (
+  SELECT a.norm AS norm_a, b.norm AS norm_b
+  FROM inv a JOIN inv b ON a.tok = b.tok AND a.norm < b.norm
+  GROUP BY 1, 2
+),
+scored AS MATERIALIZED (
+  SELECT norm_a, norm_b,
+         len(list_intersect(na.tokset, nb.tokset))::DOUBLE
+           / len(list_distinct(na.tokset || nb.tokset)) AS jaccard,
+         CASE WHEN na.vec_id = nb.vec_id THEN 1.0
+              ELSE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[])
+         END AS cosine
+  FROM cand
+  JOIN ntok na ON cand.norm_a = na.norm
+  JOIN ntok nb ON cand.norm_b = nb.norm
+  JOIN embeddings ea ON ea.vec_id = na.vec_id
+  JOIN embeddings eb ON eb.vec_id = nb.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT * FROM scored
+  WHERE jaccard >= {G.JACCARD_TAU}
+     OR (jaccard >= {G.COSINE_JACCARD_MIN} AND cosine >= {G.COSINE_TAU})
+)
+"""
+
+EDGES_SQL = f"""
+WITH {SPANS_CTE}, {MENTIONS_CTE}, {NORMS_CTE}, {EDGES_CTE}
+SELECT norm_a, norm_b,
+       CAST(floor(1e6 * jaccard) AS BIGINT) AS jaccard_e6,
+       CAST(round(1e6 * cosine) AS BIGINT) AS cosine_e6
+FROM edges ORDER BY norm_a, norm_b
+"""
+
+# ---------------------------------------------------------------------------
+# Connected components (recursive min-label closure) → entities / attrs /
+# proxy triples (mirrors kgspark.cc + kgspark.generate).
+# ---------------------------------------------------------------------------
+CC_CTE = f"""
+bidir AS MATERIALIZED (
+  SELECT norm_a AS s, norm_b AS d FROM edges
+  UNION
+  SELECT norm_b AS s, norm_a AS d FROM edges
+),
+reach AS (
+  SELECT norm AS node, norm AS label FROM norms
+  UNION
+  SELECT b.d AS node, r.label FROM reach r JOIN bidir b ON b.s = r.node
+),
+labels AS MATERIALIZED (SELECT node, min(label) AS label FROM reach GROUP BY node)
+"""
+
+ENTITIES_CTE = f"""
+iris AS MATERIALIZED (SELECT DISTINCT norm_text, mention_iri FROM mentions),
+memb AS MATERIALIZED (
+  SELECT l.label, i.mention_iri, i.norm_text
+  FROM iris i JOIN labels l ON i.norm_text = l.node
+),
+eids AS MATERIALIZED (
+  SELECT label,
+         '{G.ENTITY_IRI_PREFIX}' || substr(sha256(min(mention_iri)), 1, 32)
+           || '{G.ENTITY_IRI_SUFFIX}' AS entity_id
+  FROM memb GROUP BY label
+),
+entities AS MATERIALIZED (
+  SELECT DISTINCT e.entity_id, m.mention_iri AS member_iri
+  FROM memb m JOIN eids e USING (label)
+)
+"""
+
+def _lang_rank_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{l}' THEN {i+1}" for i, l in enumerate(G.LANG_PREF)
+    )
+    return f"CASE {col} {whens} ELSE {len(G.LANG_PREF) + 1} END"
+
+ATTRS_CTE = f"""
+mm AS MATERIALIZED (
+  SELECT m.*, l.label AS root
+  FROM mentions m JOIN labels l ON m.norm_text = l.node
+),
+counts AS MATERIALIZED (
+  SELECT root, count(DISTINCT mention_iri) AS n_members,
+         count(*) AS n_mentions
+  FROM mm GROUP BY root
+),
+ranked AS MATERIALIZED (
+  SELECT root, norm_text, lang,
+         row_number() OVER (
+           PARTITION BY root
+           ORDER BY {_lang_rank_sql('lang')}, norm_text
+         ) AS rn
+  FROM (SELECT DISTINCT root, norm_text, lang FROM mm)
+),
+attrs AS MATERIALIZED (
+  SELECT e.entity_id, r.norm_text AS label, r.lang AS label_lang,
+         c.n_members, c.n_mentions, c.n_mentions AS score
+  FROM counts c
+  JOIN ranked r ON r.root = c.root AND r.rn = 1
+  JOIN eids e ON e.label = c.root
+)
+"""
+
+_KG_CTES = "WITH RECURSIVE " + ", ".join(
+    [SPANS_CTE, MENTIONS_CTE, NORMS_CTE, EDGES_CTE, CC_CTE, ENTITIES_CTE, ATTRS_CTE]
+)
+
+ENTITIES_SQL = f"""
+{_KG_CTES}
+SELECT entity_id, member_iri FROM entities ORDER BY entity_id, member_iri
+"""
+
+ENTITY_ATTRS_SQL = f"""
+{_KG_CTES}
+SELECT entity_id, label, label_lang, n_members, n_mentions, score
+FROM attrs ORDER BY entity_id
+"""
+
+TRIPLES_SQL = f"""
+{_KG_CTES}
+SELECT DISTINCT s, p, o FROM (
+  SELECT '{G.DOC_IRI_PREFIX}' || doc_id AS s, '{G.P_MENTIONS}' AS p,
+         mention_iri AS o FROM mentions
+  UNION ALL
+  SELECT mention_iri, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM mentions
+  UNION ALL
+  SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_HAS_MEDIA}', media_ref
+  FROM spans_pos WHERE kind = 'media'
+  UNION ALL
+  SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_LANGUAGE}', lang FROM doc_toks
+  UNION ALL
+  SELECT entity_id, '{G.P_SAME_AS}', member_iri FROM entities
+  UNION ALL
+  SELECT DISTINCT entity_id, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM entities
+  UNION ALL
+  SELECT entity_id, '{G.P_LABEL}', label FROM attrs
+) ORDER BY s, p, o
+"""
+
+MENTION_COUNTS_SQL = f"""
+WITH {SPANS_CTE}, {MENTIONS_CTE}
+SELECT norm_text, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM mentions GROUP BY norm_text ORDER BY norm_text
+"""
+
+MEDIA_FEATURES_SQL = f"""
+WITH {SPANS_CTE}
+SELECT doc_id, span_pos, media_ref,
+  coalesce(nullif(regexp_extract(media_ref, '^([a-z0-9]+)://', 1), ''), 'unknown')
+    AS media_kind,
+  CAST(length(media_ref) AS INT) AS ref_bytes,
+  CAST(coalesce(nullif(regexp_extract(media_ref, 'media://vec/([0-9]+)$', 1), ''), '-1')
+    AS BIGINT) AS vec_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(generate_series(1, length(media_ref)),
+                     i -> ascii(substr(media_ref, i, 1))::BIGINT)),
+    (a, b) -> (a*31 + b) % {G.FP_MOD}) AS content_fp
+FROM spans_pos WHERE kind = 'media'
+"""
+
+SPAN_INVARIANT_SQL = f"""
+WITH {SPANS_CTE}
+SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+  md5(string_agg(kind || '|' || text || '|' || media_ref || '|'
+                 || CAST("offset" AS VARCHAR), chr(10) ORDER BY span_pos)) AS sig
+FROM spans_pos GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Relational operator-coverage oracles (SURVEY.md §2 sketches).
+# ---------------------------------------------------------------------------
+_E6 = "CAST(floor({expr} * 1000000.0) AS BIGINT)"
+
+
+def _e6(expr: str) -> str:
+    return _E6.format(expr=expr)
+
+
+RELATIONAL_SQL = {
+    "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum({_e6('l_quantity')}) AS BIGINT) AS sum_qty_e6,
+               CAST(sum({_e6('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_e6,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": f"""
+        SELECT n_name, CAST(sum({_e6('o_totalprice')}) AS BIGINT) AS revenue_e6,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "order_priorities_with_lineitems": """
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    "top2_lineitems_per_order": """
+        SELECT l_orderkey, l_linenumber, rn FROM (
+          SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+          FROM lineitem) WHERE rn <= 2
+    """,
+    "event_gaps": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)) AS next_ts_us
+        FROM events
+    """,
+    "top10_orders": f"""
+        SELECT o_orderkey, {_e6('o_totalprice')} AS totalprice_e6
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "lineitem_except_all": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        EXCEPT ALL
+        SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.05
+    """,
+    "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "events_isin_counts": """
+        SELECT event_type, count(*) AS n FROM events
+        WHERE event_type IN (SELECT event_type FROM
+          (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2))
+        GROUP BY event_type
+    """,
+    "events_json_k": """
+        SELECT event_id,
+               CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
+        FROM events
+    """,
+    "best_order_per_customer": f"""
+        SELECT o_custkey, o_orderkey AS best_orderkey,
+               {_e6('o_totalprice')} AS totalprice_e6
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        WHERE rn = 1
+    """,
+    "event_type_stats": f"""
+        SELECT event_type, count(*) AS n,
+               CAST(sum({_e6('value')}) AS BIGINT) AS sum_value_e6
+        FROM events GROUP BY event_type
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1
+    """,
+    "norm_iri_demo": r"""
+        WITH raw AS (
+          SELECT c_custkey,
+                 'HTTP://Example.COM:80/c/' || replace(c_name, ' ', '_')
+                 || CASE WHEN c_custkey % 3 = 0 THEN '?x=1' ELSE '' END AS raw_iri
+          FROM customer
+        ), step1 AS (
+          SELECT c_custkey, raw_iri,
+                 lower(regexp_extract(raw_iri,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS sa,
+                 regexp_replace(raw_iri,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+          FROM raw
+        ), step2 AS (
+          SELECT c_custkey, raw_iri,
+                 CASE WHEN sa = '' THEN raw_iri ELSE sa || rest END AS c2
+          FROM step1
+        )
+        SELECT c_custkey, raw_iri,
+               regexp_replace(
+                 regexp_replace(c2, '^(https?://[^/:?#]*):(?:80|443)(/|$)', '\1\2'),
+                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$', '\1') AS norm_iri
+        FROM step2
+    """,
+}

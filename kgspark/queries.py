@@ -1,0 +1,276 @@
+"""Spark-side builders for the driver-contract queries
+(__spark_entry__.queries()).  Each builder takes (spark, sf_dir) and
+returns a DataFrame whose column names/types line up exactly with the
+DuckDB oracle SQL in oracle_sql.py / __spark_entry__.oracle_sql().
+
+Cross-engine conventions (see oracle_sql.py): floats become
+floor(1e6*x) BIGINT per row *before* any aggregation; timestamps become
+unix micros; every computed column is aliased.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cc as cc_mod
+from . import exprs as X
+from . import extract, fixtures, link
+from . import generate as gen
+from . import grammar as G
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def e6(col):
+    """floor(1e6 * x) as BIGINT — the shared float-output convention."""
+    return F.floor(col * F.lit(1000000.0)).cast("bigint")
+
+
+# --- KG pipeline queries -----------------------------------------------------
+def kg_spans_flat(spark, sf_dir):
+    return fixtures.flat_spans(spark, sf_dir).select(
+        "doc_id", "span_pos", "kind", "text", "media_ref", "offset"
+    )
+
+
+def kg_span_invariant(spark, sf_dir):
+    """Per-document span-sequence signature (BASELINE.json:15 invariant):
+    md5 over the ordered (kind|text|media_ref|offset) lines."""
+    ds = fixtures.docs_spans(spark, sf_dir)
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    "|", s["kind"], s["text"], s["media_ref"],
+                    s["offset"].cast("string"),
+                ),
+            ),
+            "\n",
+        )
+    )
+    return ds.select(
+        "doc_id", F.size("spans").alias("n_spans"), sig.alias("sig")
+    )
+
+
+def kg_mentions(spark, sf_dir):
+    flat = fixtures.flat_spans(spark, sf_dir)
+    return extract.mentions_df(flat).select(
+        "doc_id", "lang", "source", "span_pos", "mention_ord",
+        "mention_text", "norm_text", "mention_iri",
+    )
+
+
+def kg_mention_counts(spark, sf_dir):
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    return m.groupBy("norm_text").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+def _edges(spark, sf_dir):
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    emb = _t(spark, sf_dir, "embeddings")
+    return m, link.scored_edges(m, emb)
+
+
+def kg_link_edges(spark, sf_dir):
+    _, edges = _edges(spark, sf_dir)
+    return edges.select(
+        "norm_a", "norm_b",
+        e6(F.col("jaccard")).alias("jaccard_e6"),
+        F.round(F.col("cosine") * F.lit(1000000.0)).cast("bigint").alias("cosine_e6"),
+    )
+
+
+def _labels(spark, sf_dir):
+    m, edges = _edges(spark, sf_dir)
+    m = m.localCheckpoint(eager=False)
+    norms = m.select(F.col("norm_text").alias("node")).distinct()
+    return m, cc_mod.connected_components(edges, norms)
+
+
+def kg_entities(spark, sf_dir):
+    m, labels = _labels(spark, sf_dir)
+    return gen.entities_df(m, labels)
+
+
+def kg_entity_attrs(spark, sf_dir):
+    m, labels = _labels(spark, sf_dir)
+    return gen.entity_attrs_df(m, labels)
+
+
+def kg_triples(spark, sf_dir):
+    from .pipeline import run_pipeline
+
+    return run_pipeline(spark, sf_dir).triples
+
+
+def kg_media_features(spark, sf_dir):
+    flat = fixtures.flat_spans(spark, sf_dir)
+    return extract.media_features_df(flat).select(
+        "doc_id", "span_pos", "media_ref", "media_kind", "ref_bytes",
+        "vec_id", "content_fp",
+    )
+
+
+# --- relational operator coverage (SURVEY.md §2 oracle sketches) -------------
+def tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .withColumn("rev_e6", e6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(e6(F.col("l_quantity"))).alias("sum_qty_e6"),
+            F.sum("rev_e6").alias("revenue_e6"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(e6(F.col("o_totalprice"))).alias("revenue_e6"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def order_priorities_with_lineitems(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def top2_lineitems_per_order(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "rn")
+    )
+
+
+def event_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("next_ts_us"),
+    )
+
+
+def top10_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", e6(F.col("o_totalprice")).alias("totalprice_e6"))
+    )
+
+
+def lineitem_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber"
+    )
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey", "l_linenumber")
+    return a.exceptAll(b)
+
+
+def distinct_segments(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def events_isin_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct().orderBy("event_type").limit(2)
+    keep = [r[0] for r in types.collect()]
+    return (
+        ev.filter(F.col("event_type").isin(keep))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def events_json_k(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("bigint").alias("k"),
+    )
+
+
+def best_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            e6(F.col("o_totalprice")).alias("totalprice_e6"),
+        )
+    )
+
+
+def event_type_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(e6(F.col("value"))).alias("sum_value_e6"),
+    )
+
+
+def latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+
+
+def norm_iri_demo(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("HTTP://Example.COM:80/c/"),
+        F.regexp_replace(F.col("c_name"), " ", "_"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("?x=1")).otherwise(F.lit("")),
+    )
+    return c.select(
+        "c_custkey", raw.alias("raw_iri"), X.norm_iri(raw).alias("norm_iri")
+    )

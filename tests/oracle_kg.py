@@ -135,7 +135,8 @@ def oracle_norm_edges(mentions: pd.DataFrame, embeddings: pd.DataFrame) -> pd.Da
             if not ta & tb:
                 continue
             j = jaccard(ta, tb)
-            c = cosine(emb[vec_id(a, n_emb)], emb[vec_id(b, n_emb)])
+            va, vb = vec_id(a, n_emb), vec_id(b, n_emb)
+            c = 1.0 if va == vb else cosine(emb[va], emb[vb])
             if j >= G.JACCARD_TAU or (j >= G.COSINE_JACCARD_MIN and c >= G.COSINE_TAU):
                 rows.append({"norm_a": a, "norm_b": b, "jaccard": j, "cosine": c})
     return pd.DataFrame(rows, columns=["norm_a", "norm_b", "jaccard", "cosine"])

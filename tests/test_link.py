@@ -1,0 +1,59 @@
+"""Linking stage: candidates, scores, accepted edges vs the oracle."""
+
+from __future__ import annotations
+
+from kgspark import extract, fixtures, grammar as G, link
+
+
+def test_tokcode_collision_free():
+    from kgspark.grammar import VOCAB, tokcode_py
+
+    codes = {tokcode_py(t) for t in VOCAB}
+    assert len(codes) == len(VOCAB)
+
+
+def test_scored_edges_match_oracle(spark, sf_dir, oracle):
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["norm_a"], r["norm_b"]) for r in link.scored_edges(m, emb).collect()
+    }
+    want = {
+        (r.norm_a, r.norm_b) for r in oracle["edges"].itertuples()
+    }
+    assert got == want
+
+
+def test_candidates_are_blocking_superset(spark, sf_dir, oracle):
+    """Every oracle edge must be generated as a candidate (recall=1 of
+    the 1-token-band blocking)."""
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    norms = link.distinct_norms(m, 500)
+    cands = {
+        (r["norm_a"], r["norm_b"]) for r in link.candidate_pairs(norms).collect()
+    }
+    want = {(r.norm_a, r.norm_b) for r in oracle["edges"].itertuples()}
+    assert want <= cands
+
+
+def test_block_cap_drops_hot_tokens(spark):
+    rows = [(f"n{i} hot", ) for i in range(20)]
+    norms_df = spark.createDataFrame(rows, "norm_text string").selectExpr(
+        "norm_text", "array_distinct(split(norm_text, ' ')) AS tokset",
+        "0 AS vec_id",
+    )
+    # cap below the hot-token block size: 'hot' block (20) is dropped,
+    # singleton 'n{i}' blocks survive → no pairs at all
+    assert link.candidate_pairs(norms_df, block_cap=10).count() == 0
+    # uncapped: the hot token pairs everything
+    assert link.candidate_pairs(norms_df, block_cap=None).count() == 20 * 19 // 2
+
+
+def test_acceptance_thresholds(spark, sf_dir, oracle):
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for r in link.scored_edges(m, emb).collect():
+        assert (
+            r["jaccard"] >= G.JACCARD_TAU
+            or (r["jaccard"] >= G.COSINE_JACCARD_MIN and r["cosine"] >= G.COSINE_TAU)
+        )

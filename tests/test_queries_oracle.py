@@ -1,0 +1,50 @@
+"""Smoke the driver contract: every queries() entry runs at sf0.001 and
+matches its oracle_sql() under the driver's comparison semantics.
+(The heavy KG queries are covered at sf0.01 by tests/compare.py runs and
+by the driver itself; here we gate the fast ones on every pytest run.)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from tests.compare import TABLES, canon
+
+FAST = [
+    "kg_spans_flat", "kg_span_invariant", "kg_mentions", "kg_mention_counts",
+    "kg_media_features", "tpch_q1", "revenue_by_nation",
+    "customers_without_orders", "order_priorities_with_lineitems",
+    "top2_lineitems_per_order", "event_gaps", "top10_orders",
+    "lineitem_except_all", "distinct_segments", "events_isin_counts",
+    "events_json_k", "best_order_per_customer", "event_type_stats",
+    "latest_event_per_user", "norm_iri_demo",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = E.queries()[name](spark, sf_dir).toPandas()
+    odf = duck.execute(E.oracle_sql()[name]).df()
+    assert canon(sdf) == canon(odf)
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    qs, osql = E.queries(), E.oracle_sql()
+    missing = [k for k in osql if k not in qs]
+    assert not missing, f"oracle without query: {missing}"
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"s", "p", "o"}
