@@ -1,0 +1,230 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default mode: runs the headline pipeline + representative operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints
+
+    {"metric": "kg_pipeline_e2e", "value": <sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+Scaling mode (``python bench.py --scaling``, BASELINE.md protocol):
+the same job at local[N] vs local[4N] (the sandbox stand-in for N vs
+4N executors; default N = $SPARK_GRAFT_SCALE_N = 1) over the SAME
+input, in separate child processes (a local master can't be resized
+in-process), 2 repetitions per level taking the min (the host VM has
+noisy neighbors).  N defaults to 1 because measured raw-CPU scaling on
+this box is linear only up to ~8 concurrent workers (SMT/host
+oversubscription above that — see BENCH/BASELINE.md) — both levels
+must sit inside the hardware's linear region for the efficiency number
+to measure the ENGINE rather than the VM.
+
+The measured job is the per-document extraction pipeline
+(spans → mention kernel → base triples + distinct) over the sf dir's
+documents deterministically replicated $SPARK_GRAFT_SCALE_REP
+(default 32) times with offset doc_ids: sf0.1 alone cannot occupy the
+cores, and at the 10^12-doc design point per-document work is ~all of
+the compute — the graph-global link+CC tail runs over the (saturating)
+distinct-mention-text graph, constant in corpus size; its cost is
+reported separately in the default bench mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REP_DEFAULT = 32
+
+
+def _scaled_documents(spark, sf_dir: str, rep: int):
+    """documents × rep with offset doc_ids — pure function of the input
+    (doc_id' = doc_id + i·10^9; 10^9 % MEDIA_MOD == 0 keeps media refs
+    replica-invariant), so both parallelism levels see identical bytes."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if rep <= 1:
+        return docs
+    return (
+        docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r").cast("long") * 1_000_000_000)
+        .drop("_r")
+    )
+
+
+def _staged_pipeline(spark, docs_df, emb_df, timings, stages):
+    from pyspark.sql import functions as F
+
+    from kgspark import cc as cc_mod
+    from kgspark import extract, fixtures, link
+    from kgspark import generate as gen
+    from kgspark.pipeline import repartition_docs
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        stages[name] = {"rows": n, "sec": round(dt, 3),
+                        "rows_per_sec": round(n / dt, 1) if dt > 0 else None}
+        return n
+
+    t_start = time.time()
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition the RAW documents first — if the exchange sits above
+    # the span-synthesis projection, synthesis runs in the (few) input
+    # file partitions instead of across the cluster
+    docs_df = repartition_docs(docs_df, n_parts)
+    flat = fixtures.flat_spans(fixtures.with_spans(docs_df)).localCheckpoint(
+        eager=False
+    )
+    mentions = extract.mentions_df(flat).localCheckpoint(eager=False)
+    n_mentions = timed("extract_mentions", lambda: mentions.count())
+    timed("media_features", lambda: extract.media_features_df(flat).count())
+
+    edges = link.scored_edges(mentions, emb_df).localCheckpoint(eager=False)
+    timed("link_edges", lambda: edges.count())
+
+    holder = {}
+
+    def _cc():
+        holder["labels"] = cc_mod.connected_components(
+            edges, mentions.select(F.col("norm_text").alias("node")).distinct()
+        )
+        return holder["labels"].count()
+
+    timed("cc_labels", _cc)
+    labels = holder["labels"]
+
+    timed("entities", lambda: gen.entities_df(mentions, labels).count())
+    base = extract.base_triples(flat, mentions)
+    triples = (
+        base.unionByName(gen.proxy_triples(mentions, labels))
+        .dropDuplicates(["s", "p", "o"])
+    )
+    n_triples = timed("triples_total", lambda: triples.count())
+    e2e = time.time() - t_start
+    timings["kg_pipeline_e2e"] = round(e2e, 3)
+    # doc-parallel portion = everything except the (input-size-constant)
+    # graph-global CC loop — the Amdahl split reported for scaling
+    timings["doc_parallel_sec"] = round(e2e - timings["cc_labels"], 3)
+    return n_mentions, n_triples, e2e
+
+
+def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True) -> dict:
+    from kgspark.session import get_spark
+    import kgspark.queries as Q
+
+    spark = get_spark(app_name="kgspark-bench", master=f"local[{cpus}]")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm up
+
+    timings: dict[str, float] = {}
+    stages: dict[str, dict] = {}
+    docs = _scaled_documents(spark, sf_dir, rep)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_mentions, n_triples, e2e = _staged_pipeline(spark, docs, emb, timings, stages)
+
+    if with_queries:
+        for name in ["kg_spans_flat", "kg_media_features", "tpch_q1",
+                     "revenue_by_nation", "top2_lineitems_per_order",
+                     "event_type_stats"]:
+            fn = getattr(Q, name)
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            stages[name] = {"rows": n, "sec": timings[name]}
+
+    return {
+        "metric": "kg_pipeline_e2e",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "replication": rep,
+        "n_mentions": n_mentions,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / e2e, 1),
+        "mentions_per_sec": round(n_mentions / timings["extract_mentions"], 1),
+        "doc_parallel_sec": timings["doc_parallel_sec"],
+        "stages": stages,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", str(REP_DEFAULT)))
+
+    if "--scaling" in sys.argv:
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+        n_hi = 4 * n_lo
+        results = {}
+        for n in (n_lo, n_hi):
+            best = None
+            for _ in range(3):  # min-of-3: noisy-neighbor guard
+                env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                           SPARK_GRAFT_CPUS=str(n),
+                           SPARK_GRAFT_SCALE_REP=str(rep))
+                out = subprocess.run(
+                    [sys.executable, __file__, "--scale-child"], env=env,
+                    capture_output=True, text=True, check=True,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if best is None or r["value"] < best["value"]:
+                    best = r
+            results[n] = best
+        t_lo, t_hi = results[n_lo]["value"], results[n_hi]["value"]
+        print(json.dumps({
+            "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
+            "value": round((t_lo / t_hi) / 4.0, 3),
+            "unit": "ratio",
+            "sf": sf_dir,
+            "replication": rep,
+            "job": "doc-parallel extract (spans→mentions→base triples distinct)",
+            f"sec_local{n_lo}": t_lo,
+            f"sec_local{n_hi}": t_hi,
+            f"throughput_local{n_lo}_triples_per_sec": results[n_lo]["triples_per_sec"],
+            f"throughput_local{n_hi}_triples_per_sec": results[n_hi]["triples_per_sec"],
+            "n_triples": results[n_lo]["n_triples"],
+        }))
+        return
+
+    if "--scale-child" in sys.argv:
+        print(json.dumps(_scale_child(sf_dir, cpus, rep)))
+        return
+
+    print(json.dumps(_run_bench(sf_dir, cpus, rep=1)))
+
+
+def _scale_child(sf_dir: str, cpus: int, rep: int) -> dict:
+    """One measurement of the doc-parallel extract job: fixed 32
+    shuffle/data partitions at every level (identical work), input
+    prep (replication + repartition) excluded from the timed window."""
+    from kgspark.session import get_spark
+    from kgspark import extract, fixtures
+    from kgspark.pipeline import repartition_docs
+
+    spark = get_spark(app_name="kgspark-scale", master=f"local[{cpus}]",
+                      shuffle_partitions=32)
+    docs = _scaled_documents(spark, sf_dir, rep)
+    rp = repartition_docs(docs, 32).localCheckpoint(eager=True)
+    t0 = time.time()
+    flat = fixtures.flat_spans(fixtures.with_spans(rp)).localCheckpoint(eager=True)
+    mentions = extract.mentions_df(flat).localCheckpoint(eager=True)
+    n = extract.base_triples(flat, mentions).count()
+    dt = time.time() - t0
+    return {
+        "value": round(dt, 3),
+        "cpus": cpus,
+        "replication": rep,
+        "n_triples": n,
+        "triples_per_sec": round(n / dt, 1),
+    }
+
+
+if __name__ == "__main__":
+    main()

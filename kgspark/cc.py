@@ -60,11 +60,19 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
+        # messages carry is_old=0; the node's own row carries is_old=1 —
+        # one aggregation yields BOTH the new min-label and the previous
+        # label (max over the is_old branch), so convergence detection
+        # needs no extra join
         msgs = (
             bidir.join(labels, bidir.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
+            .withColumn("is_old", F.lit(0))
         )
-        cand = msgs.unionByName(labels.select("node", "label"))
+        cand = msgs.unionByName(
+            labels.select("node", "label").withColumn("is_old", F.lit(1))
+        )
+        old_label = F.max(F.when(F.col("is_old") == 1, F.col("label")))
         if salt_buckets > 1:
             # two-phase salted min: bound per-reducer input on hub nodes
             partial = (
@@ -72,20 +80,22 @@ def connected_components(
                     "salt", F.pmod(F.xxhash64("label"), F.lit(salt_buckets))
                 )
                 .groupBy("node", "salt")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), old_label.alias("old_label"))
             )
-            new_labels = partial.groupBy("node").agg(F.min("label").alias("label"))
+            new_labels = partial.groupBy("node").agg(
+                F.min("label").alias("label"),
+                F.max("old_label").alias("old_label"),
+            )
         else:
-            new_labels = cand.groupBy("node").agg(F.min("label").alias("label"))
-        new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = cand.groupBy("node").agg(
+                F.min("label").alias("label"), old_label.alias("old_label")
+            )
+        new_labels = new_labels.withColumn(
+            "changed", F.col("label") < F.col("old_label")
+        ).localCheckpoint(eager=True)
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels

@@ -104,27 +104,167 @@ def scored_edges(
     """Accepted sameAs edges between distinct norm texts.
 
     Returns (norm_a, norm_b, jaccard, cosine) with norm_a < norm_b.
+
+    Exact set-similarity join, engineered for the dense closed-vocab
+    case (the at-scale shape; cf. Bayardo et al. "Scaling Up All Pairs
+    Similarity Search", WWW'07):
+
+    1. **tokset dedup** — norms with identical token SETS have J = 1
+       pairwise and identical J against everything else, so pairing
+       runs over distinct toksets (~2–3× fewer nodes ⇒ ~5–10× fewer
+       pairs); intra-group norm pairs are emitted directly with J = 1.
+    2. **prefix filter** — with tokens in a fixed global order, a pair
+       with J ≥ τ must share a token within the first
+       |S| − ⌈τ·|S|⌉ + 1 tokens of each set, so only prefixes are
+       inverted (exact for the J ≥ COSINE_JACCARD_MIN band we keep).
+    3. **length filter** — 2·min ≥ max, necessary for J ≥ 0.5, inside
+       the join condition.
+    4. **shuffle-free pair dedup** — a candidate sharing k prefix
+       tokens appears k times; keep the row whose join token is the
+       min shared prefix token (inline array math, whole-stage
+       codegen; no groupBy exchange over the pair space).
+    5. **double-sided salting** — pair enumeration for a hot token is
+       f²/2 rows inside one join key, invisible to AQE (input-size
+       based); salting to (tok, salt_a, salt_b) spreads each token's
+       pair-space over SALT² tasks (north_rule hub-skew handling).
+    6. only the J ≥ COSINE_JACCARD_MIN band (tiny) reaches the
+       broadcast embedding joins + Arrow cosine kernel.
+
+    Token sets ride as sorted int-code arrays (tokcode) — int
+    comparisons, not strings, in the hot loop.
     """
     if n_embeddings is None:
         n_embeddings = embeddings.count()  # parquet metadata count — cheap
     norms = distinct_norms(mentions, n_embeddings)
-    cands = candidate_pairs(norms, block_cap=block_cap)
+    tau = G.COSINE_JACCARD_MIN
 
-    na = norms.select(
-        F.col("norm_text").alias("norm_a"),
-        F.col("tokset").alias("tokset_a"),
-        F.col("vec_id").alias("vec_a"),
+    # Adaptive small-dictionary fast path: when the observed token
+    # vocabulary fits in an int64 (≤62 distinct tokens — true for this
+    # corpus and common for typed coref predicates), token sets become
+    # BITMASKS: |A∩B| = bit_count(a & b), prefix checks are bit tricks,
+    # and the entire verify step is whole-stage-codegen integer math.
+    # Larger vocabularies take the general sorted-int-array path below.
+    vocab = [
+        r["tok"]
+        for r in norms.select(F.explode("tokset").alias("tok")).distinct()
+        .orderBy("tok").collect()
+    ]
+    if len(vocab) <= 62:
+        return _scored_edges_bitmask(norms, embeddings, vocab, tau, block_cap)
+
+    coded = norms.select(
+        "norm_text",
+        "vec_id",
+        F.array_sort(F.transform("tokset", lambda t: X.tokcode(t))).alias("codes"),
+        "tokset",
+    ).withColumn("len", F.size("codes"))
+
+    groups = (
+        coded.groupBy("codes", "len")
+        .agg(F.collect_list(F.struct("norm_text", "vec_id")).alias("members"))
+        .withColumn("key", F.array_join(F.transform("codes", lambda c: c.cast("string")), ","))
+    ).localCheckpoint(eager=False)
+
+    # (A) intra-group pairs: identical toksets ⇒ jaccard exactly 1
+    ma = F.explode("members")
+    intra = (
+        groups.select(ma.alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.norm_text") < F.col("b.norm_text"))
+        .select(
+            F.col("a.norm_text").alias("norm_a"),
+            F.col("b.norm_text").alias("norm_b"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
-    nb = norms.select(
-        F.col("norm_text").alias("norm_b"),
-        F.col("tokset").alias("tokset_b"),
-        F.col("vec_id").alias("vec_b"),
+
+    # (B) cross-tokset candidates via prefix-filtered inverted join
+    plen = (F.col("len") - F.ceil(F.lit(tau) * F.col("len")) + 1).cast("int")
+    tsets = groups.select(
+        "key", "codes", "len", F.slice("codes", 1, plen).alias("prefix")
     )
+    inv = tsets.select(
+        "key", "codes", "len", "prefix", F.explode("prefix").alias("tok")
+    )
+    if block_cap is not None:
+        w_cnt = F.count("*").over(Window.partitionBy("tok"))
+        inv = inv.withColumn("_bc", w_cnt).filter(F.col("_bc") <= block_cap).drop("_bc")
+
+    SALT = 8
+    salt = F.pmod(F.xxhash64("key"), F.lit(SALT))
+    a = (
+        inv.withColumn("sa", salt)
+        .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+        .alias("a")
+    )
+    b = (
+        inv.withColumn("sb", salt)
+        .withColumn("sa", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.sa") == F.col("b.sa"))
+        & (F.col("a.sb") == F.col("b.sb"))
+        & (F.col("a.key") < F.col("b.key"))
+        & (
+            2 * F.least(F.col("a.len"), F.col("b.len"))
+            >= F.greatest(F.col("a.len"), F.col("b.len"))
+        ),
+    )
+    shared = F.size(F.array_intersect(F.col("a.codes"), F.col("b.codes")))
+    tokset_pairs = (
+        joined.withColumn(
+            "_pinter", F.array_intersect(F.col("a.prefix"), F.col("b.prefix"))
+        )
+        .filter(F.col("a.tok") == F.array_min("_pinter"))
+        .withColumn(
+            "jaccard",
+            shared.cast("double") / (F.col("a.len") + F.col("b.len") - shared),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            "jaccard",
+        )
+    )
+
+    # expand tokset pairs back to norm pairs (band is small)
+    ga = groups.select(
+        F.col("key").alias("key_a"), F.col("members").alias("members_a")
+    )
+    gb = groups.select(
+        F.col("key").alias("key_b"), F.col("members").alias("members_b")
+    )
+    cross = (
+        tokset_pairs.join(ga, "key_a")
+        .join(gb, "key_b")
+        .select("jaccard", F.explode("members_a").alias("a"), "members_b")
+        .select("jaccard", "a", F.explode("members_b").alias("b"))
+        .select(
+            F.least(F.col("a.norm_text"), F.col("b.norm_text")).alias("norm_a"),
+            F.greatest(F.col("a.norm_text"), F.col("b.norm_text")).alias("norm_b"),
+            F.when(F.col("a.norm_text") < F.col("b.norm_text"), F.col("a.vec_id"))
+            .otherwise(F.col("b.vec_id")).alias("vec_a"),
+            F.when(F.col("a.norm_text") < F.col("b.norm_text"), F.col("b.vec_id"))
+            .otherwise(F.col("a.vec_id")).alias("vec_b"),
+            "jaccard",
+        )
+    )
+
+    return _score_band(intra.unionByName(cross), embeddings)
+
+
+def _score_band(band: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """O22 scorer over the J ≥ COSINE_JACCARD_MIN candidate band:
+    broadcast embedding probes + Arrow cosine kernel + acceptance rule."""
     emb = embeddings.select("vec_id", "embedding")
-
     scored = (
-        cands.join(na, "norm_a")
-        .join(nb, "norm_b")
+        band
         # embedding dict is a dimension table → broadcast both probes
         .join(
             F.broadcast(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))),
@@ -133,11 +273,6 @@ def scored_edges(
         .join(
             F.broadcast(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))),
             "vec_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("tokset_a", "tokset_b")).cast("double")
-            / F.size(F.array_union("tokset_a", "tokset_b")),
         )
         # same vec id ⇒ cosine is 1 by definition — avoids float-noise
         # flapping around the exactly-representable 1.0 grid point
@@ -149,11 +284,7 @@ def scored_edges(
         )
     )
     accepted = scored.filter(
-        (F.col("jaccard") >= G.JACCARD_TAU)
-        | (
-            (F.col("jaccard") >= G.COSINE_JACCARD_MIN)
-            & (F.col("cosine") >= G.COSINE_TAU)
-        )
+        (F.col("jaccard") >= G.JACCARD_TAU) | (F.col("cosine") >= G.COSINE_TAU)
     )
     return accepted.select("norm_a", "norm_b", "jaccard", "cosine")
 
@@ -165,3 +296,136 @@ def explicit_sameas_edges(triples: DataFrame) -> DataFrame:
         F.least(F.col("s"), F.col("o")).alias("norm_a"),
         F.greatest(F.col("s"), F.col("o")).alias("norm_b"),
     ).distinct()
+
+
+def _scored_edges_bitmask(
+    norms: DataFrame,
+    embeddings: DataFrame,
+    vocab: list[str],
+    tau: float,
+    block_cap: int | None,
+) -> DataFrame:
+    """Bitmask implementation of the exact set-similarity join (see
+    scored_edges docstring): toksets are int64 masks over the ≤62-token
+    dictionary; the global prefix order is the bit order.  Produces the
+    identical edge set to the array path (tested)."""
+    vocab_lit = F.lit(vocab).cast("array<string>")
+
+    # tokset -> bitmask + per-set prefix mask (lowest `plen` set bits)
+    bits = F.transform("tokset", lambda t: F.array_position(vocab_lit, t) - 1)
+    coded = (
+        norms.select(
+            "norm_text",
+            "vec_id",
+            F.aggregate(
+                bits, F.lit(0).cast("bigint"),
+                lambda acc, i: acc.bitwiseOR(F.pow(F.lit(2.0), i).cast("bigint")),
+            ).alias("mask"),
+            F.array_sort(bits).alias("idx"),
+        )
+        .withColumn("len", F.size("idx"))
+        .withColumn(
+            "plen",
+            (F.col("len") - F.ceil(F.lit(tau) * F.col("len")) + 1).cast("int"),
+        )
+        .withColumn(
+            "pmask",
+            F.aggregate(
+                F.slice("idx", 1, F.col("plen")), F.lit(0).cast("bigint"),
+                lambda acc, i: acc.bitwiseOR(F.pow(F.lit(2.0), i).cast("bigint")),
+            ),
+        )
+    )
+
+    groups = (
+        coded.groupBy("mask", "len", "pmask")
+        .agg(
+            F.collect_list(F.struct("norm_text", "vec_id")).alias("members"),
+            F.first("idx").alias("idx"),
+        )
+    ).localCheckpoint(eager=False)
+
+    # (A) intra-group pairs: identical toksets ⇒ jaccard exactly 1
+    intra = (
+        groups.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.norm_text") < F.col("b.norm_text"))
+        .select(
+            F.col("a.norm_text").alias("norm_a"),
+            F.col("b.norm_text").alias("norm_b"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # (B) cross-tokset: prefix-inverted, salted, bit-verified
+    inv = groups.select(
+        "mask", "len", "pmask",
+        F.explode(F.slice("idx", 1, F.size("idx") - F.ceil(F.lit(tau) * F.size("idx")).cast("int") + 1)).alias("tok"),
+    )
+    if block_cap is not None:
+        w_cnt = F.count("*").over(Window.partitionBy("tok"))
+        inv = inv.withColumn("_bc", w_cnt).filter(F.col("_bc") <= block_cap).drop("_bc")
+
+    SALT = 8
+    salt = F.pmod(F.xxhash64("mask"), F.lit(SALT))
+    a = (
+        inv.withColumn("sa", salt)
+        .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+        .alias("a")
+    )
+    b = (
+        inv.withColumn("sb", salt)
+        .withColumn("sa", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+        .alias("b")
+    )
+    shared_pref = F.col("a.pmask").bitwiseAND(F.col("b.pmask"))
+    shared = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+    tokset_pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sa") == F.col("b.sa"))
+            & (F.col("a.sb") == F.col("b.sb"))
+            & (F.col("a.mask") < F.col("b.mask"))
+            & (
+                2 * F.least(F.col("a.len"), F.col("b.len"))
+                >= F.greatest(F.col("a.len"), F.col("b.len"))
+            ),
+        )
+        # emit once: join token is the lowest set bit of the shared prefix
+        .filter(
+            F.pow(F.lit(2.0), F.col("a.tok")).cast("bigint")
+            == shared_pref.bitwiseAND(-shared_pref)
+        )
+        .withColumn(
+            "jaccard",
+            shared.cast("double") / (F.col("a.len") + F.col("b.len") - shared),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            F.col("a.mask").alias("mask_a"),
+            F.col("b.mask").alias("mask_b"),
+            "jaccard",
+        )
+    )
+
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("members").alias("members_a"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("members").alias("members_b"))
+    cross = (
+        tokset_pairs.join(ga, "mask_a")
+        .join(gb, "mask_b")
+        .select("jaccard", F.explode("members_a").alias("a"), "members_b")
+        .select("jaccard", "a", F.explode("members_b").alias("b"))
+        .select(
+            F.least(F.col("a.norm_text"), F.col("b.norm_text")).alias("norm_a"),
+            F.greatest(F.col("a.norm_text"), F.col("b.norm_text")).alias("norm_b"),
+            F.when(F.col("a.norm_text") < F.col("b.norm_text"), F.col("a.vec_id"))
+            .otherwise(F.col("b.vec_id")).alias("vec_a"),
+            F.when(F.col("a.norm_text") < F.col("b.norm_text"), F.col("b.vec_id"))
+            .otherwise(F.col("a.vec_id")).alias("vec_b"),
+            "jaccard",
+        )
+    )
+    return _score_band(intra.unionByName(cross), embeddings)

@@ -53,8 +53,14 @@ def run_pipeline(
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    ds = fixtures.docs_spans(spark, sf_dir)
-    flat = fixtures.flat_spans(repartition_docs(ds, n_parts))
+    # repartition the RAW documents before span synthesis — the exchange
+    # must sit BELOW the expensive projection or synthesis runs in the
+    # input-file partitions (a single parquet file = serial execution)
+    docs = repartition_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_parts
+    )
+    ds = fixtures.with_spans(docs)
+    flat = fixtures.flat_spans(ds)
 
     mentions = (
         extract.mentions_df_native(flat)

@@ -1,0 +1,92 @@
+"""Checkpoint / idempotent-resume gates (north_rule: any stage resumes
+idempotently; kill-mid-stage → identical final output)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import checkpoint as CP
+from kgspark import runner
+from kgspark.catalog import ParquetCatalog
+
+
+def _triples(out):
+    return set(map(tuple, out["triples"].select("s", "p", "o").collect()))
+
+
+@pytest.fixture(scope="module")
+def clean_run(spark, sf_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_clean"))
+    out = runner.run_all(spark, sf_dir, wh, n_buckets=8)
+    return wh, _triples(out), out
+
+
+def test_kill_mid_stage_then_resume(spark, sf_dir, tmp_path_factory, clean_run):
+    _, want, _ = clean_run
+    wh = str(tmp_path_factory.mktemp("wh_kill"))
+    # first attempt dies after processing all but 3 buckets of 'mentions'
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run_all(
+            spark, sf_dir, wh, n_buckets=8,
+            fail_buckets_in={"mentions": {0, 3, 5}},
+        )
+    # resume: only the missing buckets re-run; output identical to clean
+    out = runner.run_all(spark, sf_dir, wh, n_buckets=8)
+    assert _triples(out) == want
+
+
+def test_rerun_is_noop_and_stable(spark, sf_dir, clean_run):
+    wh, want, _ = clean_run
+    cat = ParquetCatalog(wh, 8)
+    cp1 = cat.read(spark, CP.CHECKPOINT_TABLE).count()
+    out = runner.run_all(spark, sf_dir, wh, n_buckets=8)
+    cp2 = cat.read(spark, CP.CHECKPOINT_TABLE).count()
+    assert _triples(out) == want
+    assert cp1 == cp2, "re-run of a completed pipeline must not reprocess"
+
+
+def test_changed_input_invalidates_fingerprint(spark, clean_run, tmp_path_factory):
+    """Fingerprint mismatch → bucket re-processed (at-least-once with
+    idempotent effect)."""
+    wh = str(tmp_path_factory.mktemp("wh_fp"))
+    cat = ParquetCatalog(wh, 4)
+    df1 = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(20)], "doc_id long, payload string"
+    )
+    from kgspark.catalog import with_bucket
+
+    b1 = with_bucket(df1, 4)
+    CP.run_bucketed_stage(
+        spark, cat, "s", b1, lambda d: d.withColumn("out", F.upper("payload")), "s_out"
+    )
+    n1 = cat.read(spark, "s_out").count()
+    # same table, one bucket's payload changes → only that bucket redone
+    df2 = spark.createDataFrame(
+        [(i, f"p{i}" if i != 7 else "CHANGED") for i in range(20)],
+        "doc_id long, payload string",
+    )
+    b2 = with_bucket(df2, 4)
+    out2 = CP.run_bucketed_stage(
+        spark, cat, "s", b2, lambda d: d.withColumn("out", F.upper("payload")), "s_out"
+    )
+    assert out2.filter(F.col("out") == "CHANGED").count() == 1
+    assert out2.count() == n1
+    cp = CP.latest_state(cat.read(spark, CP.CHECKPOINT_TABLE))
+    assert cp.filter(F.col("stage") == "s").count() == 4
+
+
+def test_checkpoint_metrics_lineage(spark, sf_dir, clean_run):
+    wh, _, out = clean_run
+    cat = ParquetCatalog(wh, 8)
+    cp = CP.latest_state(cat.read(spark, CP.CHECKPOINT_TABLE))
+    base = cp.filter(F.col("stage") == "base_triples")
+    # per-bucket triple counts sum to the stage output size
+    total = base.agg(F.sum("triple_count")).collect()[0][0]
+    assert total == out["base_triples"].count()
+    # every bucketed stage has one complete row per non-empty bucket
+    stages = {r["stage"] for r in cp.collect()}
+    assert {"spans", "mentions", "media_features", "base_triples",
+            "edges", "labels", "entities", "entity_attrs", "triples"} <= stages
