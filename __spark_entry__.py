@@ -62,6 +62,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": Q.event_type_stats,                     # O26
         "latest_event_per_user": Q.latest_event_per_user,           # O30
         "norm_iri_demo": Q.norm_iri_demo,                           # O33
+        # training-data-pipeline operators (task brief: dedup/ANN/text)
+        "dedup_exact": Q.dedup_exact,
+        "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH
+        "doc_simhash": Q.doc_simhash,
+        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "embedding_neardup": Q.embedding_neardup,
+        "ann_topk": Q.ann_topk,                             # brute-force ANN
+        "ann_ivf": Q.ann_ivf,                               # IVF-cell ANN
+        "text_quality": Q.text_quality,
+        "token_counts": Q.token_counts,
+        "doc_fingerprint": Q.doc_fingerprint,
+        "langid": Q.langid,                                 # rows-only check
     }
 
 
@@ -78,4 +91,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)
+    out.update(
+        {
+            "dedup_exact": OS.DEDUP_EXACT_SQL,
+            "dedup_minhash_pairs": OS.MINHASH_LSH_PAIRS_SQL,
+            "doc_simhash": OS.DOC_SIMHASH_SQL,
+            "dedup_simhash_pairs": OS.SIMHASH_PAIRS_SQL,
+            "ngram_jaccard_pairs": OS.NGRAM_JACCARD_SQL,
+            "embedding_neardup": OS.EMBEDDING_NEARDUP_SQL,
+            "ann_topk": OS.ANN_TOPK_SQL,
+            "ann_ivf": OS.ANN_IVF_SQL,
+            "text_quality": OS.TEXT_QUALITY_SQL,
+            "token_counts": OS.TOKEN_COUNTS_SQL,
+            "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
+            # "langid" intentionally omitted → rows-only check
+        }
+    )
     return out

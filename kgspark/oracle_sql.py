@@ -402,3 +402,210 @@ RELATIONAL_SQL = {
         FROM step2
     """,
 }
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline oracles (dedup / ANN / text analysis).
+# Shared shingle CTE: token 3-gram codes (grammar.py NGRAM_N family).
+# ---------------------------------------------------------------------------
+_TC_NULL = (
+    "(ascii(substr(coalesce({t}, ''), 1, 1))::BIGINT * 65536"
+    " + ascii(substr(coalesce({t}, ''), 2, 1))::BIGINT * 256"
+    " + length(coalesce({t}, ''))::BIGINT)"
+)
+
+SHINGLES_CTE = f"""
+dtok AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents
+),
+shingled AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 2, 1)),
+      i -> (({_TC_NULL.format(t='toks[i]')} * 31
+             + {_TC_NULL.format(t='toks[i+1]')}) * 31
+             + {_TC_NULL.format(t='toks[i+2]')}) % {G.FP_MOD}
+    )) AS shingles
+  FROM dtok
+)
+"""
+
+DEDUP_EXACT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::BIGINT,
+        list_transform(list_slice(string_split(text, ' '), 1, 8),
+                       t -> {_TOKCODE})),
+      (a, b) -> (a*31 + b) % {G.FP_MOD}) AS key_fp
+  FROM documents
+)
+SELECT key_fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM keyed GROUP BY key_fp HAVING count(*) > 1
+"""
+
+# MinHash signatures via a permutation-parameter VALUES table.
+_PERMS_ROWS = ", ".join(
+    f"({i}, {G.hash_a(i)}, {G.hash_b(i)})" for i in range(G.MINHASH_PERMS)
+)
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {SHINGLES_CTE},
+perms(i, a, b) AS (VALUES {_PERMS_ROWS}),
+codes AS (SELECT doc_id, unnest(shingles) AS code FROM shingled),
+sig AS (
+  SELECT doc_id, i, min((a * code + b) % {G.HASH_P}) AS mh
+  FROM codes CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {G.LSH_ROWS} AS INT) AS band_id,
+         max(CASE WHEN i % {G.LSH_ROWS} = 0 THEN mh END) * {G.HASH_P}
+           + max(CASE WHEN i % {G.LSH_ROWS} = 1 THEN mh END) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(i // {G.LSH_ROWS} AS INT)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+   AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(floor(1e6 * (len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+    / (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles))))) AS BIGINT)
+    AS jaccard_e6
+FROM cand
+JOIN shingled sa ON sa.doc_id = cand.doc_a
+JOIN shingled sb ON sb.doc_id = cand.doc_b
+"""
+
+_SIM_PERMS_ROWS = ", ".join(
+    f"({b}, {G.hash_a(G.SIMHASH_HASH_OFFSET + b)}, {G.hash_b(G.SIMHASH_HASH_OFFSET + b)})"
+    for b in range(G.SIMHASH_BITS)
+)
+
+DOC_SIMHASH_SQL = f"""
+WITH {SHINGLES_CTE},
+sperms(bit, a, b) AS (VALUES {_SIM_PERMS_ROWS}),
+codes AS (SELECT doc_id, lang, unnest(shingles) AS code FROM shingled),
+votes AS (
+  SELECT doc_id, lang, bit,
+         sum(CASE WHEN ((a * code + b) % {G.HASH_P}) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM codes CROSS JOIN sperms GROUP BY doc_id, lang, bit
+)
+SELECT doc_id, lang,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id, lang
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {SHINGLES_CTE},
+sperms(bit, a, b) AS (VALUES {_SIM_PERMS_ROWS}),
+codes AS (SELECT doc_id, lang, unnest(shingles) AS code FROM shingled),
+votes AS (
+  SELECT doc_id, lang, bit,
+         sum(CASE WHEN ((a * code + b) % {G.HASH_P}) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM codes CROSS JOIN sperms GROUP BY doc_id, lang, bit
+),
+sh AS (
+  SELECT doc_id, lang,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id, lang
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {G.HAMMING_TAU}
+"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(floor(1e6 * (len(list_intersect(a.shingles, b.shingles))::DOUBLE
+    / (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))))) AS BIGINT) AS jaccard_e6
+FROM shingled a JOIN shingled b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+    / (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) >= 0.01
+"""
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       CAST(round(1e6 * list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])) AS BIGINT)
+         AS cosine_e6
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+"""
+
+ANN_TOPK_SQL = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+) WHERE rank <= 5
+"""
+
+ANN_IVF_SQL = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id != q.vec_id AND c.label = q.label
+  WHERE q.vec_id < 20
+) WHERE rank <= 3
+"""
+
+_STOP_LIST = ", ".join(f"'{t}'" for t in G.STOP_TOKENS)
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), feats AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct,
+    len(list_filter(toks, t -> t IN ({_STOP_LIST})))::DOUBLE / len(toks)
+      AS stop_ratio,
+    (length(text) - (len(toks) - 1))::DOUBLE / len(toks) AS mean_len,
+    len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, n_distinct,
+  CAST(floor(1e6 * stop_ratio) AS BIGINT) AS stop_ratio_e6,
+  CAST(floor(1e6 * mean_len) AS BIGINT) AS mean_tok_len_e6,
+  CAST(floor(1e6 * (0.5 * (1 - stop_ratio)
+      + 0.3 * least(1.0, n_tokens / 50.0)
+      + 0.2 * distinct_ratio)) AS BIGINT) AS quality_e6
+FROM feats
+"""
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{G.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(string_split(text, ' '), t -> {_TOKCODE})),
+    (a, b) -> (a*31 + b) % {G.FP_MOD}) AS fingerprint
+FROM documents
+"""

@@ -274,3 +274,84 @@ def norm_iri_demo(spark, sf_dir):
     return c.select(
         "c_custkey", raw.alias("raw_iri"), X.norm_iri(raw).alias("norm_iri")
     )
+
+
+# --- training-data-pipeline operators (dedup / ANN / text analysis) ----------
+def dedup_exact(spark, sf_dir):
+    from . import dedup as D
+
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    from . import dedup as D
+
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return pairs.select("doc_a", "doc_b", e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
+def doc_simhash(spark, sf_dir):
+    from . import dedup as D
+
+    return D.doc_simhash(_t(spark, sf_dir, "documents"))
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    from . import dedup as D
+
+    return D.simhash_pairs(_t(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    from . import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return pairs.select("doc_a", "doc_b", e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
+def embedding_neardup(spark, sf_dir):
+    from . import dedup as D
+
+    p = D.embedding_neardup(_t(spark, sf_dir, "embeddings"))
+    return p.select(
+        "vec_a", "vec_b", "label",
+        F.round(F.col("cosine") * F.lit(1000000.0)).cast("bigint").alias("cosine_e6"),
+    )
+
+
+def ann_topk(spark, sf_dir):
+    from . import ann as A
+
+    return A.ann_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_ivf(spark, sf_dir):
+    from . import ann as A
+
+    return A.ann_ivf(_t(spark, sf_dir, "embeddings"))
+
+
+def text_quality(spark, sf_dir):
+    from . import textstats as TS
+
+    return TS.text_quality(_t(spark, sf_dir, "documents"))
+
+
+def token_counts(spark, sf_dir):
+    from . import textstats as TS
+
+    return TS.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def doc_fingerprint(spark, sf_dir):
+    from . import textstats as TS
+
+    return TS.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def langid(spark, sf_dir):
+    from . import textstats as TS
+
+    return TS.langid(spark, _t(spark, sf_dir, "documents"))
