@@ -1,0 +1,107 @@
+"""Structured-Streaming ingest (SURVEY.md §2.9, O40–O43).
+
+Twine's AMQP consumption loop (libmq + twined main loop `[U~]`) maps to
+micro-batch streaming: ``readStream`` over the document table +
+``Trigger.AvailableNow`` gives the same at-least-once, ack-on-success
+semantics — a failed batch is retried from the streaming checkpoint,
+and the parquet/foreachBatch sink keyed on deterministic content makes
+re-delivery idempotent (O41/O42; Twine got this from idempotent graph
+PUT).
+
+* ``stream_mentions``       — streaming span-synthesis + the SAME
+  mapInPandas mention kernel used in batch (kernels are
+  engine-mode-agnostic: Iterator[pd.DataFrame] → Iterator[pd.DataFrame]).
+* ``stream_event_window``   — event-time tumbling window + watermark
+  over the events table (the late-data slot Twine never had; kept as
+  the Spark-native extension point).
+* ``stream_entity_counts``  — custom stateful operator via
+  ``applyInPandasWithState``: running mention counts per normalized
+  text across micro-batches (spindle's incremental proxy state, O43).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from . import extract, fixtures
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # micro-batch = file (MQ prefetch analogue)
+        .parquet(path)
+    )
+
+
+def stream_mentions(docs_stream: DataFrame) -> DataFrame:
+    """Streaming O13+O14: span synthesis + mention kernel, unchanged
+    from the batch path."""
+    flat = fixtures.flat_spans(fixtures.with_spans(docs_stream))
+    return extract.mentions_df(flat)
+
+
+def stream_event_window(events_stream: DataFrame) -> DataFrame:
+    """O42: tumbling 1-hour window with 2-hour watermark."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_STATE_SCHEMA = "n bigint"
+_OUT_SCHEMA = "norm_text string, total bigint"
+
+
+def _count_state(key, pdfs, state: GroupState):
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"norm_text": [key[0]], "total": [total]})
+
+
+def stream_entity_counts(mentions_stream: DataFrame) -> DataFrame:
+    """O43: per-norm running mention counts carried across micro-batches
+    (applyInPandasWithState) — the spindle incremental-state analogue."""
+    return (
+        mentions_stream.groupBy("norm_text")
+        .applyInPandasWithState(
+            _count_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

