@@ -42,10 +42,59 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 50,
     salt_buckets: int = 1,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """edges: (norm_a, norm_b) undirected; nodes: 1-col DataFrame of all
     node ids (singletons included).  Returns (node, label) where label =
-    lexicographic min member of the component."""
+    lexicographic min member of the component.
+
+    Adaptive execution: the coref graph lives at DISTINCT-mention-text
+    granularity, typically orders of magnitude smaller than the corpus
+    (sf0.1: 78 k mentions → 15.6 k nodes / 48 k edges), so below
+    ``driver_threshold`` edges the exact union-find runs driver-local
+    (collect + path-halving; ≤ ~500 MB at the threshold) — eliminating
+    ~10 iteration-scheduling round-trips.  Past the threshold the
+    distributed min-label-propagation loop below takes over.  Both
+    paths produce identical labels (tested)."""
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges, nodes, node_col)
+    return _distributed_cc(edges, nodes, node_col, max_iter, salt_buckets)
+
+
+def _driver_union_find(edges: DataFrame, nodes: DataFrame, node_col: str) -> DataFrame:
+    spark = edges.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    node_list = [r[0] for r in nodes.select(node_col).collect()]
+    for n in node_list:
+        parent[n] = n
+    for a, b in edges.select("norm_a", "norm_b").collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in node_list]
+    return spark.createDataFrame(rows, "node string, label string")
+
+
+def _distributed_cc(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int,
+    salt_buckets: int,
+) -> DataFrame:
     spark = edges.sparkSession
     bidir = (
         edges.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
