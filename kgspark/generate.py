@@ -110,3 +110,85 @@ def graph_diff(new: DataFrame, old: DataFrame) -> tuple[DataFrame, DataFrame]:
     models `[U]`): (added, removed) triple sets — drives incremental
     regeneration triggers."""
     return new.exceptAll(old), old.exceptAll(new)
+
+
+def incremental_entities(
+    prior_mentions: DataFrame,
+    prior_labels: DataFrame,
+    prior_attrs: DataFrame,
+    mentions_all: DataFrame,
+    labels_all: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spindle trigger semantics (O32; spindle ``triggers`` table
+    `[U~]`): after a batch updates the coref graph, regenerate ONLY the
+    entities whose component changed and retire the index rows of prior
+    components that moved/merged; every untouched prior row is kept
+    as-is (never recomputed).
+
+    A node is *affected* when its label changed or it is new; an
+    affected node touches BOTH its prior component (which must be
+    retired — it may have merged away entirely) and its new component
+    (which must be regenerated).
+
+    Returns (changed_roots, new_attrs, final_attrs); final_attrs equals
+    a from-scratch ``entity_attrs_df`` over all data (tested), while
+    only the changed components' rows were computed.
+    """
+    p = prior_labels.select(F.col("node"), F.col("label").alias("prior_label"))
+    cur = labels_all.select("node", "label")
+    affected = cur.join(p, "node", "left").filter(
+        F.col("prior_label").isNull() | (F.col("prior_label") != F.col("label"))
+    )
+    # also count mention-multiplicity changes of existing nodes: any node
+    # present in the new batch's mentions is affected (its counts change)
+    new_mention_nodes = (
+        mentions_all.join(prior_mentions, ["doc_id", "span_pos", "mention_ord"], "left_anti")
+        .select(F.col("norm_text").alias("node"))
+        .distinct()
+        .join(cur, "node")
+        .join(p, "node", "left")
+    )
+    affected = affected.unionByName(new_mention_nodes).distinct()
+
+    changed_roots = affected.select("label").distinct()
+    # retire: (a) prior components an affected node LEFT, and (b) prior
+    # components an affected (possibly brand-new) node JOINED — the
+    # latter share their label with a changed root, since an unchanged-
+    # membership component keeps its (min-member) label
+    stale_prior_roots = (
+        affected.filter(F.col("prior_label").isNotNull())
+        .select(F.col("prior_label").alias("label"))
+        .unionByName(
+            prior_labels.select("label").distinct().join(
+                changed_roots, "label", "left_semi"
+            )
+        )
+        .distinct()
+    )
+
+    # regenerate the changed components from the full current state
+    changed_norms = labels_all.join(changed_roots, "label", "left_semi")
+    changed_mentions = mentions_all.join(
+        changed_norms.withColumnRenamed("node", "norm_text"),
+        "norm_text",
+        "left_semi",
+    )
+    new_attrs = entity_attrs_df(changed_mentions, changed_norms)
+
+    # retire prior rows of: (a) regenerated entity ids, (b) prior
+    # components that were affected (their eid may have vanished)
+    prior_eids = (
+        entity_membership(prior_mentions, prior_labels)
+        .select("label", "entity_id")
+        .distinct()
+    )
+    stale_eids = prior_eids.join(stale_prior_roots, "label", "left_semi").select(
+        "entity_id"
+    )
+    untouched = prior_attrs.join(
+        new_attrs.select("entity_id").unionByName(stale_eids).distinct(),
+        "entity_id",
+        "left_anti",
+    )
+    final_attrs = untouched.unionByName(new_attrs)
+    return changed_roots, new_attrs, final_attrs
