@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
         "langid": Q.langid,                                 # rows-only check
+        # RDF serialization round-trips (O9-O11 reference parity)
+        "rdf_ntriples_roundtrip": Q.rdf_ntriples_roundtrip,
+        "rdf_turtle_roundtrip": Q.rdf_turtle_roundtrip,
+        "kg_predicate_counts": Q.kg_predicate_counts,
     }
 
 
@@ -105,6 +109,10 @@ def oracle_sql() -> dict[str, str]:
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
             # "langid" intentionally omitted → rows-only check
+            # round-trips must reproduce the independent triple oracle
+            "rdf_ntriples_roundtrip": OS.TRIPLES_SQL,
+            "rdf_turtle_roundtrip": OS.TRIPLES_SQL,
+            "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
         }
     )
     return out

@@ -609,3 +609,26 @@ SELECT doc_id,
     (a, b) -> (a*31 + b) % {G.FP_MOD}) AS fingerprint
 FROM documents
 """
+
+PREDICATE_COUNTS_SQL = f"""
+{_KG_CTES}
+SELECT p, count(*) AS n FROM (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id AS s, '{G.P_MENTIONS}' AS p,
+           mention_iri AS o FROM mentions
+    UNION ALL
+    SELECT mention_iri, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM mentions
+    UNION ALL
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_HAS_MEDIA}', media_ref
+    FROM spans_pos WHERE kind = 'media'
+    UNION ALL
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_LANGUAGE}', lang FROM doc_toks
+    UNION ALL
+    SELECT entity_id, '{G.P_SAME_AS}', member_iri FROM entities
+    UNION ALL
+    SELECT DISTINCT entity_id, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM entities
+    UNION ALL
+    SELECT entity_id, '{G.P_LABEL}', label FROM attrs
+  )
+) GROUP BY p
+"""

@@ -355,3 +355,31 @@ def langid(spark, sf_dir):
     from . import textstats as TS
 
     return TS.langid(spark, _t(spark, sf_dir, "documents"))
+
+
+# --- RDF round-trip + triple-table queries -----------------------------------
+def rdf_ntriples_roundtrip(spark, sf_dir):
+    """Serialize the final triples to N-Triples, parse back with the
+    vectorized kernel — oracle is the independent DuckDB triple oracle,
+    so the round-trip must be lossless."""
+    from . import rdfio
+    from .pipeline import run_pipeline
+
+    t = run_pipeline(spark, sf_dir).triples
+    return rdfio.parse_ntriples(rdfio.to_ntriples(t)).select("s", "p", "o")
+
+
+def rdf_turtle_roundtrip(spark, sf_dir):
+    from . import rdfio
+    from .pipeline import run_pipeline
+
+    t = run_pipeline(spark, sf_dir).triples
+    return rdfio.parse_turtle(rdfio.to_turtle(t)).select("s", "p", "o")
+
+
+def kg_predicate_counts(spark, sf_dir):
+    from .pipeline import run_pipeline
+
+    return run_pipeline(spark, sf_dir).triples.groupBy("p").agg(
+        F.count("*").alias("n")
+    )

@@ -1,0 +1,205 @@
+"""RDF serialization / parsing (SURVEY.md O9–O11; the `rdf/` processor
+module family of bbcarchdev/twine, upstream via librdf `[U]`).
+
+Twine's core competence is per-MIME RDF parsing into statement lists.
+Here: an N-Triples writer (the graph-PUT payload analogue), an
+N-Triples parser, and a Turtle-subset writer/parser — all vectorized
+(native exprs for serialization; mapInPandas regex kernels for
+parsing), with round-trip equality gates in tests and a driver query
+whose oracle is the independent DuckDB triple oracle (serialize → parse
+must be lossless).
+
+Prefix table: fixed, deterministic (the spindle rulebase analogue).
+Literal detection: by predicate (dc:language, rdfs:label emit literals;
+everything else IRIs) — matching the pipeline's triple semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PREFIXES = {
+    "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+    "dc:": "http://purl.org/dc/terms/",
+    "skos:": "http://www.w3.org/2004/02/skos/core#",
+    "ex:": "http://example.org/kg#",
+}
+
+LITERAL_PREDICATES = ["dc:language", "rdfs:label"]
+
+
+def expand(col):
+    """prefix:name → full IRI (column expression chain)."""
+    out = col
+    for p, full in sorted(PREFIXES.items()):
+        out = F.when(col.startswith(p),
+                     F.concat(F.lit(full), F.substring(col, len(p) + 1, 0x0FFFFFFF))
+                     ).otherwise(out)
+    return out
+
+
+def _escape_literal(col):
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    return out
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """(s,p,o) → one N-Triples line per row (column ``line``)."""
+    is_lit = F.col("p").isin(LITERAL_PREDICATES)
+    obj = F.when(
+        is_lit, F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'))
+    ).otherwise(F.concat(F.lit("<"), expand(F.col("o")), F.lit(">")))
+    line = F.concat(
+        F.lit("<"), expand(F.col("s")), F.lit("> <"), expand(F.col("p")),
+        F.lit("> "), obj, F.lit(" ."),
+    )
+    return triples.select(line.alias("line"))
+
+
+_NT_RE = re.compile(
+    r"^<(?P<s>[^>]*)> <(?P<p>[^>]*)> "
+    r"(?:<(?P<oiri>[^>]*)>|\"(?P<olit>(?:[^\"\\]|\\.)*)\"(?:@(?P<lang>[A-Za-z-]+))?)"
+    r" \.$"
+)
+
+PARSED_DDL = "s string, p string, o string, o_kind string"
+
+
+def _compact(series: pd.Series) -> pd.Series:
+    out = series
+    for p, full in PREFIXES.items():
+        out = out.str.replace(full, p, regex=False)
+    return out
+
+
+def _unescape(series: pd.Series) -> pd.Series:
+    return (
+        series.str.replace(r"\n", "\n", regex=False)
+        .str.replace('\\"', '"', regex=False)
+        .str.replace("\\\\", "\\", regex=False)
+    )
+
+
+def ntriples_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized N-Triples parser (O11): one Arrow batch of lines in,
+    one batch of (s, p, o, o_kind) out; malformed lines are dropped
+    (the quarantine filter runs upstream at scale)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ext = pdf["line"].astype("string").str.extract(_NT_RE)
+        ok = ext["s"].notna()
+        ext = ext[ok]
+        if len(ext) == 0:
+            continue
+        is_iri = ext["oiri"].notna()
+        o = ext["oiri"].where(is_iri, _unescape(ext["olit"]))
+        out = pd.DataFrame(
+            {
+                "s": _compact(ext["s"]),
+                "p": _compact(ext["p"]),
+                "o": o.where(~is_iri, _compact(o)),
+                "o_kind": is_iri.map({True: "iri", False: "literal"}),
+            }
+        )
+        yield out
+
+
+def parse_ntriples(lines: DataFrame) -> DataFrame:
+    return lines.mapInPandas(ntriples_parse_kernel, schema=PARSED_DDL)
+
+
+def parse_ntriples_native(lines: DataFrame) -> DataFrame:
+    """JVM-only N-Triples parser (regexp_extract) — cross-checked with
+    the kernel in tests."""
+    s = F.regexp_extract("line", r"^<([^>]*)>", 1)
+    p = F.regexp_extract("line", r"^<[^>]*> <([^>]*)>", 1)
+    oiri = F.regexp_extract("line", r"^<[^>]*> <[^>]*> <([^>]*)> \.$", 1)
+    olit = F.regexp_extract("line", r'^<[^>]*> <[^>]*> "((?:[^"\\]|\\.)*)" \.$', 1)
+    is_iri = oiri != ""
+    compact_s, compact_p, compact_o = s, p, oiri
+    for pref, full in sorted(PREFIXES.items()):
+        compact_s = F.regexp_replace(compact_s, re.escape(full), pref)
+        compact_p = F.regexp_replace(compact_p, re.escape(full), pref)
+        compact_o = F.regexp_replace(compact_o, re.escape(full), pref)
+    unlit = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(olit, r"\\n", "\n"), r'\\"', '"'),
+        r"\\\\", r"\\",
+    )
+    return lines.filter(
+        F.col("line").rlike(r"^<[^>]*> <[^>]*> (<[^>]*>|\"(?:[^\"\\]|\\.)*\") \.$")
+    ).select(
+        compact_s.alias("s"),
+        compact_p.alias("p"),
+        F.when(is_iri, compact_o).otherwise(unlit).alias("o"),
+        F.when(is_iri, F.lit("iri")).otherwise(F.lit("literal")).alias("o_kind"),
+    )
+
+
+# --- Turtle subset -----------------------------------------------------------
+def to_turtle(triples: DataFrame) -> DataFrame:
+    """Turtle-subset writer: prefixed names, one triple per line.
+    The @prefix header is implicit (fixed table) — parser shares it."""
+    is_lit = F.col("p").isin(LITERAL_PREDICATES)
+
+    def term(col):
+        # prefixed name when the value starts with a known prefix, else <iri>
+        out = F.concat(F.lit("<"), expand(col), F.lit(">"))
+        for pref in sorted(PREFIXES):
+            out = F.when(col.startswith(pref), col).otherwise(out)
+        return out
+
+    obj = F.when(
+        is_lit, F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'))
+    ).otherwise(term(F.col("o")))
+    line = F.concat(term(F.col("s")), F.lit(" "), term(F.col("p")),
+                    F.lit(" "), obj, F.lit(" ."))
+    return triples.select(line.alias("line"))
+
+
+_TTL_TERM = r"(?:<[^>]*>|[A-Za-z][A-Za-z0-9]*:[^\s]*)"
+_TTL_RE = re.compile(
+    rf"^(?P<s>{_TTL_TERM}) (?P<p>{_TTL_TERM}) "
+    rf"(?:(?P<oterm>{_TTL_TERM})|\"(?P<olit>(?:[^\"\\]|\\.)*)\") \.$"
+)
+
+
+def turtle_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Turtle-subset parser kernel (O10): prefixed names or <iri> terms,
+    quoted literals, one triple per line; @prefix/@base and comment
+    lines are skipped."""
+    def norm_term(sr: pd.Series) -> pd.Series:
+        bare = sr.str.replace(r"^<|>$", "", regex=True)
+        return _compact(bare)
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        lines = pdf["line"].astype("string").str.strip()
+        lines = lines[~lines.str.startswith(("@prefix", "@base", "#"), na=False)]
+        ext = lines.str.extract(_TTL_RE)
+        ext = ext[ext["s"].notna()]
+        if len(ext) == 0:
+            continue
+        is_iri = ext["oterm"].notna()
+        yield pd.DataFrame(
+            {
+                "s": norm_term(ext["s"]),
+                "p": norm_term(ext["p"]),
+                "o": norm_term(ext["oterm"]).where(is_iri, _unescape(ext["olit"])),
+                "o_kind": is_iri.map({True: "iri", False: "literal"}),
+            }
+        )
+
+
+def parse_turtle(lines: DataFrame) -> DataFrame:
+    return lines.mapInPandas(turtle_parse_kernel, schema=PARSED_DDL)
