@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": Q.event_type_stats,                     # O26
         "latest_event_per_user": Q.latest_event_per_user,           # O30
         "norm_iri_demo": Q.norm_iri_demo,                           # O33
+        "revenue_rollup": Q.revenue_rollup,                         # rollup
+        "event_value_pivot": Q.event_value_pivot,                   # pivot
         # training-data-pipeline operators (task brief: dedup/ANN/text)
         "dedup_exact": Q.dedup_exact,
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH

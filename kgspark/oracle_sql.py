@@ -632,3 +632,24 @@ SELECT p, count(*) AS n FROM (
   )
 ) GROUP BY p
 """
+
+RELATIONAL_SQL["revenue_rollup"] = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum({_e6('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_e6,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+RELATIONAL_SQL["event_value_pivot"] = f"""
+WITH t AS (SELECT event_type FROM
+  (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2)),
+tt AS (SELECT min(event_type) AS t0, max(event_type) AS t1 FROM t)
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = (SELECT t0 FROM tt)
+            THEN {_e6('value')} ELSE 0 END) AS BIGINT) AS v0_e6,
+  CAST(sum(CASE WHEN event_type = (SELECT t1 FROM tt)
+            THEN {_e6('value')} ELSE 0 END) AS BIGINT) AS v1_e6
+FROM events GROUP BY user_id
+"""

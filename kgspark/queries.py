@@ -383,3 +383,33 @@ def kg_predicate_counts(spark, sf_dir):
     return run_pipeline(spark, sf_dir).triples.groupBy("p").agg(
         F.count("*").alias("n")
     )
+
+
+def revenue_rollup(spark, sf_dir):
+    """ROLLUP (l_returnflag, l_linestatus) with coalesced subtotal labels
+    so the grouping-set rows hash identically across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rev_e6", e6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("rev_e6").alias("revenue_e6"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue_e6",
+            "n",
+        )
+    )
+
+
+def event_value_pivot(spark, sf_dir):
+    """Pivot-style conditional aggregation: per user, summed value for
+    the two lexicographically-first event types."""
+    ev = _t(spark, sf_dir, "events")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())[:2]
+    t0, t1 = types
+    vale6 = e6(F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == t0, vale6).otherwise(F.lit(0))).alias("v0_e6"),
+        F.sum(F.when(F.col("event_type") == t1, vale6).otherwise(F.lit(0))).alias("v1_e6"),
+    )
