@@ -24,6 +24,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp-emitting queries interpret the fixture's TIMESTAMP_NTZ
+    values as UTC instants (matching DuckDB's epoch_us); pin the session
+    zone so the contract is independent of the caller's TZ config."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def e6(col):
     """floor(1e6 * x) as BIGINT — the shared float-output convention."""
     return F.floor(col * F.lit(1000000.0)).cast("bigint")
@@ -179,6 +186,7 @@ def top2_lineitems_per_order(spark, sf_dir):
 
 
 def event_gaps(spark, sf_dir):
+    _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -255,6 +263,7 @@ def event_type_stats(spark, sf_dir):
 
 
 def latest_event_per_user(spark, sf_dir):
+    _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
