@@ -151,7 +151,17 @@ def scored_edges(
     ]
     if len(vocab) <= 62:
         return _scored_edges_bitmask(norms, embeddings, vocab, tau, block_cap)
+    return _scored_edges_array(norms, embeddings, tau, block_cap)
 
+
+def _scored_edges_array(
+    norms: DataFrame,
+    embeddings: DataFrame,
+    tau: float,
+    block_cap: int | None,
+) -> DataFrame:
+    """General sorted-int-array implementation (vocabularies > 62
+    tokens); identical output to the bitmask path (tested)."""
     coded = norms.select(
         "norm_text",
         "vec_id",
