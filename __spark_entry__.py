@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_iri_demo": Q.norm_iri_demo,                           # O33
         "revenue_rollup": Q.revenue_rollup,                         # rollup
         "event_value_pivot": Q.event_value_pivot,                   # pivot
+        "event_sessions": Q.event_sessions,                         # sessionize
         # training-data-pipeline operators (task brief: dedup/ANN/text)
         "dedup_exact": Q.dedup_exact,
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH

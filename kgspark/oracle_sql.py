@@ -653,3 +653,17 @@ SELECT user_id,
             THEN {_e6('value')} ELSE 0 END) AS BIGINT) AS v1_e6
 FROM events GROUP BY user_id
 """
+
+RELATIONAL_SQL["event_sessions"] = """
+SELECT user_id, event_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+"""

@@ -422,3 +422,23 @@ def event_value_pivot(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == t0, vale6).otherwise(F.lit(0))).alias("v0_e6"),
         F.sum(F.when(F.col("event_type") == t1, vale6).otherwise(F.lit(0))).alias("v1_e6"),
     )
+
+
+def event_sessions(spark, sf_dir):
+    """Sessionization: per user, a new session starts after a >30-min
+    gap; session_id = running count of session starts (O29 lag+cumsum)."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1000000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
