@@ -48,16 +48,20 @@ class ParquetCatalog:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))
 
-    def write_bucketed(self, df: DataFrame, name: str) -> None:
-        """Overwrite only the buckets present in ``df`` (dynamic
-        partition overwrite) — the sparql-put / MERGE analogue."""
+    def write_bucketed(
+        self, df: DataFrame, name: str, partition_cols: list[str] | None = None
+    ) -> None:
+        """Overwrite only the partitions present in ``df`` (dynamic
+        partition overwrite) — the sparql-put / MERGE analogue.
+        ``partition_cols`` defaults to ["bucket"]; streaming appends add
+        a batch key so batches never clobber each other."""
         spark = df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
                 df.write.mode("overwrite")
-                .partitionBy("bucket")
+                .partitionBy(*(partition_cols or ["bucket"]))
                 .parquet(self.path(name))
             )
         finally:

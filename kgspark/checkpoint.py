@@ -116,6 +116,7 @@ def run_bucketed_stage(
     out_table: str,
     count_as_triples: bool = False,
     fail_buckets: set[int] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Execute ``transform`` over only the not-yet-done buckets of
     ``input_df`` (which must carry a ``bucket`` column), write the
@@ -137,7 +138,7 @@ def run_bucketed_stage(
         out = transform(todo)
         if "bucket" not in out.columns:
             raise ValueError(f"stage {stage}: transform must keep the bucket column")
-        cat.write_bucketed(out, out_table)
+        cat.write_bucketed(out, out_table, partition_cols=partition_cols)
         counts = (
             out.groupBy("bucket").agg(F.count("*").alias("triple_count"))
             if count_as_triples

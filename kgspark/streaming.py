@@ -105,3 +105,61 @@ def stream_entity_counts(mentions_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_to_catalog(
+    spark: SparkSession,
+    input_dir: str,
+    cat,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+) -> None:
+    """O41 exactly-once-effect sink: foreachBatch → the per-bucket
+    fingerprint-checkpointed catalog write (checkpoint.run_bucketed_stage).
+
+    Two idempotence layers compose, mirroring Twine's MQ-ack +
+    idempotent-graph-PUT pair:
+    * the streaming checkpoint (``checkpoint_dir``) guarantees each
+      micro-batch is delivered at least once;
+    * the catalog layer's fingerprint match skips buckets already
+      written with identical input, and re-writes are per-bucket
+      dynamic-partition overwrites — so replays converge to the same
+      bytes.
+    """
+    from . import checkpoint as CP
+    from . import extract as EX
+    from .catalog import with_bucket
+
+    def process_batch(df, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        # deterministic content-derived batch key: the idempotence unit
+        # for streaming appends is (batch, bucket) — without it, a later
+        # batch's dynamic overwrite would clobber earlier batches that
+        # share a bucket
+        bkey = format(
+            (df.agg(F.bit_xor(F.xxhash64("doc_id"))).collect()[0][0] or 0)
+            & 0xFFFFFFFFFFFFFFFF,
+            "016x",
+        )
+        docs = with_bucket(df, n_buckets)
+        flat = with_bucket(
+            fixtures.flat_spans(fixtures.with_spans(docs)), n_buckets
+        ).withColumn("batch_key", F.lit(bkey))
+        CP.run_bucketed_stage(
+            spark, cat, f"stream_mentions#{bkey}", flat,
+            lambda d: with_bucket(EX.mentions_df(d), n_buckets).withColumn(
+                "batch_key", F.lit(bkey)
+            ),
+            "stream_mentions",
+            partition_cols=["batch_key", "bucket"],
+        )
+
+    q = (
+        read_documents_stream(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

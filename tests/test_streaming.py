@@ -106,3 +106,36 @@ def test_stream_stateful_counts(spark, sf_dir, doc_stream_dir, tmp_path):
         .set_index("norm_text")["count"]
     )
     assert final.sort_index().equals(batch.sort_index().astype(final.dtype))
+
+
+def test_stream_to_catalog_exactly_once(spark, sf_dir, doc_stream_dir, tmp_path):
+    from kgspark import checkpoint as CP
+    from kgspark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "wh"), 8)
+    cp_dir = str(tmp_path / "scp")
+    S.stream_to_catalog(spark, doc_stream_dir, cat, cp_dir)
+    got = {
+        tuple(r)
+        for r in cat.read(spark, "stream_mentions")
+        .select("doc_id", "span_pos", "mention_ord", "mention_iri")
+        .collect()
+    }
+    batch = extract.mentions_df(fixtures.flat_spans(spark, sf_dir))
+    want = {
+        tuple(r)
+        for r in batch.select("doc_id", "span_pos", "mention_ord", "mention_iri").collect()
+    }
+    assert got == want
+    # replay with a FRESH streaming checkpoint (simulated redelivery of
+    # every batch): catalog fingerprints make it a no-op
+    n_cp = cat.read(spark, CP.CHECKPOINT_TABLE).count()
+    S.stream_to_catalog(spark, doc_stream_dir, cat, str(tmp_path / "scp2"))
+    assert cat.read(spark, CP.CHECKPOINT_TABLE).count() == n_cp
+    got2 = {
+        tuple(r)
+        for r in cat.read(spark, "stream_mentions")
+        .select("doc_id", "span_pos", "mention_ord", "mention_iri")
+        .collect()
+    }
+    assert got2 == want
