@@ -130,7 +130,8 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True) 
     if with_queries:
         for name in ["kg_spans_flat", "kg_media_features", "tpch_q1",
                      "revenue_by_nation", "top2_lineitems_per_order",
-                     "event_type_stats"]:
+                     "event_type_stats", "dedup_minhash_pairs", "ann_topk",
+                     "text_quality", "event_sessions"]:
             fn = getattr(Q, name)
             t0 = time.time()
             n = fn(spark, sf_dir).count()
