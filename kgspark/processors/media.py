@@ -77,3 +77,43 @@ def decode_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         "use media_feature_kernel (deterministic stub) in-sandbox"
     )
     yield  # pragma: no cover
+
+
+BINARY_FEATURES_DDL = (
+    "path string, length bigint, magic string, content_fp bigint, "
+    "width int, height int"
+)
+
+
+def binary_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Opaque-binary feature kernel over ``spark.read.format('binaryFile')``
+    rows (columns: path, content).  Real plumbing, stubbed decode:
+    magic-byte sniffing + byte-level rolling fingerprint are genuine;
+    width/height come from the deterministic fake decoder (a real
+    deployment swaps in PIL/ffmpeg inside this same kernel — see
+    ``decode_media_kernel``)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        content = pdf["content"]
+        out = pd.DataFrame({"path": pdf["path"].astype("string")})
+        out["length"] = content.map(len).astype("int64")
+        heads = content.map(lambda b: bytes(b[:4]))
+        out["magic"] = heads.map(
+            lambda h: "png" if h.startswith(b"\x89PN")
+            else "jpeg" if h.startswith(b"\xff\xd8")
+            else "fake" if h.startswith(b"FAKE")
+            else "unknown"
+        )
+
+        def fp(b: bytes) -> int:
+            acc = 0
+            for x in memoryview(b)[:4096]:  # bounded prefix fingerprint
+                acc = (acc * 31 + x) % G.FP_MOD
+            return acc
+
+        out["content_fp"] = content.map(fp).astype("int64")
+        # deterministic fake decode: dimensions derived from the bytes
+        out["width"] = (out["content_fp"] % 640 + 1).astype("int32")
+        out["height"] = (out["length"] % 480 + 1).astype("int32")
+        yield out
