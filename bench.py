@@ -85,7 +85,11 @@ def _staged_pipeline(spark, docs_df, emb_df, timings, stages):
     n_mentions = timed("extract_mentions", lambda: mentions.count())
     timed("media_features", lambda: extract.media_features_df(flat).count())
 
-    edges = link.scored_edges(mentions, emb_df).localCheckpoint(eager=False)
+    from kgspark import grammar as G
+
+    edges = link.scored_edges(
+        mentions, emb_df, vocab=sorted(G.ENTITY_TOKENS)
+    ).localCheckpoint(eager=False)
     timed("link_edges", lambda: edges.count())
 
     holder = {}

@@ -100,6 +100,7 @@ def scored_edges(
     embeddings: DataFrame,
     n_embeddings: int | None = None,
     block_cap: int = BLOCK_CAP,
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Accepted sameAs edges between distinct norm texts.
 
@@ -144,11 +145,15 @@ def scored_edges(
     # BITMASKS: |A∩B| = bit_count(a & b), prefix checks are bit tricks,
     # and the entire verify step is whole-stage-codegen integer math.
     # Larger vocabularies take the general sorted-int-array path below.
-    vocab = [
-        r["tok"]
-        for r in norms.select(F.explode("tokset").alias("tok")).distinct()
-        .orderBy("tok").collect()
-    ]
+    # Callers that KNOW the dictionary (the KG pipeline: mention tokens
+    # are the regex alternation over grammar.ENTITY_TOKENS by
+    # construction) pass ``vocab`` and skip the observed-vocab job.
+    if vocab is None:
+        vocab = [
+            r["tok"]
+            for r in norms.select(F.explode("tokset").alias("tok")).distinct()
+            .orderBy("tok").collect()
+        ]
     if len(vocab) <= 62:
         return _scored_edges_bitmask(norms, embeddings, vocab, tau, block_cap)
     return _scored_edges_array(norms, embeddings, tau, block_cap)

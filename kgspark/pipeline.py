@@ -42,6 +42,20 @@ class PipelineResult:
     counts: dict = field(default_factory=dict)
 
 
+_PIPELINE_CACHE: dict = {}
+
+
+def run_pipeline_cached(spark: SparkSession, sf_dir: str) -> "PipelineResult":
+    """Memoized default-config pipeline per (session, sf_dir) — the
+    driver's correctness run derives several queries from the same
+    pipeline (triples, round-trips, predicate counts); the checkpointed
+    intermediates make re-use free and deterministic."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[key] = run_pipeline(spark, sf_dir)
+    return _PIPELINE_CACHE[key]
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -76,7 +90,13 @@ def run_pipeline(
     base = extract.base_triples(flat, mentions)
 
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    edges = link.scored_edges(mentions, embeddings)
+    # mention tokens are the ENTITY_TOKENS alternation by construction —
+    # pass the fixed dictionary, skipping the observed-vocab job
+    from . import grammar as G
+
+    edges = link.scored_edges(
+        mentions, embeddings, vocab=sorted(G.ENTITY_TOKENS)
+    )
     if materialize:
         edges = edges.localCheckpoint(eager=False)
 
@@ -87,6 +107,8 @@ def run_pipeline(
     attrs = generate.entity_attrs_df(mentions, labels)
     proxies = generate.proxy_triples(mentions, labels)
     triples = base.unionByName(proxies).dropDuplicates(["s", "p", "o"])
+    if materialize:
+        triples = triples.localCheckpoint(eager=False)
 
     return PipelineResult(
         docs_spans=ds,

@@ -112,9 +112,9 @@ def kg_entity_attrs(spark, sf_dir):
 
 
 def kg_triples(spark, sf_dir):
-    from .pipeline import run_pipeline
+    from .pipeline import run_pipeline_cached
 
-    return run_pipeline(spark, sf_dir).triples
+    return run_pipeline_cached(spark, sf_dir).triples
 
 
 def kg_media_features(spark, sf_dir):
@@ -372,24 +372,24 @@ def rdf_ntriples_roundtrip(spark, sf_dir):
     vectorized kernel — oracle is the independent DuckDB triple oracle,
     so the round-trip must be lossless."""
     from . import rdfio
-    from .pipeline import run_pipeline
+    from .pipeline import run_pipeline_cached
 
-    t = run_pipeline(spark, sf_dir).triples
+    t = run_pipeline_cached(spark, sf_dir).triples
     return rdfio.parse_ntriples(rdfio.to_ntriples(t)).select("s", "p", "o")
 
 
 def rdf_turtle_roundtrip(spark, sf_dir):
     from . import rdfio
-    from .pipeline import run_pipeline
+    from .pipeline import run_pipeline_cached
 
-    t = run_pipeline(spark, sf_dir).triples
+    t = run_pipeline_cached(spark, sf_dir).triples
     return rdfio.parse_turtle(rdfio.to_turtle(t)).select("s", "p", "o")
 
 
 def kg_predicate_counts(spark, sf_dir):
-    from .pipeline import run_pipeline
+    from .pipeline import run_pipeline_cached
 
-    return run_pipeline(spark, sf_dir).triples.groupBy("p").agg(
+    return run_pipeline_cached(spark, sf_dir).triples.groupBy("p").agg(
         F.count("*").alias("n")
     )
 
