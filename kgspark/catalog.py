@@ -31,7 +31,22 @@ DEFAULT_BUCKETS = 32
 
 
 def with_bucket(df: DataFrame, n_buckets: int, key: str = "doc_id") -> DataFrame:
-    return df.withColumn("bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int"))
+    """Bucket id = ``pmod(xxhash64(CAST(key AS STRING)), n_buckets)``.
+
+    The key is hashed through its canonical STRING form on purpose: the
+    raw ``documents`` table carries an int64 ``doc_id`` while every
+    downstream stage carries the string-cast ``doc_id`` (span synthesis
+    casts it), and ``xxhash64(42L) != xxhash64('42')``.  Per-bucket
+    resume overwrites whatever output partitions the pending input
+    buckets produce — input and output rows for the same document MUST
+    land in the same bucket id or a resume's dynamic partition
+    overwrite replaces partitions holding completed buckets' rows
+    (data loss; see tests/test_checkpoint.py kill-tests per stage).
+    """
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
+    )
 
 
 @dataclass

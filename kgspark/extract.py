@@ -86,28 +86,39 @@ def mentions_df_native(flat: DataFrame) -> DataFrame:
     )
 
 
-def base_triples(flat: DataFrame, mentions: DataFrame) -> DataFrame:
-    """Distinct (s,p,o) from extraction: mention/type/media/lang triples.
+def base_quads(flat: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Per-document extraction quads ``(doc_id, g, s, p, o)`` — the D3/D4
+    named-graph model: every triple extracted from a document lands in
+    that document's graph ``g = doc://<id>`` (Twine's unit of storage &
+    replacement, ``libtwine/graph.c`` twine_graph `[U~]`).
 
-    librdf models are set-semantic (duplicate statements collapse) —
-    O27 ``dropDuplicates`` mirrors that.
+    Deduplication is PER DOCUMENT (librdf models are set-semantic
+    within one parsed payload); the same statement asserted by two
+    documents keeps one row per graph.  This makes the stage a pure
+    per-doc function — required for per-bucket idempotent resume: each
+    output row's bucket is its originating doc's bucket, never a
+    constant or a cross-doc aggregate key.
     """
     t_mention = mentions.select(
+        "doc_id",
         X.doc_iri(F.col("doc_id")).alias("s"),
         F.lit(G.P_MENTIONS).alias("p"),
         F.col("mention_iri").alias("o"),
     )
     t_type = mentions.select(
+        "doc_id",
         F.col("mention_iri").alias("s"),
         F.lit(G.P_TYPE).alias("p"),
         F.lit(G.O_ENTITY_CLASS).alias("o"),
     )
     t_media = flat.filter(F.col("kind") == "media").select(
+        "doc_id",
         X.doc_iri(F.col("doc_id")).alias("s"),
         F.lit(G.P_HAS_MEDIA).alias("p"),
         F.col("media_ref").alias("o"),
     )
     t_lang = flat.select("doc_id", "lang").distinct().select(
+        "doc_id",
         X.doc_iri(F.col("doc_id")).alias("s"),
         F.lit(G.P_LANGUAGE).alias("p"),
         F.col("lang").alias("o"),
@@ -116,5 +127,14 @@ def base_triples(flat: DataFrame, mentions: DataFrame) -> DataFrame:
         t_mention.unionByName(t_type)
         .unionByName(t_media)
         .unionByName(t_lang)
-        .dropDuplicates(["s", "p", "o"])
+        .dropDuplicates(["doc_id", "s", "p", "o"])
+        .select("doc_id", X.doc_iri(F.col("doc_id")).alias("g"), "s", "p", "o")
+    )
+
+
+def base_triples(flat: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Graph-agnostic distinct (s,p,o) view of the extraction quads
+    (O27; librdf set semantics across the whole batch)."""
+    return base_quads(flat, mentions).select("s", "p", "o").dropDuplicates(
+        ["s", "p", "o"]
     )

@@ -105,6 +105,15 @@ def proxy_triples(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     return t_sameas.unionByName(t_type).unionByName(t_label).dropDuplicates(["s", "p", "o"])
 
 
+def proxy_quads(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """Proxy triples in the spindle ROOT graph (D4): generated proxy
+    descriptions all live in one named graph, distinct from the
+    per-document source graphs."""
+    return proxy_triples(mentions, labels).select(
+        F.lit(G.ROOT_GRAPH).alias("g"), "s", "p", "o"
+    )
+
+
 def graph_diff(new: DataFrame, old: DataFrame) -> tuple[DataFrame, DataFrame]:
     """O32 old/new graph diff (libtwine/graph.c twine_graph old/new
     models `[U]`): (added, removed) triple sets — drives incremental

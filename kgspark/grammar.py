@@ -63,6 +63,11 @@ MENTION_IRI_PREFIX = "ex://"           # ex://{source}/{norm with _ }
 ENTITY_IRI_PREFIX = "ex://entity/"     # ex://entity/{sha256[:32]}#id
 ENTITY_IRI_SUFFIX = "#id"
 
+# Named graphs (D3/D4): each document's extraction lands in its own
+# graph `doc://<id>`; generated proxy triples land in the root graph
+# (spindle root-graph analogue).
+ROOT_GRAPH = "ex://graph/root"
+
 P_MENTIONS = "ex:mentions"
 P_TYPE = "rdf:type"
 P_HAS_MEDIA = "ex:hasMedia"

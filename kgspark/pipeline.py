@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import cc, extract, fixtures, generate, link
+from . import grammar as G
 
 
 def repartition_docs(df: DataFrame, n_parts: int) -> DataFrame:
@@ -38,7 +39,8 @@ class PipelineResult:
     labels: DataFrame
     entities: DataFrame
     entity_attrs: DataFrame
-    triples: DataFrame
+    triples: DataFrame          # graph-agnostic distinct (s, p, o)
+    quads: DataFrame = None     # named-graph view (g, s, p, o) — D3/D4
     counts: dict = field(default_factory=dict)
 
 
@@ -87,13 +89,11 @@ def run_pipeline(
         mentions = mentions.localCheckpoint(eager=False)
 
     media_features = extract.media_features_df(flat)
-    base = extract.base_triples(flat, mentions)
+    base_quads = extract.base_quads(flat, mentions)
 
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # mention tokens are the ENTITY_TOKENS alternation by construction —
     # pass the fixed dictionary, skipping the observed-vocab job
-    from . import grammar as G
-
     edges = link.scored_edges(
         mentions, embeddings, vocab=sorted(G.ENTITY_TOKENS)
     )
@@ -106,7 +106,13 @@ def run_pipeline(
     entities = generate.entities_df(mentions, labels)
     attrs = generate.entity_attrs_df(mentions, labels)
     proxies = generate.proxy_triples(mentions, labels)
-    triples = base.unionByName(proxies).dropDuplicates(["s", "p", "o"])
+    # named-graph quad view: per-doc graphs + the proxy root graph
+    quads = (
+        base_quads.select("g", "s", "p", "o")
+        .unionByName(proxies.select(F.lit(G.ROOT_GRAPH).alias("g"), "s", "p", "o"))
+        .dropDuplicates(["g", "s", "p", "o"])
+    )
+    triples = quads.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
     if materialize:
         triples = triples.localCheckpoint(eager=False)
 
@@ -120,4 +126,5 @@ def run_pipeline(
         entities=entities,
         entity_attrs=attrs,
         triples=triples,
+        quads=quads,
     )

@@ -33,9 +33,27 @@ from . import generate as gen
 from .catalog import ParquetCatalog, with_bucket
 
 
-def _global_fingerprint(df: DataFrame, cols: list[str]) -> int:
-    row = df.select(F.bit_xor(F.xxhash64(*cols)).alias("fp"), F.count("*")).collect()[0]
-    return int(row["fp"] or 0)
+def _global_fingerprint(df: DataFrame, cols: list[str]) -> tuple[int, int]:
+    """(order-insensitive xor of row hashes, row count) — BOTH matched
+    at resume so even-duplicate xor cancellation can't fake 'complete'."""
+    row = df.select(
+        F.bit_xor(F.xxhash64(*cols)).alias("fp"), F.count("*").alias("n")
+    ).collect()[0]
+    return int(row["fp"] or 0), int(row["n"] or 0)
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def _mix_fps(*vals: int) -> int:
+    """Fold several (fingerprint, count) ints into one signed-64 value
+    (FNV-1a-style, order-sensitive) — global stages depend on SEVERAL
+    inputs (mentions AND embeddings AND base triples), and each must
+    invalidate the checkpoint when it changes."""
+    acc = 0x9E3779B97F4A7C15
+    for v in vals:
+        acc = ((acc ^ (v & _MASK64)) * 0x100000001B3) & _MASK64
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
 def _run_global_stage(
@@ -43,10 +61,14 @@ def _run_global_stage(
     cat: ParquetCatalog,
     stage: str,
     input_fp: int,
+    input_rows: int,
     compute,
     out_table: str,
 ) -> DataFrame:
-    """Stage-granular resume for non-bucketed (graph-global) stages."""
+    """Stage-granular resume for non-bucketed (graph-global) stages.
+    Resume requires a complete checkpoint matching BOTH the input
+    fingerprint and the input row count (same guard the bucketed path
+    has)."""
     cp = CP.read_checkpoints(spark, cat)
     if cp is not None:
         done = (
@@ -55,6 +77,7 @@ def _run_global_stage(
                 (F.col("status") == "complete")
                 & (F.col("part_id") == -1)
                 & (F.col("input_fingerprint") == input_fp)
+                & (F.col("row_count") == input_rows)
             )
             .count()
         )
@@ -63,9 +86,9 @@ def _run_global_stage(
     out = compute()
     cat.write(out, out_table)
     out = cat.read(spark, out_table)
-    n = out.count()
     fps = spark.createDataFrame(
-        [(-1, input_fp, n)], "bucket int, input_fingerprint long, row_count long"
+        [(-1, input_fp, input_rows)],
+        "bucket int, input_fingerprint long, row_count long",
     )
     CP.write_checkpoint_rows(cat, stage, fps)
     return out
@@ -108,29 +131,35 @@ def run_all(
         "media_features", fail_buckets=fail.get("media_features"),
     )
 
+    # per-doc keyed quads: every output row's bucket IS its originating
+    # doc's bucket (base_quads keeps doc_id), so per-bucket resume
+    # overwrites exactly the pending buckets' partitions — a triple's
+    # graph g = doc://<id> makes this the O6 per-graph replace too
     base_triples = CP.run_bucketed_stage(
         spark, cat, "base_triples", flat,
-        lambda d: with_bucket(
-            extract.base_triples(
-                d, extract.mentions_df(d)
-            ).withColumn("doc_id", F.regexp_extract("s", r"^doc://(.*)$", 1)),
-            n_buckets, key="doc_id",
-        ).drop("doc_id"),
+        lambda d: with_bucket(extract.base_quads(d, extract.mentions_df(d)), n_buckets),
         "base_triples", count_as_triples=True,
         fail_buckets=fail.get("base_triples"),
     )
 
     # --- global (graph-wide) stages -----------------------------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    m_fp = _global_fingerprint(mentions, ["doc_id", "span_pos", "mention_ord", "mention_iri"])
+    m_fp, m_n = _global_fingerprint(
+        mentions, ["doc_id", "span_pos", "mention_ord", "mention_iri"]
+    )
+    # edges/labels/entities/attrs all derive from mentions AND the
+    # embedding table (via link scoring) — embedding changes must
+    # invalidate them (they'd otherwise serve stale from checkpoint)
+    e_fp, e_n = _global_fingerprint(emb, ["vec_id", "label", "embedding"])
+    me_fp, me_n = _mix_fps(m_fp, m_n, e_fp, e_n), m_n + e_n
 
     edges = _run_global_stage(
-        spark, cat, "edges", m_fp,
+        spark, cat, "edges", me_fp, me_n,
         lambda: link.scored_edges(mentions, emb), "edges",
     )
 
     labels = _run_global_stage(
-        spark, cat, "labels", m_fp,
+        spark, cat, "labels", me_fp, me_n,
         lambda: cc_mod.connected_components(
             edges, mentions.select(F.col("norm_text").alias("node")).distinct()
         ),
@@ -138,15 +167,18 @@ def run_all(
     )
 
     entities = _run_global_stage(
-        spark, cat, "entities", m_fp,
+        spark, cat, "entities", me_fp, me_n,
         lambda: gen.entities_df(mentions, labels), "entities",
     )
     attrs = _run_global_stage(
-        spark, cat, "entity_attrs", m_fp,
+        spark, cat, "entity_attrs", me_fp, me_n,
         lambda: gen.entity_attrs_df(mentions, labels), "entity_attrs",
     )
+    # final triples additionally depend on the base-quad table (media/
+    # lang triples come from spans, not mentions)
+    b_fp, b_n = _global_fingerprint(base_triples, ["g", "s", "p", "o"])
     triples = _run_global_stage(
-        spark, cat, "triples", m_fp,
+        spark, cat, "triples", _mix_fps(me_fp, me_n, b_fp, b_n), me_n + b_n,
         lambda: extract_final_triples(base_triples, mentions, labels), "triples",
     )
 
@@ -157,10 +189,12 @@ def run_all(
     }
 
 
-def extract_final_triples(base_triples, mentions, labels):
+def extract_final_triples(base_quads, mentions, labels):
+    """Distinct (s,p,o) union of per-doc extraction quads + root-graph
+    proxy triples (the store's graph-agnostic view)."""
     proxies = gen.proxy_triples(mentions, labels)
     return (
-        base_triples.select("s", "p", "o")
+        base_quads.select("s", "p", "o")
         .unionByName(proxies)
         .dropDuplicates(["s", "p", "o"])
     )

@@ -24,18 +24,42 @@ def clean_run(spark, sf_dir, tmp_path_factory):
     return wh, _triples(out), out
 
 
-def test_kill_mid_stage_then_resume(spark, sf_dir, tmp_path_factory, clean_run):
-    _, want, _ = clean_run
-    wh = str(tmp_path_factory.mktemp("wh_kill"))
-    # first attempt dies after processing all but 3 buckets of 'mentions'
+@pytest.mark.parametrize("stage", ["spans", "mentions", "base_triples"])
+def test_kill_mid_stage_then_resume(spark, sf_dir, tmp_path_factory, clean_run, stage):
+    """Crash mid-stage, then resume → byte-identical final output.
+
+    Covers the three distinct bucket-keying shapes: spans (int64 doc_id
+    input → string doc_id output), mentions (string → string), and
+    base_triples (per-doc quads) — a resume must never clobber
+    completed buckets' rows via dynamic partition overwrite."""
+    _, want, clean_out = clean_run
+    wh = str(tmp_path_factory.mktemp(f"wh_kill_{stage}"))
+    # first attempt dies after processing all but 3 buckets of `stage`
     with pytest.raises(RuntimeError, match="injected failure"):
         runner.run_all(
             spark, sf_dir, wh, n_buckets=8,
-            fail_buckets_in={"mentions": {0, 3, 5}},
+            fail_buckets_in={stage: {0, 3, 5}},
         )
     # resume: only the missing buckets re-run; output identical to clean
     out = runner.run_all(spark, sf_dir, wh, n_buckets=8)
     assert _triples(out) == want
+    # intermediate stage tables are also complete (not just final triples)
+    assert out["spans"].count() == clean_out["spans"].count()
+    assert out["base_triples"].count() == clean_out["base_triples"].count()
+
+
+def test_bucket_consistency_invariant(spark, clean_run):
+    """Every bucketed stage table satisfies
+    bucket == pmod(xxhash64(CAST(doc_id AS STRING)), P) — the structural
+    guarantee that per-bucket resume overwrites exactly its own rows."""
+    wh, _, out = clean_run
+    for stage in ["spans", "mentions", "media_features", "base_triples"]:
+        df = out[stage]
+        bad = df.filter(
+            F.col("bucket")
+            != F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(8)).cast("int")
+        ).count()
+        assert bad == 0, f"{stage}: {bad} rows in a foreign bucket"
 
 
 def test_rerun_is_noop_and_stable(spark, sf_dir, clean_run):
