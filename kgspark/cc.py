@@ -108,6 +108,7 @@ def _distributed_cc(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         # messages carry is_old=0; the node's own row carries is_old=1 —
         # one aggregation yields BOTH the new min-label and the previous
@@ -147,4 +148,13 @@ def _distributed_cc(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # returning silently here would split components whose diameter
+        # exceeds max_iter — exactly the long-chain graphs that reach
+        # this distributed path.  Fail loudly; the caller can raise
+        # max_iter (or switch to large-star/small-star contraction).
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(graph diameter > max_iter); raise max_iter"
+        )
     return labels

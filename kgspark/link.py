@@ -148,6 +148,7 @@ def scored_edges(
     # Callers that KNOW the dictionary (the KG pipeline: mention tokens
     # are the regex alternation over grammar.ENTITY_TOKENS by
     # construction) pass ``vocab`` and skip the observed-vocab job.
+    caller_vocab = vocab is not None
     if vocab is None:
         vocab = [
             r["tok"]
@@ -155,6 +156,24 @@ def scored_edges(
             .orderBy("tok").collect()
         ]
     if len(vocab) <= 62:
+        if caller_vocab:
+            # a caller-supplied dictionary is a CLAIM, not a fact: a
+            # token absent from vocab would silently corrupt the
+            # bitmask (array_position → 0 → bit -1 → contributes
+            # nothing yet counts in len, skewing Jaccard).  One cheap
+            # limit(1) job over the (small) distinct-norm table guards
+            # it; on any unknown token fall back to the exact array
+            # path instead.
+            vocab_lit = F.lit(list(vocab)).cast("array<string>")
+            unknown = (
+                norms.filter(
+                    F.exists("tokset", lambda t: ~F.array_contains(vocab_lit, t))
+                )
+                .limit(1)
+                .count()
+            )
+            if unknown:
+                return _scored_edges_array(norms, embeddings, tau, block_cap)
         return _scored_edges_bitmask(norms, embeddings, vocab, tau, block_cap)
     return _scored_edges_array(norms, embeddings, tau, block_cap)
 

@@ -81,11 +81,17 @@ def _compact(series: pd.Series) -> pd.Series:
     return out
 
 
+_UNESCAPE_RE = re.compile(r"\\(.)")
+_UNESCAPE_MAP = {"n": "\n", "t": "\t", "r": "\r"}
+
+
 def _unescape(series: pd.Series) -> pd.Series:
-    return (
-        series.str.replace(r"\n", "\n", regex=False)
-        .str.replace('\\"', '"', regex=False)
-        .str.replace("\\\\", "\\", regex=False)
+    """Single-pass unescape: each ``\\x`` pair decoded exactly once,
+    left to right.  Sequential replaces are LOSSY here — a literal
+    containing a real backslash before an 'n' serializes as ``\\\\n``
+    and must parse back to ``\\n`` (backslash + n), not a newline."""
+    return series.str.replace(
+        _UNESCAPE_RE, lambda m: _UNESCAPE_MAP.get(m.group(1), m.group(1)), regex=True
     )
 
 
@@ -131,10 +137,17 @@ def parse_ntriples_native(lines: DataFrame) -> DataFrame:
         compact_s = F.regexp_replace(compact_s, re.escape(full), pref)
         compact_p = F.regexp_replace(compact_p, re.escape(full), pref)
         compact_o = F.regexp_replace(compact_o, re.escape(full), pref)
-    unlit = F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(olit, r"\\n", "\n"), r'\\"', '"'),
-        r"\\\\", r"\\",
-    )
+    # Single-LOGICAL-pass unescape for the JVM path: protect '\\\\'
+    # behind a NUL sentinel first so '\\' + 'n' never re-combines into a
+    # newline, then decode the single-char escapes, then restore the
+    # backslash.  Sound because N-Triples forbids raw U+0000 in literals
+    # (it must be written \\u0000) — documented subset assumption.
+    unlit = F.regexp_replace(olit, r"\\\\", "\u0000")
+    unlit = F.regexp_replace(unlit, r"\\n", "\n")
+    unlit = F.regexp_replace(unlit, r"\\t", "\t")
+    unlit = F.regexp_replace(unlit, r"\\r", "\r")
+    unlit = F.regexp_replace(unlit, r'\\"', '"')
+    unlit = F.regexp_replace(unlit, "\u0000", r"\\")
     return lines.filter(
         F.col("line").rlike(r"^<[^>]*> <[^>]*> (<[^>]*>|\"(?:[^\"\\]|\\.)*\") \.$")
     ).select(

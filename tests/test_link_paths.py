@@ -50,3 +50,23 @@ def test_wide_vocabulary_takes_array_path(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     edges = {(r["norm_a"], r["norm_b"]) for r in link.scored_edges(m, emb).collect()}
     assert ("w00 w01", "w01 w00") in edges
+
+
+def test_incomplete_caller_vocab_falls_back_to_array_path(spark, sf_dir):
+    """A caller-supplied vocab missing observed tokens must NOT corrupt
+    the bitmask join (array_position=0 → bit -1 → silent Jaccard skew);
+    scored_edges detects the unknown token and falls back to the exact
+    array path, producing the same edges as the self-derived vocab."""
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir)).localCheckpoint()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    good = {
+        (r["norm_a"], r["norm_b"])
+        for r in link.scored_edges(m, emb).collect()
+    }
+    # drop a token that definitely occurs ('data' is in every fixture)
+    bad_vocab = sorted(set(G.ENTITY_TOKENS) - {"data"})
+    got = {
+        (r["norm_a"], r["norm_b"])
+        for r in link.scored_edges(m, emb, vocab=bad_vocab).collect()
+    }
+    assert got == good and len(good) > 0

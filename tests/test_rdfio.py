@@ -42,6 +42,30 @@ def test_turtle_roundtrip(spark, sf_dir):
     assert _spo(back) == _spo(triples)
 
 
+def test_backslash_literals_roundtrip_lossless(spark):
+    """Adversarial literals: a real backslash followed by 'n' must NOT
+    parse back as a newline (single-pass unescape), in BOTH the pandas
+    kernel and the native JVM parser, for both serializations."""
+    vals = [
+        "back\\nslash",        # real backslash + 'n'
+        "double\\\\n",         # two backslashes + 'n'
+        "trailing\\",          # trailing backslash
+        "real\nnewline",       # real newline (escaped by the writer)
+        'quote"and\\"mix',     # quote after a backslash
+        "\\",                  # lone backslash
+        "tab\there",           # raw tab rides through unescaped
+    ]
+    triples = spark.createDataFrame(
+        [(f"ex:s{i}", "rdfs:label", v) for i, v in enumerate(vals)],
+        "s string, p string, o string",
+    )
+    want = _spo(triples)
+    nt = rdfio.to_ntriples(triples).localCheckpoint()
+    assert _spo(rdfio.parse_ntriples(nt)) == want
+    assert _spo(rdfio.parse_ntriples_native(nt)) == want
+    assert _spo(rdfio.parse_turtle(rdfio.to_turtle(triples))) == want
+
+
 def test_parser_handles_escapes_and_garbage(spark):
     rows = [
         ('<http://a/s> <http://purl.org/dc/terms/language> "li\\"ne\\\\x" .',),
