@@ -19,7 +19,7 @@ injected synthetic near-dups.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -32,9 +32,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --- shingling ----------------------------------------------------------------
-def with_shingles(docs: DataFrame) -> DataFrame:
+def with_shingles(docs: DataFrame, repartition: bool = True) -> DataFrame:
     """documents → (doc_id, lang, source, shingles: array<bigint>) —
-    distinct token-3-gram codes, native exprs only."""
+    distinct token-3-gram codes, native exprs only.
+
+    ``repartition`` puts an exchange BELOW the projection: the fixture
+    is a single parquet file (= 1 input partition) and every shingle
+    consumer feeds an Arrow UDF — without the exchange the whole
+    fingerprint stage runs serially."""
+    if repartition:
+        n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        docs = docs.repartition(n)
     toks = F.split("text", " ")
 
     def tc(col):  # tokcode with NULL → 0 (tail shingles)
@@ -81,24 +89,31 @@ def exact_dup_groups(docs: DataFrame, prefix_tokens: int = 8) -> DataFrame:
 # --- MinHash-LSH ----------------------------------------------------------------
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _minhash_sig(shingles: pd.Series) -> pd.Series:
-    """64 MinHash values per shingle-code set — vectorized numpy over
-    the Arrow batch (no per-row Python beyond the ragged stack)."""
+    """64 MinHash values per shingle-code set — FULLY vectorized over
+    the whole Arrow batch: all rows' codes flatten into one array, the
+    (total_codes × 64) hash matrix is one numpy expression, and the
+    per-row minima come from ``np.minimum.reduceat`` at the row
+    offsets.  No per-row Python in the hot path (a per-row loop costs
+    ~1 ms/doc; this is ~100× less)."""
     import numpy as np
 
     A = np.array([G.hash_a(i) for i in range(G.MINHASH_PERMS)], dtype=np.int64)
     B = np.array([G.hash_b(i) for i in range(G.MINHASH_PERMS)], dtype=np.int64)
-    out = []
-    for arr in shingles:  # ragged rows; inner math is vectorized numpy
-        codes = np.asarray(arr, dtype=np.int64)[:, None]  # (n, 1)
-        h = (codes * A[None, :] + B[None, :]) % G.HASH_P   # (n, 64)
-        out.append(h.min(axis=0))
-    return pd.Series(out)
+    arrs = [np.asarray(a, dtype=np.int64) for a in shingles]
+    if not arrs:
+        return pd.Series([], dtype=object)
+    lens = np.array([len(a) for a in arrs])
+    flat = np.concatenate(arrs)                       # (N,)
+    h = (flat[:, None] * A[None, :] + B[None, :]) % G.HASH_P  # (N, 64)
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    mins = np.minimum.reduceat(h, starts, axis=0)     # (rows, 64)
+    return pd.Series(list(mins))
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_hash) — LSH_BANDS rows per doc."""
-    sh = with_shingles(docs)
-    sig = sh.select("doc_id", "lang", "shingles", _minhash_sig("shingles").alias("sig"))
+def _bands_of(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a (doc_id, shingles) input."""
+    sig = shingled.select("doc_id", _minhash_sig("shingles").alias("sig"))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(G.LSH_BANDS - 1)),
         lambda j: F.struct(
@@ -109,33 +124,56 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
             ).alias("band_hash"),
         ),
     )
-    return sig.select(
-        "doc_id", "lang", "shingles", F.explode(bands).alias("b")
-    ).select("doc_id", "lang", "shingles", F.col("b.band_id"), F.col("b.band_hash"))
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id"), F.col("b.band_hash")
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """SLIM band rows (doc_id, band_id, band_hash) — LSH_BANDS rows per
+    doc, ~24 payload bytes each.  Deliberately carries NO shingle
+    arrays: a doc's shingle set would otherwise be duplicated into all
+    LSH_BANDS band rows and ride through the candidate self-join
+    shuffle (32× amplification of the widest column); shingles are
+    joined back once per pair side in ``minhash_lsh_pairs`` instead."""
+    return _bands_of(with_shingles(docs))
 
 
 def minhash_lsh_pairs(docs: DataFrame, jaccard_min: float | None = None) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, scored with their exact
     shingle-set Jaccard.  ``jaccard_min`` filters to decided near-dups
-    (G.DEDUP_JACCARD_TAU for the standard dedup decision)."""
-    b = minhash_bands(docs)
+    (G.DEDUP_JACCARD_TAU for the standard dedup decision).
+
+    Shuffle discipline: the band self-join moves only slim
+    (doc_id, band_id, band_hash) rows; candidate id-pairs are DISTINCTed
+    (a pair sharing k bands appears k times) and the shingle sets join
+    back once per side to score — the shingle payload crosses the wire
+    exactly twice per doc, never once per band."""
+    # single shingling pass: the checkpointed shingle table feeds BOTH
+    # the signature/banding path and the two score-join probes
+    sh = with_shingles(docs).select("doc_id", "shingles").localCheckpoint(eager=False)
+    b = _bands_of(sh).localCheckpoint(eager=False)
     a = b.alias("a")
     c = b.alias("c")
-    pairs = (
+    cand = (
         a.join(
             c,
             (F.col("a.band_id") == F.col("c.band_id"))
             & (F.col("a.band_hash") == F.col("c.band_hash"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("c.doc_id").alias("doc_b"),
         )
-        .agg(
-            F.first("a.shingles").alias("sh_a"),
-            F.first("c.shingles").alias("sh_b"),
-        )
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     out = pairs.select(
@@ -156,23 +194,27 @@ def minhash_lsh_pairs(docs: DataFrame, jaccard_min: float | None = None) -> Data
 def _simhash(shingles: pd.Series) -> pd.Series:
     """SIMHASH_BITS-bit SimHash over shingle codes: bit b uses hash
     index SIMHASH_HASH_OFFSET+b of the shared family; bit set iff the
-    majority of shingles hash to 1 (strictly positive vote sum)."""
+    majority of shingles hash to 1 (strictly positive vote sum).
+    Fully batch-vectorized like ``_minhash_sig``: flatten the ragged
+    rows, one (N × 62) bit matrix, per-row vote sums via
+    ``np.add.reduceat``, bit packing as a single matrix-vector dot."""
     import numpy as np
 
     idx = [G.SIMHASH_HASH_OFFSET + b for b in range(G.SIMHASH_BITS)]
     A = np.array([G.hash_a(i) for i in idx], dtype=np.int64)
     B = np.array([G.hash_b(i) for i in idx], dtype=np.int64)
-    out = []
-    for arr in shingles:
-        codes = np.asarray(arr, dtype=np.int64)[:, None]
-        bits = ((codes * A[None, :] + B[None, :]) % G.HASH_P) & 1  # (n, 62)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        setbits = np.where(votes > 0)[0]
-        for b in setbits:  # ≤62 iterations, not per-row-data
-            sim |= np.uint64(1) << np.uint64(b)
-        out.append(int(sim))
-    return pd.Series(out)
+    arrs = [np.asarray(a, dtype=np.int64) for a in shingles]
+    if not arrs:
+        return pd.Series([], dtype="int64")
+    lens = np.array([len(a) for a in arrs])
+    flat = np.concatenate(arrs)
+    bits = ((flat[:, None] * A[None, :] + B[None, :]) % G.HASH_P) & 1  # (N, 62)
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    votes = np.add.reduceat(2 * bits - 1, starts, axis=0)              # (rows, 62)
+    weights = (np.int64(1) << np.arange(G.SIMHASH_BITS, dtype=np.int64))
+    sims = (votes > 0).astype(np.int64) @ weights
+    return pd.Series(sims)
 
 
 def doc_simhash(docs: DataFrame) -> DataFrame:
@@ -180,51 +222,208 @@ def doc_simhash(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", "lang", _simhash("shingles").alias("simhash"))
 
 
+def _simhash_segments(hamming_max: int) -> list[tuple[int, int, int]]:
+    """(seg_id, bit_offset, mask) covering SIMHASH_BITS with
+    hamming_max+1 contiguous segments (pigeonhole: ≤ hamming_max
+    differing bits can dirty at most hamming_max segments, so any pair
+    within the radius agrees on ≥1 whole segment)."""
+    n_seg = hamming_max + 1
+    base, extra = divmod(G.SIMHASH_BITS, n_seg)
+    segs, off = [], 0
+    for j in range(n_seg):
+        size = base + (1 if j < extra else 0)
+        segs.append((j, off, (1 << size) - 1))
+        off += size
+    return segs
+
+
 def simhash_pairs(docs: DataFrame, hamming_max: int = G.HAMMING_TAU) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked by lang.
-    (At web scale, block on simhash prefixes/rotations instead of a
-    metadata column; lang-blocking keeps the fixture oracle exact.)"""
-    s = doc_simhash(docs)
-    a = s.alias("a")
-    b = s.alias("b")
+    """EXACT near-dup pairs by SimHash hamming distance ≤ hamming_max,
+    blocked by pigeonhole segments (Manku et al., "Detecting
+    Near-Duplicates for Web Crawling", WWW'07 — the permuted-table
+    scheme expressed as a segment equi-join).
+
+    The join key is (seg_id, seg_bits) — a similarity-preserving bucket
+    of the fingerprint itself, never a metadata column: recall is 1.0
+    by the pigeonhole argument and each block holds only docs agreeing
+    on ~SIMHASH_BITS/(τ+1) fingerprint bits, so block sizes stay tiny
+    at corpus scale (vs. the quadratic blow-up of lang/source
+    blocking).  Verification is bit_count(xor) on the two full
+    fingerprints; pair dedup is shuffle-free — a pair agreeing on k
+    segments is emitted only from its FIRST agreeing segment."""
+    # checkpoint the fingerprint table: the Arrow UDF runs ONCE, not
+    # once per self-join side
+    s = doc_simhash(docs).select("doc_id", "simhash").localCheckpoint(eager=False)
+    segs = _simhash_segments(hamming_max)
+    seg_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seg_id"),
+                F.shiftright("simhash", off).bitwiseAND(F.lit(mask)).alias("seg_bits"),
+            )
+            for j, off, mask in segs
+        ]
+    )
+    inv = s.select("doc_id", "simhash", F.explode(seg_arr).alias("g")).select(
+        "doc_id", "simhash", F.col("g.seg_id"), F.col("g.seg_bits")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+
+    def seg_of(col, off, mask):
+        return F.shiftright(col, off).bitwiseAND(F.lit(mask))
+
+    # first agreeing segment of the pair (computable post-join from the
+    # two full fingerprints — no extra shuffle for dedup)
+    first_eq = F.coalesce(
+        *[
+            F.when(
+                seg_of(F.col("a.simhash"), off, mask)
+                == seg_of(F.col("b.simhash"), off, mask),
+                F.lit(j),
+            )
+            for j, off, mask in segs
+        ]
+    )
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_bits") == F.col("b.seg_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(ham <= hamming_max)
+        .filter(F.col("a.seg_id") == first_eq)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= hamming_max)
     )
 
 
 # --- n-gram Jaccard ----------------------------------------------------------------
-def ngram_jaccard_pairs(docs: DataFrame, jaccard_min: float = 0.01) -> DataFrame:
-    """Exact token-3-gram Jaccard pairs within a source block."""
-    sh = with_shingles(docs)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+def setsim_pairs(
+    items: DataFrame,
+    id_col: str,
+    set_col: str,
+    tau: float,
+    block_cap: int | None = 1_000_000,
+    salt: int = 8,
+) -> DataFrame:
+    """Generic EXACT set-similarity self-join: all (id_a < id_b) pairs
+    with Jaccard(set_a, set_b) ≥ tau, via a SLIM count-based inverted
+    index (the counting form of the all-pairs family — Bayardo et al.
+    WWW'07 / PPJoin) rather than the array-carrying prefix join in
+    link.py (right for ≤5-token mention sets, wrong for ~500-shingle
+    documents):
+
+    1. identical sets group once (group id = min member id — a plain
+       int64, no fat group keys); intra-group pairs emit J = 1 directly;
+    2. the inverted index holds only (gid, len, code) rows — NO code
+       arrays ever enter a shuffle;
+    3. candidates join on the code (a similarity-preserving key, never
+       source/lang metadata) with the τ·max ≤ min length filter inline;
+    4. |A∩B| = COUNT(*) per (gid_a, gid_b) — codes are distinct within
+       a set, so one joined row per shared code; the groupBy gets
+       map-side partial aggregation, collapsing pair multiplicity
+       before the shuffle;
+    5. double-sided deterministic salting spreads a hot code's
+       pair-space over salt² tasks (per-KEY output skew is invisible
+       to AQE); ``block_cap`` drops codes hotter than the cap (exact
+       on fixtures — the cap never triggers — and the standard
+       web-scale guard when it does).
+    """
+    coded = items.select(
+        F.col(id_col).alias("_id"), F.array_sort(set_col).alias("codes")
+    ).withColumn("len", F.size("codes"))
+    groups = (
+        coded.groupBy("codes", "len")
+        .agg(F.collect_list("_id").alias("members"), F.min("_id").alias("gid"))
+        .localCheckpoint(eager=False)
+    )
+
+    # (A) identical sets ⇒ jaccard exactly 1
+    intra = (
+        groups.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (
-                inter.cast("double")
-                / (F.size("a.shingles") + F.size("b.shingles") - inter)
-            ).alias("jaccard"),
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= jaccard_min)
+    )
+
+    # (B) cross-group pairs via the slim count join
+    inv = groups.select("gid", "len", F.explode("codes").alias("tok"))
+    if block_cap is not None:
+        w_cnt = F.count("*").over(Window.partitionBy("tok"))
+        inv = inv.withColumn("_bc", w_cnt).filter(F.col("_bc") <= block_cap).drop("_bc")
+
+    skey = F.pmod(F.xxhash64("gid"), F.lit(salt))
+    a = (
+        inv.withColumn("sa", skey)
+        .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .alias("a")
+    )
+    b = (
+        inv.withColumn("sb", skey)
+        .withColumn("sa", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.sa") == F.col("b.sa"))
+        & (F.col("a.sb") == F.col("b.sb"))
+        & (F.col("a.gid") < F.col("b.gid"))
+        & (
+            F.least(F.col("a.len"), F.col("b.len")).cast("double")
+            >= F.lit(tau) * F.greatest(F.col("a.len"), F.col("b.len"))
+        ),
+    )
+    gid_pairs = (
+        joined.groupBy(
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
+            F.col("a.len").alias("len_a"),
+            F.col("b.len").alias("len_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("len_a") + F.col("len_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("gid_a", "gid_b", "jaccard")
+    )
+    ga = groups.select(F.col("gid").alias("gid_a"), F.col("members").alias("members_a"))
+    gb = groups.select(F.col("gid").alias("gid_b"), F.col("members").alias("members_b"))
+    cross = (
+        gid_pairs.join(ga, "gid_a")
+        .join(gb, "gid_b")
+        .select("jaccard", F.explode("members_a").alias("a"), "members_b")
+        .select("jaccard", "a", F.explode("members_b").alias("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("id_a"),
+            F.greatest(F.col("a"), F.col("b")).alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, jaccard_min: float = 0.01) -> DataFrame:
+    """Exact token-3-gram Jaccard pairs with J ≥ jaccard_min, via the
+    prefix-filtered set-similarity join over shingle codes — the join
+    keys are shingles of the content itself (similarity-preserving),
+    never a metadata column like source/lang."""
+    sh = with_shingles(docs)
+    pairs = setsim_pairs(sh, "doc_id", "shingles", jaccard_min)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
 
 

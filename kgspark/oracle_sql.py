@@ -516,22 +516,30 @@ sh AS (
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {G.HAMMING_TAU}
 """
+# NOTE: the oracle states the PURE hamming criterion (all-pairs is fine
+# in DuckDB at sf0.01); the Spark side reaches the identical set via
+# exact pigeonhole segment blocking — no metadata (lang/source) blocking
+# on either side.
 
 NGRAM_JACCARD_SQL = f"""
-WITH {SHINGLES_CTE}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(floor(1e6 * (len(list_intersect(a.shingles, b.shingles))::DOUBLE
-    / (len(a.shingles) + len(b.shingles)
-       - len(list_intersect(a.shingles, b.shingles))))) AS BIGINT) AS jaccard_e6
-FROM shingled a JOIN shingled b
-  ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-    / (len(a.shingles) + len(b.shingles)
-       - len(list_intersect(a.shingles, b.shingles))) >= 0.01
+WITH {SHINGLES_CTE},
+jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1e6 * jaccard) AS BIGINT) AS jaccard_e6
+FROM jac WHERE jaccard >= 0.01
 """
+# NOTE: all-pairs exact Jaccard (fine in DuckDB at sf0.01); the Spark
+# side reaches the identical set via the prefix-filtered inverted-index
+# join over shingle codes — no source/lang blocking on either side.
 
 EMBEDDING_NEARDUP_SQL = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
