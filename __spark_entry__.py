@@ -111,7 +111,7 @@ def oracle_sql() -> dict[str, str]:
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
-            # "langid" intentionally omitted → rows-only check
+            "langid": OS.LANGID_SQL,
             # round-trips must reproduce the independent triple oracle
             "rdf_ntriples_roundtrip": OS.TRIPLES_SQL,
             "rdf_turtle_roundtrip": OS.TRIPLES_SQL,

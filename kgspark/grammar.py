@@ -144,5 +144,27 @@ NGRAM_N = 3
 # Quality scoring stopword set = STOP_TOKENS; token-count regex:
 BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+# ---------------------------------------------------------------------------
+# Language-ID (char-trigram frequency profiles) — grammar shared by the
+# Spark implementation (textstats.langid) and the DuckDB oracle.
+#
+# The fixture's text is language-independent by construction, so a
+# deterministic synthetic language signal is injected: each lang
+# Caesar-rotates a–z by  rot(lang) = (ascii(l[0])*31 + ascii(l[1])) % 26
+# (distinct per fixture lang: de=3 en=17 es=22 fr=0 zh=12) at the
+# TRIGRAM-CODE level; code = sh(c1)*65536 + sh(c2)*256 + sh(c3) with
+# sh(a) = 97 + (a-97+rot) % 26 for a ∈ [97,122], identity otherwise.
+# Profiles = top LANGID_TOP_N codes per lang by (count desc, code asc);
+# score(doc, lang) = Σ over the doc's codes (with multiplicity) of the
+# profile count; prediction = argmax, ties broken by min lang.  Integer
+# TF scoring (not NB log-probs) is a documented deviation: it is exact
+# in int64 on every engine, so the query gets a full value-hash oracle.
+# ---------------------------------------------------------------------------
+LANGID_TOP_N = 400
+
+
+def langid_rot_py(lang: str) -> int:
+    return (ord(lang[0]) * 31 + ord(lang[1] if len(lang) > 1 else lang[0])) % 26
+
 # Rolling-hash document fingerprint: acc = (acc*31 + tokcode) % FP_MOD.
 FP_MOD = 1000000007

@@ -618,6 +618,49 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- language-ID oracle (grammar.py LANGID spec, integer-exact) -------------
+def _sh(a: str) -> str:
+    return f"(CASE WHEN {a} BETWEEN 97 AND 122 THEN 97 + ({a} - 97 + rot) % 26 ELSE {a} END)"
+
+
+_TRI_CODE = (
+    f"{_sh('ascii(substr(text, i, 1))')}::BIGINT * 65536"
+    f" + {_sh('ascii(substr(text, i+1, 1))')}::BIGINT * 256"
+    f" + {_sh('ascii(substr(text, i+2, 1))')}::BIGINT"
+)
+
+LANGID_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         (ascii(substr(lang, 1, 1))*31 + ascii(substr(lang, 2, 1))) % 26 AS rot
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> {_TRI_CODE})) AS code
+  FROM d WHERE length(text) >= 3
+),
+counts AS (SELECT lang AS cand, code, count(*) AS cnt FROM tris GROUP BY 1, 2),
+profile AS (
+  SELECT cand, code, cnt FROM counts
+  QUALIFY row_number() OVER (PARTITION BY cand ORDER BY cnt DESC, code ASC)
+          <= {G.LANGID_TOP_N}
+),
+scores AS (
+  SELECT t.doc_id, p.cand, CAST(sum(p.cnt) AS BIGINT) AS score
+  FROM tris t JOIN profile p USING (code) GROUP BY 1, 2
+),
+universe AS (
+  SELECT doc_id, lang, cand
+  FROM documents CROSS JOIN (SELECT DISTINCT lang AS cand FROM documents)
+)
+SELECT doc_id, lang, cand AS predicted_lang
+FROM universe LEFT JOIN scores USING (doc_id, cand)
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY coalesce(score, 0) DESC, cand ASC) = 1
+"""
+
 PREDICATE_COUNTS_SQL = f"""
 {_KG_CTES}
 SELECT p, count(*) AS n FROM (

@@ -1,23 +1,18 @@
 """Text-analysis operators (task brief §text analysis): quality
 scoring, token counting, document fingerprinting, language-ID.
 
-Everything except langid is pure native column expressions with exact
-DuckDB oracles.  Language-ID is a real char-trigram naive-Bayes
-(profiles trained from the corpus itself, per the lang column) — the
-fixture's text is language-independent so its *accuracy* is chance
-level by construction, but the machinery (train → broadcast profiles →
-vectorized score) is the production shape; covered by rows-only check
-+ determinism tests.
+Everything — langid included — is pure native column expressions with
+an exact DuckDB oracle.  Language-ID trains per-lang char-trigram
+profiles from the corpus (over the deterministic lang-rotation signal
+defined in grammar.py, making accuracy measurable on the otherwise
+language-independent fixture) and scores docs against every profile
+via a broadcast join; see ``langid`` for the distributed shape.
 """
 
 from __future__ import annotations
 
-import math
-
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from . import exprs as X
 from . import grammar as G
@@ -71,56 +66,70 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-# --- language-ID (char-trigram naive Bayes) ------------------------------------
-def _train_profiles(docs: DataFrame, top_n: int = 500) -> dict[str, dict[str, float]]:
-    """Per-lang char-trigram log-probabilities, trained with Spark aggs
-    (distributed shape: explode → count → collect only the small
-    profile table)."""
-    tri = docs.select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
-        ).alias("tri"),
+# --- language-ID (char-trigram frequency profiles) ------------------------------
+def _langid_tricodes(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, code) — one row per char-trigram occurrence, as
+    the lang-rotated integer code defined in grammar.py (synthetic
+    language signal; 100% native exprs)."""
+    rot = (
+        F.ascii(F.substring("lang", 1, 1)) * 31 + F.ascii(F.substring("lang", 2, 1))
+    ) % 26
+
+    def sh(a):
+        return F.when((a >= 97) & (a <= 122), F.lit(97) + (a - 97 + rot) % 26).otherwise(a)
+
+    def code_at(i):
+        c1 = sh(F.ascii(F.col("text").substr(i, F.lit(1))))
+        c2 = sh(F.ascii(F.col("text").substr(i + 1, F.lit(1))))
+        c3 = sh(F.ascii(F.col("text").substr(i + 2, F.lit(1))))
+        return (c1.cast("bigint") * 65536 + c2.cast("bigint") * 256 + c3.cast("bigint"))
+
+    tric = F.transform(F.sequence(F.lit(1), F.length("text") - 2), code_at)
+    return (
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id", "lang", F.explode(tric).alias("code"))
     )
-    counts = tri.groupBy("lang", "tri").count()
-    rows = counts.collect()
-    by_lang: dict[str, dict[str, int]] = {}
-    for r in rows:
-        by_lang.setdefault(r["lang"], {})[r["tri"]] = r["count"]
-    profiles = {}
-    for lang, cnts in by_lang.items():
-        top = dict(sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n])
-        total = sum(top.values()) + len(top)
-        profiles[lang] = {t: math.log((c + 1) / total) for t, c in top.items()}
-        profiles[lang]["__unk__"] = math.log(1.0 / total)
-    return profiles
 
 
-def langid(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Predict lang per doc via the trained trigram profiles (Arrow
-    batch scoring; deterministic argmax with lexicographic tie-break)."""
-    profiles = _train_profiles(docs)
-    bc = spark.sparkContext.broadcast(profiles)
+def langid(
+    spark: SparkSession, docs: DataFrame, top_n: int = G.LANGID_TOP_N
+) -> DataFrame:
+    """Language-ID over the lang-rotated corpus (grammar.py spec):
+    train per-lang top-N trigram-code profiles, score every (doc, lang)
+    by summed profile counts, predict argmax.
 
-    @F.pandas_udf(T.StringType())
-    def _predict(texts: pd.Series) -> pd.Series:
-        prof = bc.value
-        langs = sorted(prof)
+    Fully distributed, zero driver collect, zero Python in the hot
+    path: profile trimming is a per-lang row_number window; scoring is
+    explode → BROADCAST join against the (langs × top_n)-row profile →
+    two-level aggregation; argmax is a 5-rows-per-doc window.  Integer
+    scores make the result exactly reproducible on any engine (full
+    DuckDB value-hash oracle — see oracle_sql.LANGID_SQL)."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = docs.select("doc_id", "lang", "text").repartition(n)
+    tris = _langid_tricodes(d).localCheckpoint(eager=False)
 
-        def score(text: str) -> str:
-            tris = [text[i : i + 3] for i in range(max(len(text) - 2, 1))]
-            best = (float("-inf"), "")
-            for lang in langs:
-                p = prof[lang]
-                unk = p["__unk__"]
-                s = sum(p.get(t, unk) for t in tris)
-                if s > best[0]:
-                    best = (s, lang)
-            return best[1]
+    counts = tris.groupBy("lang", "code").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("code"))
+    profile = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(F.col("lang").alias("cand"), "code", "cnt")
+    )
 
-        return texts.map(score)
-
-    return docs.select("doc_id", "lang", _predict(F.col("text")).alias("predicted_lang"))
+    scores = (
+        tris.select("doc_id", "code")
+        .join(F.broadcast(profile), "code")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    universe = docs.select("doc_id", "lang").crossJoin(F.broadcast(langs))
+    scored = universe.join(scores, ["doc_id", "cand"], "left").withColumn(
+        "score", F.coalesce(F.col("score"), F.lit(0))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand").alias("predicted_lang"))
+    )

@@ -68,3 +68,18 @@ def test_langid_deterministic(spark, sf_dir):
     assert a == b
     langs = {p for _, p in a}
     assert langs <= {"en", "es", "de", "fr", "zh"}
+
+
+def test_langid_accuracy_on_rotation_signal(spark, sf_dir):
+    """The grammar.py lang-rotation signal makes accuracy measurable:
+    each lang's trigram-code distribution is a distinct Caesar rotation
+    of the shared corpus, so the profile scorer must recover the true
+    lang for (nearly) every doc."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = TS.langid(spark, docs)
+    acc = out.select(
+        F.avg((F.col("predicted_lang") == F.col("lang")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95, f"langid accuracy {acc:.3f} below 0.95"
