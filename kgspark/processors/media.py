@@ -31,11 +31,10 @@ MEDIA_FEATURES_DDL = (
 )
 
 
-def _rolling_fp(s: pd.Series) -> pd.Series:
-    """Vectorized rolling hash over the ref's characters:
-    acc = (acc*31 + code) % FP_MOD, via numpy on a padded codepoint
-    matrix (no per-row Python)."""
-    arrs = s.fillna("").map(lambda x: np.frombuffer(x.encode(), dtype=np.uint8))
+def _rolling_fp_arrays(arrs: list, index) -> pd.Series:
+    """Columnar rolling hash acc = (acc*31 + byte) % FP_MOD over a list
+    of uint8 arrays, via numpy on a padded matrix (no per-row Python
+    beyond row assembly)."""
     maxlen = max((len(a) for a in arrs), default=0)
     mat = np.zeros((len(arrs), maxlen), dtype=np.int64)
     mask = np.zeros((len(arrs), maxlen), dtype=bool)
@@ -43,10 +42,29 @@ def _rolling_fp(s: pd.Series) -> pd.Series:
         mat[i, : len(a)] = a
         mask[i, : len(a)] = True
     acc = np.zeros(len(arrs), dtype=np.int64)
-    for j in range(maxlen):  # loop over max string length (tiny), not rows
+    for j in range(maxlen):  # loop over max payload length, not rows
         step = (acc * 31 + mat[:, j]) % G.FP_MOD
         acc = np.where(mask[:, j], step, acc)
-    return pd.Series(acc, index=s.index)
+    return pd.Series(acc, index=index)
+
+
+def _rolling_fp(s: pd.Series) -> pd.Series:
+    """Rolling hash over a string column's bytes."""
+    return _rolling_fp_arrays(
+        [np.frombuffer(x.encode(), dtype=np.uint8) for x in s.fillna("")], s.index
+    )
+
+
+def _rolling_fp_bytes(s: pd.Series, limit: int = 4096) -> pd.Series:
+    """Rolling hash over a binary column's first ``limit`` bytes —
+    the bounded-prefix content fingerprint for opaque media blobs."""
+    return _rolling_fp_arrays(
+        [
+            np.frombuffer(bytes(b)[:limit] if b is not None else b"", dtype=np.uint8)
+            for b in s
+        ],
+        s.index,
+    )
 
 
 def media_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,13 +124,9 @@ def binary_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             else "unknown"
         )
 
-        def fp(b: bytes) -> int:
-            acc = 0
-            for x in memoryview(b)[:4096]:  # bounded prefix fingerprint
-                acc = (acc * 31 + x) % G.FP_MOD
-            return acc
-
-        out["content_fp"] = content.map(fp).astype("int64")
+        # bounded-prefix fingerprint, columnar (same math the per-row
+        # loop computed, via the shared padded-matrix kernel)
+        out["content_fp"] = _rolling_fp_bytes(content).astype("int64")
         # deterministic fake decode: dimensions derived from the bytes
         out["width"] = (out["content_fp"] % 640 + 1).astype("int32")
         out["height"] = (out["length"] % 480 + 1).astype("int32")
