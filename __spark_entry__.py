@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": Q.kg_entities,               # O20+O34
         "kg_entity_attrs": Q.kg_entity_attrs,       # O24/O25/O28 + O7
         "kg_triples": Q.kg_triples,                 # end-to-end (flagship)
+        "kg_triples_full": Q.kg_triples_full,       # D3 full term model
+        "kg_graph_counts": Q.kg_graph_counts,       # D4 named graphs
+        "kg_entity_class": Q.kg_entity_class,       # O25 rulebase classes
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -95,6 +98,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": OS.ENTITIES_SQL,
         "kg_entity_attrs": OS.ENTITY_ATTRS_SQL,
         "kg_triples": OS.TRIPLES_SQL,
+        "kg_triples_full": OS.TRIPLES_FULL_SQL,
+        "kg_graph_counts": OS.GRAPH_COUNTS_SQL,
+        "kg_entity_class": OS.ENTITY_CLASS_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)
@@ -112,9 +118,10 @@ def oracle_sql() -> dict[str, str]:
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
             "langid": OS.LANGID_SQL,
-            # round-trips must reproduce the independent triple oracle
-            "rdf_ntriples_roundtrip": OS.TRIPLES_SQL,
-            "rdf_turtle_roundtrip": OS.TRIPLES_SQL,
+            # round-trips must reproduce the independent FULL-TERM oracle
+            # (lossless including @lang tags and ^^datatypes)
+            "rdf_ntriples_roundtrip": OS.TRIPLES_FULL_SQL,
+            "rdf_turtle_roundtrip": OS.TRIPLES_FULL_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
         }
     )

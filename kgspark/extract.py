@@ -128,7 +128,20 @@ def base_quads(flat: DataFrame, mentions: DataFrame) -> DataFrame:
         .unionByName(t_media)
         .unionByName(t_lang)
         .dropDuplicates(["doc_id", "s", "p", "o"])
-        .select("doc_id", X.doc_iri(F.col("doc_id")).alias("g"), "s", "p", "o")
+        .select(
+            "doc_id",
+            X.doc_iri(F.col("doc_id")).alias("g"),
+            "s",
+            "p",
+            "o",
+            # D3 term model: extraction objects are IRIs except the
+            # plain dc:language literal (no lang tag / datatype here)
+            F.when(F.col("p") == G.P_LANGUAGE, F.lit("literal"))
+            .otherwise(F.lit("iri"))
+            .alias("o_kind"),
+            F.lit("").alias("o_lang"),
+            F.lit("").alias("o_datatype"),
+        )
     )
 
 

@@ -85,32 +85,125 @@ def entity_attrs_df(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def proxy_triples(mentions: DataFrame, labels: DataFrame) -> DataFrame:
-    """Proxy-graph triples (spindle root-graph analogue)."""
-    members = entity_membership(mentions, labels)
-    t_sameas = members.select(
-        F.col("entity_id").alias("s"),
-        F.lit(G.P_SAME_AS).alias("p"),
-        F.col("member_iri").alias("o"),
+def rulebase_df(spark) -> DataFrame:
+    """The D7 class rulebase as a (tiny) DataFrame — broadcast into the
+    class-selection join (spindle ``rulebase.ttl`` analogue)."""
+    return spark.createDataFrame(
+        G.CLASS_RULES, "tok string, class string, rule_score int"
     )
-    t_type = members.select(F.col("entity_id").alias("s")).distinct().select(
-        "s", F.lit(G.P_TYPE).alias("p"), F.lit(G.O_ENTITY_CLASS).alias("o")
+
+
+def entity_classes(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """O25 rulebase-driven class scoring: each member contributes the
+    rule matched by its norm-text's first token; the entity's class is
+    the highest-scoring matched rule (window argmax, deterministic
+    tie-break).  The rulebase join is a BroadcastHashJoin by
+    construction (16-row dimension)."""
+    members = entity_membership(mentions, labels)
+    rules = rulebase_df(mentions.sparkSession)
+    cands = (
+        members.select(
+            "entity_id", F.split("norm_text", " ").getItem(0).alias("tok")
+        )
+        .distinct()
+        .join(F.broadcast(rules), "tok", "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("class"), F.lit(G.DEFAULT_CLASS)).alias("class"),
+            F.coalesce(F.col("rule_score"), F.lit(G.DEFAULT_CLASS_SCORE)).alias(
+                "rule_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("rule_score"), F.asc("class")
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "class")
+    )
+
+
+def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """Proxy-graph triples with the full D3 term model
+    (s, p, o, o_kind, o_lang, o_datatype):
+
+    * ``owl:sameAs``  member links            (IRI objects)
+    * ``rdf:type``    rulebase-selected class (IRI; O25)
+    * ``rdfs:label``  lang-TAGGED literal — the property-rule winner's
+                      language rides as the literal's @lang tag
+    * ``ex:score``    xsd:integer-datatyped literal (spindle index
+                      score analogue)
+    """
+    def term(df, kind: str, lang=None, dtype=None):
+        return (
+            df.withColumn("o_kind", F.lit(kind))
+            .withColumn("o_lang", lang if lang is not None else F.lit(""))
+            .withColumn("o_datatype", F.lit(dtype if dtype is not None else ""))
+        )
+
+    members = entity_membership(mentions, labels)
+    t_sameas = term(
+        members.select(
+            F.col("entity_id").alias("s"),
+            F.lit(G.P_SAME_AS).alias("p"),
+            F.col("member_iri").alias("o"),
+        ),
+        "iri",
+    )
+    t_type = term(
+        entity_classes(mentions, labels).select(
+            F.col("entity_id").alias("s"),
+            F.lit(G.P_TYPE).alias("p"),
+            F.col("class").alias("o"),
+        ),
+        "iri",
     )
     attrs = entity_attrs_df(mentions, labels)
-    t_label = attrs.select(
-        F.col("entity_id").alias("s"),
-        F.lit(G.P_LABEL).alias("p"),
-        F.col("label").alias("o"),
+    t_label = term(
+        attrs.select(
+            F.col("entity_id").alias("s"),
+            F.lit(G.P_LABEL).alias("p"),
+            F.col("label").alias("o"),
+            F.col("label_lang"),
+        ),
+        "literal",
+        lang=F.col("label_lang"),
+    ).drop("label_lang")
+    t_score = term(
+        attrs.select(
+            F.col("entity_id").alias("s"),
+            F.lit(G.P_SCORE).alias("p"),
+            F.col("score").cast("string").alias("o"),
+        ),
+        "literal",
+        dtype=G.DT_INTEGER,
     )
-    return t_sameas.unionByName(t_type).unionByName(t_label).dropDuplicates(["s", "p", "o"])
+    return (
+        t_sameas.unionByName(t_type)
+        .unionByName(t_label)
+        .unionByName(t_score)
+        .dropDuplicates(["s", "p", "o", "o_kind", "o_lang", "o_datatype"])
+    )
+
+
+def proxy_triples(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """Graph-agnostic (s,p,o) view of the proxy triples."""
+    return (
+        proxy_triples_full(mentions, labels)
+        .select("s", "p", "o")
+        .dropDuplicates(["s", "p", "o"])
+    )
 
 
 def proxy_quads(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     """Proxy triples in the spindle ROOT graph (D4): generated proxy
     descriptions all live in one named graph, distinct from the
-    per-document source graphs."""
-    return proxy_triples(mentions, labels).select(
-        F.lit(G.ROOT_GRAPH).alias("g"), "s", "p", "o"
+    per-document source graphs.  Full term model."""
+    return proxy_triples_full(mentions, labels).select(
+        F.lit(G.ROOT_GRAPH).alias("g"),
+        "s", "p", "o", "o_kind", "o_lang", "o_datatype",
     )
 
 

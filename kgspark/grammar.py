@@ -74,7 +74,32 @@ P_HAS_MEDIA = "ex:hasMedia"
 P_LANGUAGE = "dc:language"
 P_SAME_AS = "owl:sameAs"
 P_LABEL = "rdfs:label"
+P_SCORE = "ex:score"
 O_ENTITY_CLASS = "ex:Entity"
+DT_INTEGER = "xsd:integer"
+
+# ---------------------------------------------------------------------------
+# Rulebase (D7; spindle ``rulebase.ttl`` class rules `[U~]`): maps a
+# member feature — the FIRST token of a member's normalized text,
+# standing in for the members' source rdf:type — to a candidate proxy
+# class with a score.  The proxy's class is the matched rule with the
+# highest score (ties impossible across classes: scores are
+# class-unique; class-name asc is the formal tie-break).  Tokens with
+# no rule fall through to (O_ENTITY_CLASS, 0).  Property rules are the
+# LANG_PREF priority list above (spindle props.c analogue, O24/O28).
+# ---------------------------------------------------------------------------
+CLASS_RULES = [  # (first_token, class, score)
+    ("customer", "ex:Commerce", 30), ("order", "ex:Commerce", 30),
+    ("part", "ex:Commerce", 30), ("line", "ex:Commerce", 30),
+    ("table", "ex:Data", 20), ("column", "ex:Data", 20),
+    ("row", "ex:Data", 20), ("key", "ex:Data", 20),
+    ("value", "ex:Data", 20), ("vector", "ex:Data", 20),
+    ("query", "ex:Compute", 10), ("batch", "ex:Compute", 10),
+    ("stream", "ex:Compute", 10), ("window", "ex:Compute", 10),
+    ("group", "ex:Compute", 10), ("hash", "ex:Compute", 10),
+]
+DEFAULT_CLASS = O_ENTITY_CLASS
+DEFAULT_CLASS_SCORE = 0
 
 # Coreference predicates (spindle/correlate coref set analogue).
 COREF_PREDICATES = [P_SAME_AS, "skos:exactMatch"]

@@ -222,9 +222,65 @@ attrs AS MATERIALIZED (
 )
 """
 
-_KG_CTES = "WITH RECURSIVE " + ", ".join(
-    [SPANS_CTE, MENTIONS_CTE, NORMS_CTE, EDGES_CTE, CC_CTE, ENTITIES_CTE, ATTRS_CTE]
+# Rulebase class selection (O25; mirrors generate.entity_classes).
+_RULES_ROWS = ", ".join(f"('{t}', '{c}', {s})" for t, c, s in G.CLASS_RULES)
+
+ECLASS_CTE = f"""
+rules(tok, cls, rscore) AS (VALUES {_RULES_ROWS}),
+ecand AS (
+  SELECT DISTINCT e.entity_id,
+         coalesce(r.cls, '{G.DEFAULT_CLASS}') AS cls,
+         coalesce(r.rscore, {G.DEFAULT_CLASS_SCORE}) AS rscore
+  FROM memb m JOIN eids e USING (label)
+  LEFT JOIN rules r ON r.tok = string_split(m.norm_text, ' ')[1]
+),
+eclass AS MATERIALIZED (
+  SELECT entity_id, cls FROM ecand
+  QUALIFY row_number() OVER (PARTITION BY entity_id
+                             ORDER BY rscore DESC, cls ASC) = 1
 )
+"""
+
+_KG_CTES = "WITH RECURSIVE " + ", ".join(
+    [SPANS_CTE, MENTIONS_CTE, NORMS_CTE, EDGES_CTE, CC_CTE, ENTITIES_CTE,
+     ECLASS_CTE, ATTRS_CTE]
+)
+
+# The full-term triple union (D3: o_kind/o_lang/o_datatype) — shared by
+# the triple, quad-count, predicate-count and round-trip oracles.
+_DOC_BRANCHES = f"""
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id AS g,
+           '{G.DOC_IRI_PREFIX}' || doc_id AS s, '{G.P_MENTIONS}' AS p,
+           mention_iri AS o, 'iri' AS o_kind, '' AS o_lang, '' AS o_datatype
+    FROM mentions
+    UNION ALL
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, mention_iri, '{G.P_TYPE}',
+           '{G.O_ENTITY_CLASS}', 'iri', '', '' FROM mentions
+    UNION ALL
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.DOC_IRI_PREFIX}' || doc_id,
+           '{G.P_HAS_MEDIA}', media_ref, 'iri', '', ''
+    FROM spans_pos WHERE kind = 'media'
+    UNION ALL
+    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.DOC_IRI_PREFIX}' || doc_id,
+           '{G.P_LANGUAGE}', lang, 'literal', '', '' FROM doc_toks
+"""
+
+_PROXY_BRANCHES = f"""
+    SELECT '{G.ROOT_GRAPH}' AS g, entity_id AS s, '{G.P_SAME_AS}' AS p,
+           member_iri AS o, 'iri' AS o_kind, '' AS o_lang, '' AS o_datatype
+    FROM entities
+    UNION ALL
+    SELECT '{G.ROOT_GRAPH}', entity_id, '{G.P_TYPE}', cls, 'iri', '', ''
+    FROM eclass
+    UNION ALL
+    SELECT '{G.ROOT_GRAPH}', entity_id, '{G.P_LABEL}', label, 'literal',
+           label_lang, '' FROM attrs
+    UNION ALL
+    SELECT '{G.ROOT_GRAPH}', entity_id, '{G.P_SCORE}',
+           CAST(score AS VARCHAR), 'literal', '', '{G.DT_INTEGER}' FROM attrs
+"""
+
+_QUADS_UNION = f"({_DOC_BRANCHES} UNION ALL {_PROXY_BRANCHES})"
 
 ENTITIES_SQL = f"""
 {_KG_CTES}
@@ -239,23 +295,25 @@ FROM attrs ORDER BY entity_id
 
 TRIPLES_SQL = f"""
 {_KG_CTES}
-SELECT DISTINCT s, p, o FROM (
-  SELECT '{G.DOC_IRI_PREFIX}' || doc_id AS s, '{G.P_MENTIONS}' AS p,
-         mention_iri AS o FROM mentions
-  UNION ALL
-  SELECT mention_iri, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM mentions
-  UNION ALL
-  SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_HAS_MEDIA}', media_ref
-  FROM spans_pos WHERE kind = 'media'
-  UNION ALL
-  SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_LANGUAGE}', lang FROM doc_toks
-  UNION ALL
-  SELECT entity_id, '{G.P_SAME_AS}', member_iri FROM entities
-  UNION ALL
-  SELECT DISTINCT entity_id, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM entities
-  UNION ALL
-  SELECT entity_id, '{G.P_LABEL}', label FROM attrs
-) ORDER BY s, p, o
+SELECT DISTINCT s, p, o FROM {_QUADS_UNION} ORDER BY s, p, o
+"""
+
+TRIPLES_FULL_SQL = f"""
+{_KG_CTES}
+SELECT DISTINCT s, p, o, o_kind, o_lang, o_datatype FROM {_QUADS_UNION}
+ORDER BY s, p, o, o_kind, o_lang, o_datatype
+"""
+
+GRAPH_COUNTS_SQL = f"""
+{_KG_CTES}
+SELECT g, count(*) AS n FROM (
+  SELECT DISTINCT g, s, p, o, o_kind, o_lang, o_datatype FROM {_QUADS_UNION}
+) GROUP BY g ORDER BY g
+"""
+
+ENTITY_CLASS_SQL = f"""
+{_KG_CTES}
+SELECT entity_id, cls AS class FROM eclass ORDER BY entity_id
 """
 
 MENTION_COUNTS_SQL = f"""
@@ -664,23 +722,7 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 PREDICATE_COUNTS_SQL = f"""
 {_KG_CTES}
 SELECT p, count(*) AS n FROM (
-  SELECT DISTINCT s, p, o FROM (
-    SELECT '{G.DOC_IRI_PREFIX}' || doc_id AS s, '{G.P_MENTIONS}' AS p,
-           mention_iri AS o FROM mentions
-    UNION ALL
-    SELECT mention_iri, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM mentions
-    UNION ALL
-    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_HAS_MEDIA}', media_ref
-    FROM spans_pos WHERE kind = 'media'
-    UNION ALL
-    SELECT '{G.DOC_IRI_PREFIX}' || doc_id, '{G.P_LANGUAGE}', lang FROM doc_toks
-    UNION ALL
-    SELECT entity_id, '{G.P_SAME_AS}', member_iri FROM entities
-    UNION ALL
-    SELECT DISTINCT entity_id, '{G.P_TYPE}', '{G.O_ENTITY_CLASS}' FROM entities
-    UNION ALL
-    SELECT entity_id, '{G.P_LABEL}', label FROM attrs
-  )
+  SELECT DISTINCT s, p, o FROM {_QUADS_UNION}
 ) GROUP BY p
 """
 

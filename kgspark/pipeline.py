@@ -39,8 +39,10 @@ class PipelineResult:
     labels: DataFrame
     entities: DataFrame
     entity_attrs: DataFrame
-    triples: DataFrame          # graph-agnostic distinct (s, p, o)
-    quads: DataFrame = None     # named-graph view (g, s, p, o) — D3/D4
+    triples: DataFrame            # graph-agnostic distinct (s, p, o)
+    quads: DataFrame = None       # named-graph full-term view — D3/D4:
+    #                              (g, s, p, o, o_kind, o_lang, o_datatype)
+    triples_full: DataFrame = None  # distinct full-term (s, p, o, ...)
     counts: dict = field(default_factory=dict)
 
 
@@ -105,16 +107,17 @@ def run_pipeline(
 
     entities = generate.entities_df(mentions, labels)
     attrs = generate.entity_attrs_df(mentions, labels)
-    proxies = generate.proxy_triples(mentions, labels)
-    # named-graph quad view: per-doc graphs + the proxy root graph
+    # named-graph full-term quad view: per-doc graphs + proxy root graph
+    term_cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
     quads = (
-        base_quads.select("g", "s", "p", "o")
-        .unionByName(proxies.select(F.lit(G.ROOT_GRAPH).alias("g"), "s", "p", "o"))
-        .dropDuplicates(["g", "s", "p", "o"])
+        base_quads.select("g", *term_cols)
+        .unionByName(generate.proxy_quads(mentions, labels))
+        .dropDuplicates(["g", *term_cols])
     )
-    triples = quads.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
     if materialize:
-        triples = triples.localCheckpoint(eager=False)
+        quads = quads.localCheckpoint(eager=False)
+    triples_full = quads.select(*term_cols).dropDuplicates(term_cols)
+    triples = quads.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
 
     return PipelineResult(
         docs_spans=ds,
@@ -127,4 +130,5 @@ def run_pipeline(
         entity_attrs=attrs,
         triples=triples,
         quads=quads,
+        triples_full=triples_full,
     )

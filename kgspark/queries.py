@@ -366,24 +366,51 @@ def langid(spark, sf_dir):
     return TS.langid(spark, _t(spark, sf_dir, "documents"))
 
 
-# --- RDF round-trip + triple-table queries -----------------------------------
+# --- RDF round-trip + triple/quad-table queries --------------------------------
+_TERM_COLS = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+
+
 def rdf_ntriples_roundtrip(spark, sf_dir):
-    """Serialize the final triples to N-Triples, parse back with the
-    vectorized kernel — oracle is the independent DuckDB triple oracle,
-    so the round-trip must be lossless."""
+    """Serialize the FULL-TERM triples to N-Triples (@lang tags,
+    ^^datatypes), parse back with the vectorized kernel — oracle is the
+    independent DuckDB full-term triple oracle, so the round-trip must
+    be lossless including language tags and datatypes."""
     from . import rdfio
     from .pipeline import run_pipeline_cached
 
-    t = run_pipeline_cached(spark, sf_dir).triples
-    return rdfio.parse_ntriples(rdfio.to_ntriples(t)).select("s", "p", "o")
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    return rdfio.parse_ntriples(rdfio.to_ntriples(t)).select(*_TERM_COLS)
 
 
 def rdf_turtle_roundtrip(spark, sf_dir):
     from . import rdfio
     from .pipeline import run_pipeline_cached
 
-    t = run_pipeline_cached(spark, sf_dir).triples
-    return rdfio.parse_turtle(rdfio.to_turtle(t)).select("s", "p", "o")
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    return rdfio.parse_turtle(rdfio.to_turtle(t)).select(*_TERM_COLS)
+
+
+def kg_triples_full(spark, sf_dir):
+    """The D3 full term model: (s, p, o, o_kind, o_lang, o_datatype)."""
+    from .pipeline import run_pipeline_cached
+
+    return run_pipeline_cached(spark, sf_dir).triples_full
+
+
+def kg_graph_counts(spark, sf_dir):
+    """Named-graph cardinalities (D4): one row per doc graph + the
+    proxy root graph."""
+    from .pipeline import run_pipeline_cached
+
+    return run_pipeline_cached(spark, sf_dir).quads.groupBy("g").agg(
+        F.count("*").alias("n")
+    )
+
+
+def kg_entity_class(spark, sf_dir):
+    """O25 rulebase-driven class selection per entity."""
+    m, labels = _labels(spark, sf_dir)
+    return gen.entity_classes(m, labels)
 
 
 def kg_predicate_counts(spark, sf_dir):

@@ -29,10 +29,13 @@ PREFIXES = {
     "owl:": "http://www.w3.org/2002/07/owl#",
     "dc:": "http://purl.org/dc/terms/",
     "skos:": "http://www.w3.org/2004/02/skos/core#",
+    "xsd:": "http://www.w3.org/2001/XMLSchema#",
     "ex:": "http://example.org/kg#",
 }
 
-LITERAL_PREDICATES = ["dc:language", "rdfs:label"]
+# Fallback literal detection for bare (s,p,o) inputs with no o_kind
+# column (the D3 term model drives serialization when present).
+LITERAL_PREDICATES = ["dc:language", "rdfs:label", "ex:score"]
 
 
 def expand(col):
@@ -52,12 +55,34 @@ def _escape_literal(col):
     return out
 
 
+def _object_term(triples: DataFrame, quote_iri) -> "F.Column":
+    """Serialize the object term.  Term-model-aware: with an ``o_kind``
+    column, literals carry their ``@lang`` tag / ``^^<datatype>`` suffix
+    (D3); bare (s,p,o) inputs fall back to the predicate heuristic."""
+    if "o_kind" in triples.columns:
+        is_lit = F.col("o_kind") == "literal"
+        lang = F.col("o_lang") if "o_lang" in triples.columns else F.lit("")
+        dtype = F.col("o_datatype") if "o_datatype" in triples.columns else F.lit("")
+        suffix = (
+            F.when(lang != "", F.concat(F.lit("@"), lang))
+            .when(dtype != "", F.concat(F.lit("^^<"), expand(dtype), F.lit(">")))
+            .otherwise(F.lit(""))
+        )
+    else:
+        is_lit = F.col("p").isin(LITERAL_PREDICATES)
+        suffix = F.lit("")
+    return F.when(
+        is_lit,
+        F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'), suffix),
+    ).otherwise(quote_iri(F.col("o")))
+
+
 def to_ntriples(triples: DataFrame) -> DataFrame:
-    """(s,p,o) → one N-Triples line per row (column ``line``)."""
-    is_lit = F.col("p").isin(LITERAL_PREDICATES)
-    obj = F.when(
-        is_lit, F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'))
-    ).otherwise(F.concat(F.lit("<"), expand(F.col("o")), F.lit(">")))
+    """(s,p,o[,o_kind,o_lang,o_datatype]) → one N-Triples line per row
+    (column ``line``)."""
+    obj = _object_term(
+        triples, lambda c: F.concat(F.lit("<"), expand(c), F.lit(">"))
+    )
     line = F.concat(
         F.lit("<"), expand(F.col("s")), F.lit("> <"), expand(F.col("p")),
         F.lit("> "), obj, F.lit(" ."),
@@ -67,11 +92,14 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
 
 _NT_RE = re.compile(
     r"^<(?P<s>[^>]*)> <(?P<p>[^>]*)> "
-    r"(?:<(?P<oiri>[^>]*)>|\"(?P<olit>(?:[^\"\\]|\\.)*)\"(?:@(?P<lang>[A-Za-z-]+))?)"
+    r"(?:<(?P<oiri>[^>]*)>|\"(?P<olit>(?:[^\"\\]|\\.)*)\""
+    r"(?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)|\^\^<(?P<dt>[^>]*)>)?)"
     r" \.$"
 )
 
-PARSED_DDL = "s string, p string, o string, o_kind string"
+PARSED_DDL = (
+    "s string, p string, o string, o_kind string, o_lang string, o_datatype string"
+)
 
 
 def _compact(series: pd.Series) -> pd.Series:
@@ -115,6 +143,8 @@ def ntriples_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "p": _compact(ext["p"]),
                 "o": o.where(~is_iri, _compact(o)),
                 "o_kind": is_iri.map({True: "iri", False: "literal"}),
+                "o_lang": ext["lang"].fillna(""),
+                "o_datatype": _compact(ext["dt"].fillna("")),
             }
         )
         yield out
@@ -124,19 +154,33 @@ def parse_ntriples(lines: DataFrame) -> DataFrame:
     return lines.mapInPandas(ntriples_parse_kernel, schema=PARSED_DDL)
 
 
+_NT_LIT_TAIL = r"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?"
+
+
 def parse_ntriples_native(lines: DataFrame) -> DataFrame:
     """JVM-only N-Triples parser (regexp_extract) — cross-checked with
-    the kernel in tests."""
+    the kernel in tests.  Handles @lang tags and ^^<datatype> suffixes."""
     s = F.regexp_extract("line", r"^<([^>]*)>", 1)
     p = F.regexp_extract("line", r"^<[^>]*> <([^>]*)>", 1)
     oiri = F.regexp_extract("line", r"^<[^>]*> <[^>]*> <([^>]*)> \.$", 1)
-    olit = F.regexp_extract("line", r'^<[^>]*> <[^>]*> "((?:[^"\\]|\\.)*)" \.$', 1)
+    olit = F.regexp_extract(
+        "line",
+        r'^<[^>]*> <[^>]*> "((?:[^"\\]|\\.)*)"' + _NT_LIT_TAIL + r" \.$",
+        1,
+    )
+    o_lang = F.regexp_extract(
+        "line", r'^<[^>]*> <[^>]*> "(?:[^"\\]|\\.)*"@([A-Za-z][A-Za-z0-9-]*) \.$', 1
+    )
+    o_dt = F.regexp_extract(
+        "line", r'^<[^>]*> <[^>]*> "(?:[^"\\]|\\.)*"\^\^<([^>]*)> \.$', 1
+    )
     is_iri = oiri != ""
-    compact_s, compact_p, compact_o = s, p, oiri
+    compact_s, compact_p, compact_o, compact_dt = s, p, oiri, o_dt
     for pref, full in sorted(PREFIXES.items()):
         compact_s = F.regexp_replace(compact_s, re.escape(full), pref)
         compact_p = F.regexp_replace(compact_p, re.escape(full), pref)
         compact_o = F.regexp_replace(compact_o, re.escape(full), pref)
+        compact_dt = F.regexp_replace(compact_dt, re.escape(full), pref)
     # Single-LOGICAL-pass unescape for the JVM path: protect '\\\\'
     # behind a NUL sentinel first so '\\' + 'n' never re-combines into a
     # newline, then decode the single-char escapes, then restore the
@@ -149,32 +193,52 @@ def parse_ntriples_native(lines: DataFrame) -> DataFrame:
     unlit = F.regexp_replace(unlit, r'\\"', '"')
     unlit = F.regexp_replace(unlit, "\u0000", r"\\")
     return lines.filter(
-        F.col("line").rlike(r"^<[^>]*> <[^>]*> (<[^>]*>|\"(?:[^\"\\]|\\.)*\") \.$")
+        F.col("line").rlike(
+            r"^<[^>]*> <[^>]*> (<[^>]*>|\"(?:[^\"\\]|\\.)*\""
+            + _NT_LIT_TAIL
+            + r") \.$"
+        )
     ).select(
         compact_s.alias("s"),
         compact_p.alias("p"),
         F.when(is_iri, compact_o).otherwise(unlit).alias("o"),
         F.when(is_iri, F.lit("iri")).otherwise(F.lit("literal")).alias("o_kind"),
+        F.when(is_iri, F.lit("")).otherwise(o_lang).alias("o_lang"),
+        F.when(is_iri, F.lit("")).otherwise(compact_dt).alias("o_datatype"),
     )
 
 
 # --- Turtle subset -----------------------------------------------------------
+def _ttl_term(col):
+    """Prefixed name when the value starts with a known prefix, else <iri>."""
+    out = F.concat(F.lit("<"), expand(col), F.lit(">"))
+    for pref in sorted(PREFIXES):
+        out = F.when(col.startswith(pref), col).otherwise(out)
+    return out
+
+
 def to_turtle(triples: DataFrame) -> DataFrame:
-    """Turtle-subset writer: prefixed names, one triple per line.
-    The @prefix header is implicit (fixed table) — parser shares it."""
-    is_lit = F.col("p").isin(LITERAL_PREDICATES)
-
-    def term(col):
-        # prefixed name when the value starts with a known prefix, else <iri>
-        out = F.concat(F.lit("<"), expand(col), F.lit(">"))
-        for pref in sorted(PREFIXES):
-            out = F.when(col.startswith(pref), col).otherwise(out)
-        return out
-
-    obj = F.when(
-        is_lit, F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'))
-    ).otherwise(term(F.col("o")))
-    line = F.concat(term(F.col("s")), F.lit(" "), term(F.col("p")),
+    """Turtle-subset writer: prefixed names, one triple per line, @lang
+    tags and ^^prefixed-datatype suffixes on literals when the term
+    model rides along.  The @prefix header is implicit (fixed table) —
+    parser shares it."""
+    obj = _object_term(triples, _ttl_term)
+    # Turtle datatype suffix uses the prefixed name, not <iri> — rebuild
+    # the literal suffix accordingly when term columns are present
+    if "o_kind" in triples.columns:
+        is_lit = F.col("o_kind") == "literal"
+        lang = F.col("o_lang") if "o_lang" in triples.columns else F.lit("")
+        dtype = F.col("o_datatype") if "o_datatype" in triples.columns else F.lit("")
+        suffix = (
+            F.when(lang != "", F.concat(F.lit("@"), lang))
+            .when(dtype != "", F.concat(F.lit("^^"), _ttl_term(dtype)))
+            .otherwise(F.lit(""))
+        )
+        obj = F.when(
+            is_lit,
+            F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'), suffix),
+        ).otherwise(_ttl_term(F.col("o")))
+    line = F.concat(_ttl_term(F.col("s")), F.lit(" "), _ttl_term(F.col("p")),
                     F.lit(" "), obj, F.lit(" ."))
     return triples.select(line.alias("line"))
 
@@ -182,7 +246,8 @@ def to_turtle(triples: DataFrame) -> DataFrame:
 _TTL_TERM = r"(?:<[^>]*>|[A-Za-z][A-Za-z0-9]*:[^\s]*)"
 _TTL_RE = re.compile(
     rf"^(?P<s>{_TTL_TERM}) (?P<p>{_TTL_TERM}) "
-    rf"(?:(?P<oterm>{_TTL_TERM})|\"(?P<olit>(?:[^\"\\]|\\.)*)\") \.$"
+    rf"(?:(?P<oterm>{_TTL_TERM})|\"(?P<olit>(?:[^\"\\]|\\.)*)\""
+    rf"(?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)|\^\^(?P<dt>{_TTL_TERM}))?) \.$"
 )
 
 
@@ -210,6 +275,8 @@ def turtle_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "p": norm_term(ext["p"]),
                 "o": norm_term(ext["oterm"]).where(is_iri, _unescape(ext["olit"])),
                 "o_kind": is_iri.map({True: "iri", False: "literal"}),
+                "o_lang": ext["lang"].fillna(""),
+                "o_datatype": norm_term(ext["dt"].fillna("")),
             }
         )
 

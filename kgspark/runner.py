@@ -190,13 +190,14 @@ def run_all(
 
 
 def extract_final_triples(base_quads, mentions, labels):
-    """Distinct (s,p,o) union of per-doc extraction quads + root-graph
+    """Distinct full-term union of per-doc extraction quads + root-graph
     proxy triples (the store's graph-agnostic view)."""
-    proxies = gen.proxy_triples(mentions, labels)
+    cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    proxies = gen.proxy_triples_full(mentions, labels)
     return (
-        base_quads.select("s", "p", "o")
-        .unionByName(proxies)
-        .dropDuplicates(["s", "p", "o"])
+        base_quads.select(*cols)
+        .unionByName(proxies.select(*cols))
+        .dropDuplicates(cols)
     )
 
 

@@ -230,17 +230,26 @@ def oracle_triples(
             trips.add((f"{G.DOC_IRI_PREFIX}{r.doc_id}", G.P_HAS_MEDIA, r.media_ref))
     for r in documents.itertuples():
         trips.add((f"{G.DOC_IRI_PREFIX}{r.doc_id}", G.P_LANGUAGE, r.lang))
-    # sameAs between mention IRIs: same component, distinct IRIs, a < b
+    # sameAs between mention IRIs: same component, distinct IRIs, a < b;
+    # proxy class = best-scoring rulebase match over the members' first
+    # tokens (grammar.CLASS_RULES; ties broken by class name asc)
+    rules = {t: (c, s) for t, c, s in G.CLASS_RULES}
     iris = mentions[["norm_text", "mention_iri"]].drop_duplicates()
     iris = iris.assign(root=iris["norm_text"].map(comp))
     for _, grp in iris.groupby("root"):
         members = sorted(set(grp["mention_iri"]))
         eid = entity_id(members[0])
-        trips.add((eid, G.P_TYPE, G.O_ENTITY_CLASS))
+        cands = {
+            rules.get(n.split(" ")[0], (G.DEFAULT_CLASS, G.DEFAULT_CLASS_SCORE))
+            for n in grp["norm_text"]
+        }
+        cls = sorted(cands, key=lambda cs: (-cs[1], cs[0]))[0][0]
+        trips.add((eid, G.P_TYPE, cls))
         for mi in members:
             trips.add((eid, G.P_SAME_AS, mi))
     for r in labels.itertuples():
         trips.add((r.entity_id, G.P_LABEL, r.label))
+        trips.add((r.entity_id, G.P_SCORE, str(int(r.n_mentions))))
 
     tdf = pd.DataFrame(sorted(trips), columns=["s", "p", "o"])
     inter = {
