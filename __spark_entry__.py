@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RDF serialization round-trips (O9-O11 reference parity)
         "rdf_ntriples_roundtrip": Q.rdf_ntriples_roundtrip,
         "rdf_turtle_roundtrip": Q.rdf_turtle_roundtrip,
+        "rdf_xml_roundtrip": Q.rdf_xml_roundtrip,
         "kg_predicate_counts": Q.kg_predicate_counts,
     }
 
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
             # (lossless including @lang tags and ^^datatypes)
             "rdf_ntriples_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_turtle_roundtrip": OS.TRIPLES_FULL_SQL,
+            "rdf_xml_roundtrip": OS.TRIPLES_FULL_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
         }
     )

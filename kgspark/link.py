@@ -332,6 +332,37 @@ def explicit_sameas_edges(triples: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def explicit_norm_edges(triples: DataFrame, mentions: DataFrame) -> DataFrame:
+    """O16 wired for the pipeline: explicit coref assertions between
+    MENTION IRIs become norm-text edges for the CC stage (SURVEY §3.2:
+    union with the scored edges ahead of connected components).
+
+    Subjects/objects that are not known mention IRIs drop out (inner
+    joins) — an assertion about an unseen IRI cannot merge components
+    that have no node for it."""
+    iri2norm = mentions.select("mention_iri", "norm_text").distinct()
+    coref = triples.filter(F.col("p").isin(G.COREF_PREDICATES))
+    mapped = (
+        coref.join(
+            iri2norm.select(
+                F.col("mention_iri").alias("s"), F.col("norm_text").alias("ns")
+            ),
+            "s",
+        )
+        .join(
+            iri2norm.select(
+                F.col("mention_iri").alias("o"), F.col("norm_text").alias("no")
+            ),
+            "o",
+        )
+        .filter(F.col("ns") != F.col("no"))
+    )
+    return mapped.select(
+        F.least(F.col("ns"), F.col("no")).alias("norm_a"),
+        F.greatest(F.col("ns"), F.col("no")).alias("norm_b"),
+    ).distinct()
+
+
 def _scored_edges_bitmask(
     norms: DataFrame,
     embeddings: DataFrame,

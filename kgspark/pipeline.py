@@ -67,7 +67,11 @@ def run_pipeline(
     use_native_extract: bool = False,
     salt_buckets: int = 1,
     materialize: bool = True,
+    extra_triples: DataFrame | None = None,
 ) -> PipelineResult:
+    """``extra_triples``: optional externally-asserted (s,p,o) rows —
+    e.g. owl:sameAs / skos:exactMatch coref assertions from source data
+    (O16); their coref edges union with the scored edges ahead of CC."""
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -102,8 +106,17 @@ def run_pipeline(
     if materialize:
         edges = edges.localCheckpoint(eager=False)
 
+    # O16: explicit coref assertions (owl:sameAs / skos:exactMatch) from
+    # source data union into the edge set ahead of CC (SURVEY §3.2).
+    # Extraction itself emits no coref predicates, so the source is the
+    # caller-provided extra_triples; cc_edges == edges when absent.
+    cc_edges = edges.select("norm_a", "norm_b")
+    if extra_triples is not None:
+        cc_edges = cc_edges.unionByName(
+            link.explicit_norm_edges(extra_triples, mentions)
+        )
     norms = mentions.select(F.col("norm_text").alias("node")).distinct()
-    labels = cc.connected_components(edges, norms, salt_buckets=salt_buckets)
+    labels = cc.connected_components(cc_edges, norms, salt_buckets=salt_buckets)
 
     entities = generate.entities_df(mentions, labels)
     attrs = generate.entity_attrs_df(mentions, labels)

@@ -390,6 +390,16 @@ def rdf_turtle_roundtrip(spark, sf_dir):
     return rdfio.parse_turtle(rdfio.to_turtle(t)).select(*_TERM_COLS)
 
 
+def rdf_xml_roundtrip(spark, sf_dir):
+    """O9: serialize to the RDF/XML subset, parse back with the Arrow
+    kernel — full-term lossless vs the independent DuckDB oracle."""
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    return rdfio.parse_rdfxml(rdfio.to_rdfxml(t)).select(*_TERM_COLS)
+
+
 def kg_triples_full(spark, sf_dir):
     """The D3 full term model: (s, p, o, o_kind, o_lang, o_datatype)."""
     from .pipeline import run_pipeline_cached

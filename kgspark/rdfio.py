@@ -283,3 +283,113 @@ def turtle_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def parse_turtle(lines: DataFrame) -> DataFrame:
     return lines.mapInPandas(turtle_parse_kernel, schema=PARSED_DDL)
+
+
+# --- RDF/XML subset -----------------------------------------------------------
+# O9 — twine's flagship MIME type (`rdf/` processor via librdf `[U~]`).
+# Subset grammar: one <rdf:Description rdf:about="S"> element per line
+# holding exactly one property element — <P rdf:resource="O"/> for IRI
+# objects, <P [xml:lang="l"] [rdf:datatype="D"]>text</P> for literals —
+# with the fixed PREFIXES table as the implicit namespace declarations
+# and predicates restricted to prefixed names (all grammar predicates
+# are).  Writer is pure native exprs; parser is an Arrow regex kernel.
+
+def _xml_escape(col):
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    out = F.regexp_replace(out, "\n", "&#10;")
+    out = F.regexp_replace(out, "\r", "&#13;")
+    return out
+
+
+def to_rdfxml(triples: DataFrame) -> DataFrame:
+    """(s,p,o[,term cols]) → one one-line rdf:Description per triple."""
+    if "o_kind" in triples.columns:
+        is_lit = F.col("o_kind") == "literal"
+        lang = F.col("o_lang") if "o_lang" in triples.columns else F.lit("")
+        dtype = F.col("o_datatype") if "o_datatype" in triples.columns else F.lit("")
+    else:
+        is_lit = F.col("p").isin(LITERAL_PREDICATES)
+        lang, dtype = F.lit(""), F.lit("")
+    attrs = F.concat(
+        F.when(lang != "", F.concat(F.lit(' xml:lang="'), lang, F.lit('"')))
+        .otherwise(F.lit("")),
+        F.when(
+            dtype != "",
+            F.concat(F.lit(' rdf:datatype="'), _xml_escape(expand(dtype)), F.lit('"')),
+        ).otherwise(F.lit("")),
+    )
+    lit_el = F.concat(
+        F.lit("<"), F.col("p"), attrs, F.lit(">"),
+        _xml_escape(F.col("o")),
+        F.lit("</"), F.col("p"), F.lit(">"),
+    )
+    iri_el = F.concat(
+        F.lit("<"), F.col("p"), F.lit(' rdf:resource="'),
+        _xml_escape(expand(F.col("o"))), F.lit('"/>'),
+    )
+    line = F.concat(
+        F.lit('<rdf:Description rdf:about="'), _xml_escape(expand(F.col("s"))),
+        F.lit('">'),
+        F.when(is_lit, lit_el).otherwise(iri_el),
+        F.lit("</rdf:Description>"),
+    )
+    return triples.select(line.alias("line"))
+
+
+_XML_RE = re.compile(
+    r'^<rdf:Description rdf:about="(?P<s>[^"]*)">'
+    r'(?:<(?P<pr>[A-Za-z][\w.-]*:[\w.-]+) rdf:resource="(?P<oiri>[^"]*)"/>'
+    r'|<(?P<pl>[A-Za-z][\w.-]*:[\w.-]+)'
+    r'(?: xml:lang="(?P<lang>[^"]*)")?'
+    r'(?: rdf:datatype="(?P<dt>[^"]*)")?'
+    r">(?P<olit>.*)</(?P=pl)>)"
+    r"</rdf:Description>$"
+)
+
+_XML_UNESCAPES = [
+    ("&#10;", "\n"), ("&#13;", "\r"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&amp;", "&"),   # &amp; LAST — lossless ordering
+]
+
+
+def _xml_unescape(series: pd.Series) -> pd.Series:
+    out = series
+    for ent, ch in _XML_UNESCAPES:
+        out = out.str.replace(ent, ch, regex=False)
+    return out
+
+
+def rdfxml_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """RDF/XML-subset parser (O9): one Arrow batch of one-line
+    Descriptions in, full-term (s,p,o,o_kind,o_lang,o_datatype) out;
+    header/footer (<?xml…, <rdf:RDF…, </rdf:RDF>) and malformed lines
+    are dropped."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ext = pdf["line"].astype("string").str.strip().str.extract(_XML_RE)
+        ext = ext[ext["s"].notna()]
+        if len(ext) == 0:
+            continue
+        is_iri = ext["oiri"].notna()
+        p = ext["pr"].where(is_iri, ext["pl"])
+        o = _compact(_xml_unescape(ext["oiri"].fillna(""))).where(
+            is_iri, _xml_unescape(ext["olit"].fillna(""))
+        )
+        yield pd.DataFrame(
+            {
+                "s": _compact(_xml_unescape(ext["s"])),
+                "p": p,
+                "o": o,
+                "o_kind": is_iri.map({True: "iri", False: "literal"}),
+                "o_lang": ext["lang"].fillna(""),
+                "o_datatype": _compact(_xml_unescape(ext["dt"].fillna(""))),
+            }
+        )
+
+
+def parse_rdfxml(lines: DataFrame) -> DataFrame:
+    return lines.mapInPandas(rdfxml_parse_kernel, schema=PARSED_DDL)

@@ -57,3 +57,32 @@ def test_acceptance_thresholds(spark, sf_dir, oracle):
             r["jaccard"] >= G.JACCARD_TAU
             or (r["jaccard"] >= G.COSINE_JACCARD_MIN and r["cosine"] >= G.COSINE_TAU)
         )
+
+
+def test_explicit_sameas_merges_components(spark, sf_dir):
+    """O16 wired: an injected owl:sameAs assertion between mention IRIs
+    of two different components merges exactly those two components
+    when unioned into the edge set ahead of CC."""
+    from kgspark.pipeline import run_pipeline
+
+    base = run_pipeline(spark, sf_dir, materialize=False)
+    labels = {r["node"]: r["label"] for r in base.labels.collect()}
+    norm2iri = {}
+    for r in base.mentions.select("norm_text", "mention_iri").distinct().collect():
+        norm2iri.setdefault(r["norm_text"], r["mention_iri"])
+    by_label = {}
+    for n, l in sorted(labels.items()):
+        by_label.setdefault(l, n)
+    roots = sorted(by_label)[:2]
+    na, nb = by_label[roots[0]], by_label[roots[1]]
+    assert labels[na] != labels[nb]
+
+    extra = spark.createDataFrame(
+        [(norm2iri[na], "owl:sameAs", norm2iri[nb])], "s string, p string, o string"
+    )
+    merged = run_pipeline(spark, sf_dir, materialize=False, extra_triples=extra)
+    ml = {r["node"]: r["label"] for r in merged.labels.collect()}
+    assert ml[na] == ml[nb], "sameAs-bridged components must merge"
+    assert len(set(ml.values())) == len(set(labels.values())) - 1, (
+        "exactly the two bridged components merge; everything else untouched"
+    )

@@ -81,3 +81,33 @@ def test_parser_handles_escapes_and_garbage(spark):
     # turtle parser skips @prefix and garbage too
     tgot = rdfio.parse_turtle(lines).collect()
     assert len(tgot) == 2
+
+
+def _full(df):
+    cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_rdfxml_roundtrip_full_term(spark, sf_dir):
+    """O9: RDF/XML subset round-trip is lossless including @lang tags
+    and datatypes."""
+    t = run_pipeline(spark, sf_dir).triples_full.localCheckpoint()
+    back = rdfio.parse_rdfxml(rdfio.to_rdfxml(t))
+    assert _full(back) == _full(t)
+
+
+def test_rdfxml_adversarial_literals(spark):
+    """XML-special characters and newlines in literals survive the
+    escape/unescape cycle."""
+    vals = [
+        ('ex:s1', 'rdfs:label', 'a<b&c>d"e', 'literal', 'en', ''),
+        ('ex:s2', 'rdfs:label', 'line1\nline2', 'literal', '', ''),
+        ('ex:s3', 'ex:score', '42', 'literal', '', 'xsd:integer'),
+        ('ex:s4', 'ex:mentions', 'ex://src/a_b', 'iri', '', ''),
+        ('ex:s5', 'rdfs:label', '&amp; already-escaped-looking', 'literal', '', ''),
+    ]
+    t = spark.createDataFrame(
+        vals, "s string, p string, o string, o_kind string, o_lang string, o_datatype string"
+    )
+    back = rdfio.parse_rdfxml(rdfio.to_rdfxml(t))
+    assert _full(back) == _full(t)
