@@ -44,12 +44,15 @@ def entities_df(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     return entity_membership(mentions, labels).select("entity_id", "member_iri")
 
 
-def entity_attrs_df(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+def entity_attrs_df(
+    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+) -> DataFrame:
     """D7 index rows.  Label selection = O24/O28: per entity, rank
     candidate (norm_text, lang) pairs by LANG_PREF rank then
     lexicographic norm — ``row_number`` window, deterministic
     tie-breaks."""
-    members = entity_membership(mentions, labels)
+    if members is None:
+        members = entity_membership(mentions, labels)
     m = mentions.join(
         labels.withColumnRenamed("node", "norm_text"), "norm_text"
     ).join(
@@ -93,13 +96,16 @@ def rulebase_df(spark) -> DataFrame:
     )
 
 
-def entity_classes(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+def entity_classes(
+    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+) -> DataFrame:
     """O25 rulebase-driven class scoring: each member contributes the
     rule matched by its norm-text's first token; the entity's class is
     the highest-scoring matched rule (window argmax, deterministic
     tie-break).  The rulebase join is a BroadcastHashJoin by
     construction (16-row dimension)."""
-    members = entity_membership(mentions, labels)
+    if members is None:
+        members = entity_membership(mentions, labels)
     rules = rulebase_df(mentions.sparkSession)
     cands = (
         members.select(
@@ -143,7 +149,9 @@ def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
             .withColumn("o_datatype", F.lit(dtype if dtype is not None else ""))
         )
 
-    members = entity_membership(mentions, labels)
+    # the membership join feeds three branches (sameAs, class rules,
+    # attrs) — compute it once and let lazy localCheckpoint share it
+    members = entity_membership(mentions, labels).localCheckpoint(eager=False)
     t_sameas = term(
         members.select(
             F.col("entity_id").alias("s"),
@@ -153,14 +161,14 @@ def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
         "iri",
     )
     t_type = term(
-        entity_classes(mentions, labels).select(
+        entity_classes(mentions, labels, members=members).select(
             F.col("entity_id").alias("s"),
             F.lit(G.P_TYPE).alias("p"),
             F.col("class").alias("o"),
         ),
         "iri",
     )
-    attrs = entity_attrs_df(mentions, labels)
+    attrs = entity_attrs_df(mentions, labels, members=members)
     t_label = term(
         attrs.select(
             F.col("entity_id").alias("s"),

@@ -227,7 +227,7 @@ _RULES_ROWS = ", ".join(f"('{t}', '{c}', {s})" for t, c, s in G.CLASS_RULES)
 
 ECLASS_CTE = f"""
 rules(tok, cls, rscore) AS (VALUES {_RULES_ROWS}),
-ecand AS (
+ecand AS MATERIALIZED (
   SELECT DISTINCT e.entity_id,
          coalesce(r.cls, '{G.DEFAULT_CLASS}') AS cls,
          coalesce(r.rscore, {G.DEFAULT_CLASS_SCORE}) AS rscore
