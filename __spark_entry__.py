@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": Q.embedding_neardup,
         "ann_topk": Q.ann_topk,                             # brute-force ANN
         "ann_ivf": Q.ann_ivf,                               # IVF-cell ANN
+        "ann_ivf_probe": Q.ann_ivf_probe,                   # trained IVF, nprobe=2
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_ntriples_roundtrip": Q.rdf_ntriples_roundtrip,
         "rdf_turtle_roundtrip": Q.rdf_turtle_roundtrip,
         "rdf_xml_roundtrip": Q.rdf_xml_roundtrip,
+        "xml_transform": Q.xml_transform,           # O12 XSLT-analogue
         "kg_predicate_counts": Q.kg_predicate_counts,
     }
 
@@ -115,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
             "embedding_neardup": OS.EMBEDDING_NEARDUP_SQL,
             "ann_topk": OS.ANN_TOPK_SQL,
             "ann_ivf": OS.ANN_IVF_SQL,
+            "ann_ivf_probe": OS.ANN_IVF_PROBE_SQL,
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
@@ -124,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
             "rdf_ntriples_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_turtle_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_xml_roundtrip": OS.TRIPLES_FULL_SQL,
+            "xml_transform": OS.XML_TRANSFORM_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
         }
     )

@@ -44,29 +44,119 @@ def _scored(queries: DataFrame, corpus: DataFrame, same_label_only: bool) -> Dat
     )
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k WITHOUT funneling every candidate of a
+    query onto one reducer: phase 1 takes the top-k within each input
+    partition (window over (query_id, partition_id) — local, no global
+    shuffle of the full candidate set), phase 2 ranks the ≤ k·P
+    survivors per query.  Identical output to a single global window
+    (the global top-k is contained in the union of per-partition
+    top-ks); matters when the query set is large — the global-window
+    plan shuffles |corpus|×|queries| rows to |queries| reducers."""
+    local_w = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
     """Brute-force exact top-k: queries = vec_id < n_queries."""
     queries = embeddings.filter(F.col("vec_id") < n_queries)
-    scored = _scored(queries, embeddings, same_label_only=False)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk(_scored(queries, embeddings, same_label_only=False), k)
 
 
 def ann_ivf(embeddings: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
-    """IVF-cell-restricted top-k (cell = label column)."""
+    """IVF-cell-restricted top-k (cell = label column, nprobe = 1 —
+    the query's own cell; see ann_ivf_probe for trained-centroid
+    multi-cell probing)."""
     queries = embeddings.filter(F.col("vec_id") < n_queries)
-    scored = _scored(queries, embeddings, same_label_only=True)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
+    return _topk(_scored(queries, embeddings, same_label_only=True), k)
+
+
+def cell_centroids_int(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
+    """Coarse-quantizer centroids as INTEGER vectors: per (label, dim),
+    sum of round(scale · component) — order-insensitive int64 sums, so
+    the centroid (and every cosine derived from it) is bit-identical at
+    any parallelism level AND across engines (float summation order is
+    not; the DuckDB oracle restates this arithmetic exactly).
+    Returns (label, dim, v)."""
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * scale).cast("bigint")
+            ).alias("v")
+        )
     )
+
+
+def ann_ivf_probe(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer and nprobe > 1: rank cells
+    per query by exact integer-arithmetic centroid cosine, search the
+    top ``nprobe`` cells, return the per-query top-k.
+
+    The centroid ranking is a broadcast join of the (queries × cells)
+    score table — both tiny; only the candidate scan over the probed
+    cells touches the corpus.  All quantizer math is int64 (exact,
+    order-insensitive), making the cell choice deterministic and
+    oracle-checkable; the within-cell scorer is the same Arrow cosine
+    kernel as every other ANN path."""
+    cent = cell_centroids_int(embeddings, scale)
+    qdims = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "dim",
+            F.round(F.col("x").cast("double") * scale).cast("bigint").alias("q"),
+        )
+    )
+    # exact int dot/norms per (query, cell); cosine in double from
+    # exact integers — identical on every engine
+    scores = (
+        qdims.join(cent, "dim")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("v")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("qq"),
+        )
+    )
+    cnorm = cent.groupBy("label").agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    cell_cos = scores.join(cnorm, "label").select(
+        "query_id",
+        "label",
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qq").cast("double") * F.col("vv").cast("double"))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probed = (
+        cell_cos.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", F.col("label").alias("n_label"))
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    scored = _scored(queries, embeddings, same_label_only=False).join(
+        F.broadcast(probed), ["query_id", "n_label"]
+    )
+    return _topk(scored, k)

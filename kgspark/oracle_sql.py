@@ -636,6 +636,73 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3
 """
 
+# O12 XSLT-analogue oracle: the template semantics restated directly
+# over the documents table (title = first 3 tokens, lang-tagged; plain
+# dc:language literal; xsd:integer size).
+XML_TRANSFORM_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+         string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT s, p, o, o_kind, o_lang, o_datatype FROM (
+  SELECT 'doc://' || id AS s, 'rdfs:label' AS p,
+         array_to_string(list_slice(toks, 1, 3), ' ') AS o,
+         'literal' AS o_kind, lang AS o_lang, '' AS o_datatype FROM d
+  UNION ALL
+  SELECT 'doc://' || id, 'dc:language', lang, 'literal', '', '' FROM d
+  UNION ALL
+  SELECT 'doc://' || id, 'ex:size', CAST(len(toks) AS VARCHAR),
+         'literal', '', 'xsd:integer' FROM d
+)
+"""
+
+ANN_IVF_PROBE_SQL = """
+WITH qd AS (
+  SELECT vec_id AS query_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+  WHERE vec_id < 20
+),
+cd AS (
+  SELECT label, i AS dim,
+         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+              AS BIGINT) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+  GROUP BY label, i
+),
+sc AS (
+  SELECT qd.query_id, cd.label,
+         CAST(sum(qd.q * cd.v) AS BIGINT) AS dot,
+         CAST(sum(qd.q * qd.q) AS BIGINT) AS qq
+  FROM qd JOIN cd USING (dim) GROUP BY 1, 2
+),
+cn AS (SELECT label, CAST(sum(v * v) AS BIGINT) AS vv FROM cd GROUP BY label),
+cellcos AS (
+  SELECT query_id, label,
+         CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(vv AS DOUBLE))
+           AS ccos
+  FROM sc JOIN cn USING (label)
+),
+probed AS (
+  SELECT query_id, label FROM cellcos
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ccos DESC, label ASC) <= 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q
+  JOIN probed p ON p.query_id = q.vec_id
+  JOIN embeddings c ON c.label = p.label AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+) WHERE rank <= 3
+"""
+
 _STOP_LIST = ", ".join(f"'{t}'" for t in G.STOP_TOKENS)
 
 TEXT_QUALITY_SQL = f"""

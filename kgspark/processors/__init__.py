@@ -17,11 +17,13 @@ from __future__ import annotations
 
 from .media import media_feature_kernel
 from .text import text_mention_kernel
+from .xml import xml_transform_kernel
 
 # kind -> (kernel, output schema name) — see extract.py for usage.
 PROCESSORS = {
     "text": text_mention_kernel,
     "media": media_feature_kernel,
+    "xml": xml_transform_kernel,      # O12 XSLT-analogue template transform
 }
 
 KNOWN_KINDS = sorted(PROCESSORS)

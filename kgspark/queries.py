@@ -342,6 +342,12 @@ def ann_ivf(spark, sf_dir):
     return A.ann_ivf(_t(spark, sf_dir, "embeddings"))
 
 
+def ann_ivf_probe(spark, sf_dir):
+    from . import ann as A
+
+    return A.ann_ivf_probe(_t(spark, sf_dir, "embeddings"))
+
+
 def text_quality(spark, sf_dir):
     from . import textstats as TS
 
@@ -388,6 +394,29 @@ def rdf_turtle_roundtrip(spark, sf_dir):
 
     t = run_pipeline_cached(spark, sf_dir).triples_full
     return rdfio.parse_turtle(rdfio.to_turtle(t)).select(*_TERM_COLS)
+
+
+def xml_transform(spark, sf_dir):
+    """O12 XSLT-analogue: deterministically render each document as a
+    one-line XML payload (native exprs), then template-transform it to
+    full-term triples through the registered ``xml`` kernel; the
+    DuckDB oracle derives the same triples directly from the table."""
+    from .processors.xml import XML_TRIPLES_DDL, xml_transform_kernel
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"),
+        F.lit('"><title xml:lang="'), F.col("lang"), F.lit('">'),
+        F.array_join(F.slice(toks, 1, 3), " "),
+        F.lit("</title><lang>"), F.col("lang"),
+        F.lit("</lang><size>"), F.size(toks).cast("string"),
+        F.lit("</size></doc>"),
+    )
+    lines = docs.select(xml.alias("line"))
+    return lines.mapInPandas(xml_transform_kernel, schema=XML_TRIPLES_DDL).select(
+        *_TERM_COLS
+    )
 
 
 def rdf_xml_roundtrip(spark, sf_dir):

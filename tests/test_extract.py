@@ -92,3 +92,30 @@ def test_media_features(spark, sf_dir):
         | (F.col("ref_bytes") != F.length("media_ref"))
     ).count()
     assert bad == 0
+
+
+def test_xml_template_transform_kernel(spark):
+    """O12 XSLT-analogue: template transform emits full-term triples;
+    unknown elements and id-less payloads drop."""
+    from kgspark.processors.xml import XML_TRIPLES_DDL, xml_transform_kernel
+
+    rows = [
+        ('<doc id="7"><title xml:lang="en">a &amp; b</title>'
+         "<lang>en</lang><size>42</size>"
+         "<link>http://example.org/kg#thing</link></doc>",),
+        ('<doc id="8"><title>x</title><junk>ignored</junk></doc>',),
+        ("<notadoc><title>skip</title></notadoc>",),
+    ]
+    lines = spark.createDataFrame(rows, "line string")
+    got = {
+        tuple(r)
+        for r in lines.mapInPandas(
+            xml_transform_kernel, schema=XML_TRIPLES_DDL
+        ).collect()
+    }
+    assert ("doc://7", "rdfs:label", "a & b", "literal", "en", "") in got
+    assert ("doc://7", "ex:size", "42", "literal", "", "xsd:integer") in got
+    assert ("doc://7", "ex:mentions", "ex:thing", "iri", "", "") in got
+    assert ("doc://8", "rdfs:label", "x", "literal", "", "") in got
+    assert not any(s == "doc://8" and p == "ex:junk" for s, p, *_ in got)
+    assert not any("skip" in t for t in {r[2] for r in got})

@@ -88,3 +88,12 @@ def test_minhash_band_join_is_slim(spark, sf_dir):
     for l in _join_condition_lines(p):
         if "band_hash" in l:
             assert "shingles" not in l, "band join carries shingle arrays:\n" + l
+
+
+def test_rulebase_join_broadcasts(spark, sf_dir):
+    """O25: the class-rulebase join must be a BroadcastHashJoin (the
+    rulebase is a 16-row dimension table)."""
+    import kgspark.queries as Q
+
+    p = _plan(Q.kg_entity_class(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, "rulebase join did not broadcast"
