@@ -114,3 +114,49 @@ def test_checkpoint_metrics_lineage(spark, sf_dir, clean_run):
     stages = {r["stage"] for r in cp.collect()}
     assert {"spans", "mentions", "media_features", "base_triples",
             "edges", "labels", "entities", "entity_attrs", "triples"} <= stages
+
+
+def test_graph_replace_keyed_on_doc_graph(spark, sf_dir, clean_run, tmp_path_factory):
+    """O6 (sparql-put analogue): editing ONE document and re-running
+    replaces exactly that document's named graph in the base-triples
+    store — every other graph's rows are byte-identical."""
+    import shutil
+
+    wh_src, _, _ = clean_run
+    wh = str(tmp_path_factory.mktemp("wh_graph_put"))
+    shutil.copytree(wh_src, wh, dirs_exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trow = docs.select("doc_id", "source").orderBy("doc_id").limit(1).collect()[0]
+    target, source = trow["doc_id"], trow["source"]
+
+    before = {
+        tuple(r)
+        for r in ParquetCatalog(wh, 8).read(spark, "base_triples")
+        .select("g", "s", "p", "o").collect()
+    }
+
+    # edit one doc: its text becomes a single entity token
+    edited_dir = str(tmp_path_factory.mktemp("sf_edited"))
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == target, F.lit("customer")).otherwise(
+            F.col("text")
+        ),
+    )
+    edited.write.mode("overwrite").parquet(f"{edited_dir}/documents.parquet")
+    shutil.copy(f"{sf_dir}/embeddings.parquet", f"{edited_dir}/embeddings.parquet")
+
+    runner.run_all(spark, edited_dir, wh, n_buckets=8)
+    after = {
+        tuple(r)
+        for r in ParquetCatalog(wh, 8).read(spark, "base_triples")
+        .select("g", "s", "p", "o").collect()
+    }
+    g = f"doc://{target}"
+    assert {t for t in before if t[0] != g} == {t for t in after if t[0] != g}, (
+        "rows of untouched graphs must be identical"
+    )
+    assert {t for t in after if t[0] == g} != {t for t in before if t[0] == g}, (
+        "the edited doc's graph must have been replaced"
+    )
+    assert any(t[0] == g and t[3] == f"ex://{source}/customer" for t in after)
