@@ -154,6 +154,18 @@ def stream_to_catalog(
             "stream_mentions",
             partition_cols=["batch_key", "bucket"],
         )
+        # the streaming TRIPLE sink: per-doc named-graph quads through
+        # the same kernels + idempotence machinery as batch (O6/O41 —
+        # the micro-batch is a set of graph PUTs)
+        CP.run_bucketed_stage(
+            spark, cat, f"stream_base_triples#{bkey}", flat,
+            lambda d: with_bucket(
+                EX.base_quads(d, EX.mentions_df(d)), n_buckets
+            ).withColumn("batch_key", F.lit(bkey)),
+            "stream_base_triples",
+            partition_cols=["batch_key", "bucket"],
+            count_as_triples=True,
+        )
 
     q = (
         read_documents_stream(spark, input_dir)

@@ -139,3 +139,26 @@ def test_stream_to_catalog_exactly_once(spark, sf_dir, doc_stream_dir, tmp_path)
         .collect()
     }
     assert got2 == want
+
+
+def test_stream_triples_match_batch(spark, sf_dir, doc_stream_dir, tmp_path):
+    """The streaming triple sink produces the same per-graph quad set
+    as the batch base_quads stage (stream == batch through the full
+    term model)."""
+    from kgspark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "wh_t"), 8)
+    S.stream_to_catalog(spark, doc_stream_dir, cat, str(tmp_path / "scp_t"))
+    cols = ["g", "s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    got = {
+        tuple(r)
+        for r in cat.read(spark, "stream_base_triples").select(*cols).collect()
+    }
+    flat = fixtures.flat_spans(spark, sf_dir)
+    want = {
+        tuple(r)
+        for r in extract.base_quads(flat, extract.mentions_df(flat))
+        .select(*cols)
+        .collect()
+    }
+    assert got == want and len(want) > 0
