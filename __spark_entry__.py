@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data-pipeline operators (task brief: dedup/ANN/text)
         "dedup_exact": Q.dedup_exact,
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH
+        "dedup_clusters": Q.dedup_clusters,                 # near-dup keeper decision
         "doc_simhash": Q.doc_simhash,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "dedup_exact": OS.DEDUP_EXACT_SQL,
             "dedup_minhash_pairs": OS.MINHASH_LSH_PAIRS_SQL,
+            "dedup_clusters": OS.DEDUP_CLUSTERS_SQL,
             "doc_simhash": OS.DOC_SIMHASH_SQL,
             "dedup_simhash_pairs": OS.SIMHASH_PAIRS_SQL,
             "ngram_jaccard_pairs": OS.NGRAM_JACCARD_SQL,

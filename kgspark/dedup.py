@@ -427,6 +427,39 @@ def ngram_jaccard_pairs(docs: DataFrame, jaccard_min: float = 0.01) -> DataFrame
     )
 
 
+def dedup_clusters(
+    docs: DataFrame, jaccard_min: float = G.DEDUP_JACCARD_TAU
+) -> DataFrame:
+    """The dedup DECISION step: near-dup pairs (MinHash-LSH candidates
+    verified at ``jaccard_min``) → connected components → one canonical
+    keeper per cluster (min doc_id).  Returns (doc_id, keep_doc_id) for
+    every document that belongs to a near-dup cluster; a training-data
+    pipeline keeps rows where doc_id == keep_doc_id and drops the rest.
+
+    CC runs over zero-padded doc-id strings so the component's
+    lexicographic min label IS the numeric min doc id (cc.py's label
+    algebra is string-ordered)."""
+    from . import cc as cc_mod
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 20, "0")
+
+    pairs = minhash_lsh_pairs(docs, jaccard_min=jaccard_min)
+    edges = pairs.select(
+        pad(F.col("doc_a")).alias("norm_a"), pad(F.col("doc_b")).alias("norm_b")
+    )
+    nodes = (
+        edges.select(F.col("norm_a").alias("node"))
+        .unionByName(edges.select(F.col("norm_b").alias("node")))
+        .distinct()
+    )
+    labels = cc_mod.connected_components(edges, nodes)
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("keep_doc_id"),
+    )
+
+
 # --- embedding cosine near-dup -------------------------------------------------------
 def embedding_neardup(embeddings: DataFrame, cosine_min: float = 0.25) -> DataFrame:
     """Near-dup embedding pairs within an IVF cell (= label column),

@@ -537,6 +537,47 @@ JOIN shingled sa ON sa.doc_id = cand.doc_a
 JOIN shingled sb ON sb.doc_id = cand.doc_b
 """
 
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+perms(i, a, b) AS (VALUES {_PERMS_ROWS}),
+codes AS (SELECT doc_id, unnest(shingles) AS code FROM shingled),
+sig AS (
+  SELECT doc_id, i, min((a * code + b) % {G.HASH_P}) AS mh
+  FROM codes CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {G.LSH_ROWS} AS INT) AS band_id,
+         max(CASE WHEN i % {G.LSH_ROWS} = 0 THEN mh END) * {G.HASH_P}
+           + max(CASE WHEN i % {G.LSH_ROWS} = 1 THEN mh END) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(i // {G.LSH_ROWS} AS INT)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+   AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+),
+nd AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cand
+  JOIN shingled sa ON sa.doc_id = cand.doc_a
+  JOIN shingled sb ON sb.doc_id = cand.doc_b
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= 0.01
+),
+nodes AS (SELECT doc_a AS n FROM nd UNION SELECT doc_b FROM nd),
+bidir AS (SELECT doc_a AS s, doc_b AS d FROM nd
+          UNION SELECT doc_b, doc_a FROM nd),
+reach AS (
+  SELECT n AS node, n AS label FROM nodes
+  UNION
+  SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS keep_doc_id
+FROM reach GROUP BY node
+"""
+
 _SIM_PERMS_ROWS = ", ".join(
     f"({b}, {G.hash_a(G.SIMHASH_HASH_OFFSET + b)}, {G.hash_b(G.SIMHASH_HASH_OFFSET + b)})"
     for b in range(G.SIMHASH_BITS)

@@ -299,6 +299,17 @@ def dedup_minhash_pairs(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", e6(F.col("jaccard")).alias("jaccard_e6"))
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clusters → canonical keeper per cluster.  The fixture
+    has no true near-dups (max trigram J ≈ 0.02), so the contract
+    decision threshold is 0.01 — the clustering machinery under test;
+    the production τ (DEDUP_JACCARD_TAU) is exercised on planted
+    duplicates in tests/test_dedup.py."""
+    from . import dedup as D
+
+    return D.dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_min=0.01)
+
+
 def doc_simhash(spark, sf_dir):
     from . import dedup as D
 

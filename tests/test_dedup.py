@@ -68,3 +68,41 @@ def test_minhash_banding_shape(spark, sf_dir):
     assert b.groupBy("doc_id").count().filter(
         F.col("count") != G.LSH_BANDS
     ).count() == 0
+
+
+def test_dedup_clusters_planted(spark, planted):
+    """Decision step at the production threshold: each planted trio
+    (original, exact copy, near copy) collapses to one cluster keyed by
+    the min doc_id; untouched docs appear in no cluster."""
+    out = {r["doc_id"]: r["keep_doc_id"]
+           for r in D.dedup_clusters(planted).collect()}
+    for i in range(5):
+        assert out.get(i) == i
+        assert out.get(i + 10000) == i, "exact copy keeps the original"
+        assert out.get(i + 20000) == i, "near copy keeps the original"
+    # a doc with no near-dup must not appear
+    assert 7 not in out
+
+
+def test_setsim_pairs_hot_key_exact(spark):
+    """Hot-key correctness: 60 sets sharing one scorching code (every
+    pair qualifies through it) — the salted slim count join must still
+    produce the exact brute-force pair set and Jaccard values."""
+    import itertools
+
+    rows = []
+    for i in range(60):
+        # shared hot code 999; two semi-shared codes; one unique code
+        rows.append((i, [999, 100 + (i % 3), 200 + (i % 5), 1000 + i]))
+    df = spark.createDataFrame(rows, "id long, codes array<bigint>")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.setsim_pairs(df, "id", "codes", 0.2).collect()
+    }
+    sets = {i: set(c) for i, c in rows}
+    want = {}
+    for a, b in itertools.combinations(range(60), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.2:
+            want[(a, b)] = round(j, 9)
+    assert got == want and len(want) > 100
