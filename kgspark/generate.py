@@ -222,6 +222,23 @@ def graph_diff(new: DataFrame, old: DataFrame) -> tuple[DataFrame, DataFrame]:
     return new.exceptAll(old), old.exceptAll(new)
 
 
+def graph_diff_by_g(
+    new_quads: DataFrame, old_quads: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """D4 per-NAMED-GRAPH diff: (added, removed, dirty_graphs).  The
+    twine_graph old/new pair at graph granularity — ``dirty_graphs``
+    (1-col ``g``) is the trigger set for incremental regeneration:
+    only documents whose graph changed need their downstream entities
+    reprocessed (feed into ``incremental_entities``)."""
+    cols = [c for c in new_quads.columns if c in old_quads.columns]
+    added = new_quads.select(*cols).exceptAll(old_quads.select(*cols))
+    removed = old_quads.select(*cols).exceptAll(new_quads.select(*cols))
+    dirty = (
+        added.select("g").unionByName(removed.select("g")).distinct()
+    )
+    return added, removed, dirty
+
+
 def incremental_entities(
     prior_mentions: DataFrame,
     prior_labels: DataFrame,

@@ -56,3 +56,29 @@ def test_noop_batch_changes_nothing(spark, sf_dir):
     assert changed.count() == 0
     assert new_attrs.count() == 0
     assert {tuple(r) for r in final_attrs.collect()} == {tuple(r) for r in attrs.collect()}
+
+
+def test_graph_diff_by_g_isolates_dirty_graphs(spark, sf_dir):
+    """Editing one document dirties exactly its named graph: the
+    per-graph diff localizes change to doc://<id> (the incremental
+    trigger set)."""
+    from pyspark.sql import functions as F
+
+    from kgspark import extract, fixtures, generate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == target, F.lit("customer value")).otherwise(
+            F.col("text")
+        ),
+    )
+
+    def quads(d):
+        flat = fixtures.flat_spans(fixtures.with_spans(d))
+        return extract.base_quads(flat, extract.mentions_df(flat))
+
+    added, removed, dirty = generate.graph_diff_by_g(quads(edited), quads(docs))
+    assert {r["g"] for r in dirty.collect()} == {f"doc://{target}"}
+    assert added.count() > 0 and removed.count() > 0
