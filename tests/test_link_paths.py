@@ -70,3 +70,21 @@ def test_incomplete_caller_vocab_falls_back_to_array_path(spark, sf_dir):
         for r in link.scored_edges(m, emb, vocab=bad_vocab).collect()
     }
     assert got == good and len(good) > 0
+
+
+def test_cartesian_and_index_bitmask_paths_agree(spark, sf_dir, monkeypatch):
+    """The broadcast-cartesian fast path (small distinct-mask space)
+    and the salted inverted-index path must produce identical edges."""
+    m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir)).localCheckpoint()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def edges():
+        return {
+            (r["norm_a"], r["norm_b"], round(r["jaccard"], 9))
+            for r in link.scored_edges(m, emb).collect()
+        }
+
+    cart = edges()                                  # default: cartesian
+    monkeypatch.setattr(link, "CART_GROUPS_MAX", -1)  # force index join
+    idx = edges()
+    assert cart == idx and len(cart) > 0
