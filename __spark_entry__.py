@@ -82,7 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
-        "langid": Q.langid,                                 # rows-only check
+        "langid": Q.langid,                                 # full oracle (r2)
+        "curate_corpus": Q.curate_corpus,                   # composed keep/drop decision
         # RDF serialization round-trips (O9-O11 reference parity)
         "rdf_ntriples_roundtrip": Q.rdf_ntriples_roundtrip,
         "rdf_turtle_roundtrip": Q.rdf_turtle_roundtrip,
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
             "langid": OS.LANGID_SQL,
+            "curate_corpus": OS.CURATE_SQL,
             # round-trips must reproduce the independent FULL-TERM oracle
             # (lossless including @lang tags and ^^datatypes)
             "rdf_ntriples_roundtrip": OS.TRIPLES_FULL_SQL,

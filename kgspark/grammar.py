@@ -187,6 +187,13 @@ BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
 # ---------------------------------------------------------------------------
 LANGID_TOP_N = 400
 
+# Corpus-curation policy (kgspark/curate.py): a doc is kept iff
+#   quality_e6 ≥ QUALITY_MIN_E6            (drops the worst ~10%)
+#   AND predicted_lang == lang             (langid agreement)
+#   AND it is not a non-keeper member of a near-dup cluster.
+# reason = first failing rule in that order, else 'keep'.
+QUALITY_MIN_E6 = 560_000
+
 
 def langid_rot_py(lang: str) -> int:
     return (ord(lang[0]) * 31 + ord(lang[1] if len(lang) > 1 else lang[0])) % 26

@@ -537,8 +537,7 @@ JOIN shingled sa ON sa.doc_id = cand.doc_a
 JOIN shingled sb ON sb.doc_id = cand.doc_b
 """
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {SHINGLES_CTE},
+_CLUSTERS_CTES = f"""
 perms(i, a, b) AS (VALUES {_PERMS_ROWS}),
 codes AS (SELECT doc_id, unnest(shingles) AS code FROM shingled),
 sig AS (
@@ -573,9 +572,16 @@ reach AS (
   SELECT n AS node, n AS label FROM nodes
   UNION
   SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.node
+),
+ckeep AS MATERIALIZED (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS keep_doc_id
+  FROM reach GROUP BY node
 )
-SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS keep_doc_id
-FROM reach GROUP BY node
+"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {_CLUSTERS_CTES}
+SELECT doc_id, keep_doc_id FROM ckeep
 """
 
 _SIM_PERMS_ROWS = ", ".join(
@@ -795,8 +801,8 @@ _TRI_CODE = (
     f" + {_sh('ascii(substr(text, i+2, 1))')}::BIGINT"
 )
 
-LANGID_SQL = f"""
-WITH d AS (
+_LANGID_CTES = f"""
+d AS (
   SELECT doc_id, lang, text,
          (ascii(substr(lang, 1, 1))*31 + ascii(substr(lang, 2, 1))) % 26 AS rot
   FROM documents
@@ -820,11 +826,51 @@ scores AS (
 universe AS (
   SELECT doc_id, lang, cand
   FROM documents CROSS JOIN (SELECT DISTINCT lang AS cand FROM documents)
+),
+lpred AS MATERIALIZED (
+  SELECT doc_id, lang, cand AS predicted_lang
+  FROM universe LEFT JOIN scores USING (doc_id, cand)
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY coalesce(score, 0) DESC, cand ASC) = 1
 )
-SELECT doc_id, lang, cand AS predicted_lang
-FROM universe LEFT JOIN scores USING (doc_id, cand)
-QUALIFY row_number() OVER (PARTITION BY doc_id
-                           ORDER BY coalesce(score, 0) DESC, cand ASC) = 1
+"""
+
+LANGID_SQL = f"""
+WITH {_LANGID_CTES}
+SELECT doc_id, lang, predicted_lang FROM lpred
+"""
+
+# --- corpus curation oracle (grammar.py policy over the composed ops) -------
+_QUAL_CTE = f"""
+qual AS (
+  SELECT doc_id,
+    CAST(floor(1e6 * (0.5 * (1 - stop_ratio)
+        + 0.3 * least(1.0, n_tokens / 50.0)
+        + 0.2 * distinct_ratio)) AS BIGINT) AS quality_e6
+  FROM (
+    SELECT doc_id, len(toks) AS n_tokens,
+      len(list_filter(toks, t -> t IN ({_STOP_LIST})))::DOUBLE / len(toks)
+        AS stop_ratio,
+      len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+"""
+
+CURATE_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {_CLUSTERS_CTES}, {_LANGID_CTES}, {_QUAL_CTE}
+SELECT doc_id, reason, CAST(reason = 'keep' AS INT) AS keep FROM (
+  SELECT documents.doc_id,
+    CASE WHEN q.quality_e6 < {G.QUALITY_MIN_E6} THEN 'low_quality'
+         WHEN p.predicted_lang <> p.lang THEN 'lang_mismatch'
+         WHEN k.keep_doc_id IS NOT NULL AND k.keep_doc_id <> documents.doc_id
+              THEN 'near_duplicate'
+         ELSE 'keep' END AS reason
+  FROM documents
+  JOIN qual q USING (doc_id)
+  JOIN lpred p USING (doc_id)
+  LEFT JOIN ckeep k USING (doc_id)
+)
 """
 
 PREDICATE_COUNTS_SQL = f"""

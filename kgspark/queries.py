@@ -383,6 +383,14 @@ def langid(spark, sf_dir):
     return TS.langid(spark, _t(spark, sf_dir, "documents"))
 
 
+def curate_corpus(spark, sf_dir):
+    """Composed keep/drop curation decision (quality → langid →
+    near-dup keeper; grammar.py policy)."""
+    from .curate import curate_corpus as C
+
+    return C(spark, _t(spark, sf_dir, "documents"))
+
+
 # --- RDF round-trip + triple/quad-table queries --------------------------------
 _TERM_COLS = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
 
