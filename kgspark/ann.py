@@ -7,9 +7,12 @@
   deterministic (cosine desc, neighbor asc) tie-break.  The exact
   baseline every ANN variant is measured against.
 * ``ann_ivf`` — IVF-style cell-restricted search: the ``label`` column
-  plays the role of the coarse-quantizer cell assignment (a real
-  deployment k-means-trains cells and probes nprobe > 1); searching
+  plays the role of the coarse-quantizer cell assignment; searching
   only the query's own cell is the classic recall/throughput trade.
+* ``ann_ivf_probe`` — the trained form: integer-exact per-cell
+  centroids, cells ranked per query by centroid cosine, top-nprobe
+  cells searched (oracle-checkable because the quantizer math is pure
+  int64).
 
 Scale shape: queries broadcast (they are the small side); the corpus
 scan is embarrassingly parallel; top-k per query is a partial
