@@ -75,12 +75,16 @@ def entity_attrs_df(
             F.col("lang").alias("label_lang"),
         )
     )
+    # D7 parity: spindle index rows carry the proxy's class
+    classes = entity_classes(mentions, labels, members=members)
     return (
         counts.join(best, "entity_id")
+        .join(classes, "entity_id")
         .select(
             "entity_id",
             "label",
             "label_lang",
+            "class",
             "n_members",
             "n_mentions",
             F.col("n_mentions").alias("score"),

@@ -215,10 +215,12 @@ ranked AS MATERIALIZED (
 ),
 attrs AS MATERIALIZED (
   SELECT e.entity_id, r.norm_text AS label, r.lang AS label_lang,
-         c.n_members, c.n_mentions, c.n_mentions AS score
+         ec.cls AS class, c.n_members, c.n_mentions,
+         c.n_mentions AS score
   FROM counts c
   JOIN ranked r ON r.root = c.root AND r.rn = 1
   JOIN eids e ON e.label = c.root
+  JOIN eclass ec ON ec.entity_id = e.entity_id
 )
 """
 
@@ -289,7 +291,7 @@ SELECT entity_id, member_iri FROM entities ORDER BY entity_id, member_iri
 
 ENTITY_ATTRS_SQL = f"""
 {_KG_CTES}
-SELECT entity_id, label, label_lang, n_members, n_mentions, score
+SELECT entity_id, label, label_lang, class, n_members, n_mentions, score
 FROM attrs ORDER BY entity_id
 """
 
