@@ -391,6 +391,29 @@ RELATIONAL_SQL = {
                    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
           FROM lineitem) WHERE rn <= 2
     """,
+    "tpch_q3_topk": f"""
+        SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+               CAST(sum({_e6('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+                 AS revenue_e6
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue_e6 DESC, l_orderkey ASC LIMIT 10
+    """,
+    "event_moving_sum": f"""
+        SELECT user_id, event_id,
+               CAST(sum(v) OVER w AS BIGINT) AS mov_sum_e6,
+               CAST(count(*) OVER w AS BIGINT) AS n_window
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     {_e6('value')} AS v
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
     "event_gaps": """
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                epoch_us(lead(ts) OVER (PARTITION BY user_id

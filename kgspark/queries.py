@@ -185,6 +185,65 @@ def top2_lineitems_per_order(spark, sf_dir):
     )
 
 
+def tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (segment-filtered customers ⋈ orders
+    ⋈ lineitem) with date band filters, revenue aggregation, top-10 —
+    the multi-join + agg + top-k composite (O19/O26/O31)."""
+    _ensure_utc(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    seg = c.select(F.min("c_mktsegment")).collect()[0][0]
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == seg)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(e6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_e6"
+            )
+        )
+        .orderBy(F.desc("revenue_e6"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "revenue_e6",
+        )
+    )
+
+
+def event_moving_sum(spark, sf_dir):
+    """RANGE-frame window (the one frame type lead/lag/row_number
+    don't cover): per user, value sum + row count over the trailing
+    30 real-time minutes — tie-agnostic because a RANGE frame includes
+    every peer row of the current timestamp."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        e6(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-30 * 60 * 1000000, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).alias("mov_sum_e6"),
+        F.count("*").over(w).alias("n_window"),
+    )
+
+
 def event_gaps(spark, sf_dir):
     _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
