@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "embedding_neardup": Q.embedding_neardup,
+        "embedding_neardup_trained": Q.embedding_neardup_trained,  # Lloyd-assigned cells
         "ann_topk": Q.ann_topk,                             # brute-force ANN
         "ann_ivf": Q.ann_ivf,                               # IVF-cell ANN
         "ann_ivf_probe": Q.ann_ivf_probe,                   # trained IVF, nprobe=2
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash_pairs": OS.SIMHASH_PAIRS_SQL,
             "ngram_jaccard_pairs": OS.NGRAM_JACCARD_SQL,
             "embedding_neardup": OS.EMBEDDING_NEARDUP_SQL,
+            "embedding_neardup_trained": OS.EMBEDDING_NEARDUP_TRAINED_SQL,
             "ann_topk": OS.ANN_TOPK_SQL,
             "ann_ivf": OS.ANN_IVF_SQL,
             "ann_ivf_probe": OS.ANN_IVF_PROBE_SQL,

@@ -106,6 +106,46 @@ def cell_centroids_int(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
     )
 
 
+def assign_cells(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
+    """Quantizer ASSIGNMENT step: every vector re-assigned to its
+    nearest trained centroid (max integer-exact centroid cosine,
+    ties → min label) — one k-means-style Lloyd assignment over the
+    integer centroids of ``cell_centroids_int``.  Returns
+    (vec_id, cell).  Deterministic on every engine because the whole
+    scoring chain is int64."""
+    cent = cell_centroids_int(embeddings, scale)
+    vdims = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * scale).cast("bigint").alias("q"),
+    )
+    scores = (
+        vdims.join(cent, "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("v")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("qq"),
+        )
+    )
+    cnorm = cent.groupBy("label").agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    cell_cos = scores.join(cnorm, "label").select(
+        "vec_id",
+        "label",
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qq").cast("double") * F.col("vv").cast("double"))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    return (
+        cell_cos.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+
+
 def ann_ivf_probe(
     embeddings: DataFrame,
     n_queries: int = 20,

@@ -681,6 +681,49 @@ FROM embeddings a JOIN embeddings b
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
 """
 
+# Trained-quantizer near-dup: re-assign every vector to its nearest
+# integer centroid, then pair within the ASSIGNED cell.
+EMBEDDING_NEARDUP_TRAINED_SQL = """
+WITH vd AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+),
+cd AS (
+  SELECT label, i AS dim,
+         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+              AS BIGINT) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+  GROUP BY label, i
+),
+sc AS (
+  SELECT vd.vec_id, cd.label,
+         CAST(sum(vd.q * cd.v) AS BIGINT) AS dot,
+         CAST(sum(vd.q * vd.q) AS BIGINT) AS qq
+  FROM vd JOIN cd USING (dim) GROUP BY 1, 2
+),
+cn AS (SELECT label, CAST(sum(v * v) AS BIGINT) AS vv FROM cd GROUP BY label),
+assigned AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT sc.vec_id, sc.label,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(vv AS DOUBLE))
+             AS ccos
+    FROM sc JOIN cn USING (label)
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, label ASC) = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, aa.cell AS cell,
+       CAST(round(1e6 * list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])) AS BIGINT)
+         AS cosine_e6
+FROM embeddings a
+JOIN assigned aa ON aa.vec_id = a.vec_id
+JOIN assigned ab ON ab.cell = aa.cell
+JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+"""
+
 ANN_TOPK_SQL = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

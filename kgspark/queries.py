@@ -400,6 +400,16 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+def embedding_neardup_trained(spark, sf_dir):
+    from . import dedup as D
+
+    p = D.embedding_neardup_trained(_t(spark, sf_dir, "embeddings"))
+    return p.select(
+        "vec_a", "vec_b", "cell",
+        F.round(F.col("cosine") * F.lit(1000000.0)).cast("bigint").alias("cosine_e6"),
+    )
+
+
 def ann_topk(spark, sf_dir):
     from . import ann as A
 
