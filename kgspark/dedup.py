@@ -438,11 +438,20 @@ def dedup_clusters(
 
     CC runs over zero-padded doc-id strings so the component's
     lexicographic min label IS the numeric min doc id (cc.py's label
-    algebra is string-ordered)."""
+    algebra is string-ordered).  That equivalence requires NON-NEGATIVE
+    doc ids ('-5' would lpad to '000…-5' and break both the ordering and
+    the keeper-min semantics), so the pad asserts it per row — a
+    negative id fails the job loudly instead of silently mis-clustering."""
     from . import cc as cc_mod
 
     def pad(c):
-        return F.lpad(c.cast("string"), 20, "0")
+        checked = F.when(
+            F.assert_true(
+                c >= 0, F.lit("dedup_clusters: doc_id must be non-negative")
+            ).isNull(),
+            c,
+        )
+        return F.lpad(checked.cast("string"), 20, "0")
 
     pairs = minhash_lsh_pairs(docs, jaccard_min=jaccard_min)
     edges = pairs.select(
@@ -471,7 +480,7 @@ def embedding_neardup_trained(
     The cell is a similarity-preserving bucket derived from the data
     itself; block sizes stay bounded by the quantizer granularity."""
     from .ann import assign_cells
-    from .link import _cosine_batch
+    from .link import _cosine_batch_once
 
     cells = assign_cells(embeddings)
     e = (
@@ -491,7 +500,11 @@ def embedding_neardup_trained(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").alias("cell"),
-            _cosine_batch(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            # _once variant: keeps the threshold filter ABOVE the single
+            # ArrowEvalPython node (one kernel evaluation per pair)
+            _cosine_batch_once(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= cosine_min)
     )
@@ -500,7 +513,7 @@ def embedding_neardup_trained(
 def embedding_neardup(embeddings: DataFrame, cosine_min: float = 0.25) -> DataFrame:
     """Near-dup embedding pairs within an IVF cell (= label column),
     double-precision cosine, threshold filter."""
-    from .link import _cosine_batch
+    from .link import _cosine_batch_once
 
     e = embeddings.select("vec_id", "label", "embedding")
     a = e.alias("a")
@@ -515,7 +528,11 @@ def embedding_neardup(embeddings: DataFrame, cosine_min: float = 0.25) -> DataFr
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            _cosine_batch(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            # _once variant: keeps the threshold filter ABOVE the single
+            # ArrowEvalPython node (one kernel evaluation per pair)
+            _cosine_batch_once(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= cosine_min)
     )

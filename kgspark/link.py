@@ -107,6 +107,15 @@ def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series(dots / (na * nb))
 
 
+# The kernel IS deterministic; this alias only flips the Catalyst flag so
+# a threshold filter referencing the scored column is NOT pushed below the
+# projection (PushDownPredicates duplicates the expression, yielding two
+# ArrowEvalPython nodes that each run the kernel over every pair — the
+# round-2 double-eval finding in embedding_neardup{,_trained}).  Use this
+# alias whenever a filter consumes the kernel's output column.
+_cosine_batch_once = _cosine_batch.asNondeterministic()
+
+
 def scored_edges(
     mentions: DataFrame,
     embeddings: DataFrame,
@@ -257,8 +266,9 @@ def _scored_edges_array(
         & (F.col("a.sb") == F.col("b.sb"))
         & (F.col("a.key") < F.col("b.key"))
         & (
-            2 * F.least(F.col("a.len"), F.col("b.len"))
-            >= F.greatest(F.col("a.len"), F.col("b.len"))
+            # Jaccard >= tau requires min_len >= tau * max_len
+            F.least(F.col("a.len"), F.col("b.len")).cast("double")
+            >= F.lit(tau) * F.greatest(F.col("a.len"), F.col("b.len"))
         ),
     )
     shared = F.size(F.array_intersect(F.col("a.codes"), F.col("b.codes")))
@@ -470,8 +480,9 @@ def _scored_edges_bitmask(
                 F.broadcast(slim_b),
                 (F.col("mask_a") < F.col("mask_b"))
                 & (
-                    2 * F.least(F.col("len_a"), F.col("len_b"))
-                    >= F.greatest(F.col("len_a"), F.col("len_b"))
+                    # Jaccard >= tau requires min_len >= tau * max_len
+                    F.least(F.col("len_a"), F.col("len_b")).cast("double")
+                    >= F.lit(tau) * F.greatest(F.col("len_a"), F.col("len_b"))
                 )
                 & (
                     shared_c.cast("double")
@@ -521,8 +532,9 @@ def _scored_edges_bitmask(
             & (F.col("a.sb") == F.col("b.sb"))
             & (F.col("a.mask") < F.col("b.mask"))
             & (
-                2 * F.least(F.col("a.len"), F.col("b.len"))
-                >= F.greatest(F.col("a.len"), F.col("b.len"))
+                # Jaccard >= tau requires min_len >= tau * max_len
+                F.least(F.col("a.len"), F.col("b.len")).cast("double")
+                >= F.lit(tau) * F.greatest(F.col("a.len"), F.col("b.len"))
             ),
         )
         # emit once: join token is the lowest set bit of the shared prefix

@@ -193,10 +193,14 @@ def tpch_q3_topk(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    seg = c.select(F.min("c_mktsegment")).collect()[0][0]
+    # scalar-subquery shape without a driver round-trip at plan-build
+    # time: the 1-row min(segment) aggregate joins back as a broadcast —
+    # the oracle's (SELECT min(c_mktsegment) FROM customer), lazily
+    seg_df = c.agg(F.min("c_mktsegment").alias("_seg"))
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
     return (
-        c.filter(F.col("c_mktsegment") == seg)
+        c.join(F.broadcast(seg_df), c.c_mktsegment == F.col("_seg"))
+        .drop("_seg")
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
