@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_xml_roundtrip": Q.rdf_xml_roundtrip,
         "xml_transform": Q.xml_transform,           # O12 XSLT-analogue
         "kg_predicate_counts": Q.kg_predicate_counts,
+        # graph-carrying quad round-trips (O11 N-Quads/TriG, r3)
+        "kg_quads_full": Q.kg_quads_full,           # D4 quad model
+        "rdf_nquads_roundtrip": Q.rdf_nquads_roundtrip,
+        "rdf_trig_roundtrip": Q.rdf_trig_roundtrip,
     }
 
 
@@ -137,6 +141,11 @@ def oracle_sql() -> dict[str, str]:
             "rdf_xml_roundtrip": OS.TRIPLES_FULL_SQL,
             "xml_transform": OS.XML_TRANSFORM_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
+            # quad round-trips reproduce the independent QUAD oracle
+            # (lossless including the named graph g)
+            "kg_quads_full": OS.QUADS_FULL_SQL,
+            "rdf_nquads_roundtrip": OS.QUADS_FULL_SQL,
+            "rdf_trig_roundtrip": OS.QUADS_FULL_SQL,
         }
     )
     return out

@@ -306,6 +306,12 @@ SELECT DISTINCT s, p, o, o_kind, o_lang, o_datatype FROM {_QUADS_UNION}
 ORDER BY s, p, o, o_kind, o_lang, o_datatype
 """
 
+QUADS_FULL_SQL = f"""
+{_KG_CTES}
+SELECT DISTINCT g, s, p, o, o_kind, o_lang, o_datatype FROM {_QUADS_UNION}
+ORDER BY g, s, p, o, o_kind, o_lang, o_datatype
+"""
+
 GRAPH_COUNTS_SQL = f"""
 {_KG_CTES}
 SELECT g, count(*) AS n FROM (

@@ -528,6 +528,39 @@ def kg_triples_full(spark, sf_dir):
     return run_pipeline_cached(spark, sf_dir).triples_full
 
 
+_QUAD_COLS = ["g", "s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+
+
+def kg_quads_full(spark, sf_dir):
+    """The D4 named-graph quad model: (g, s, p, o, o_kind, o_lang,
+    o_datatype) — one row per distinct quad across doc graphs + root."""
+    from .pipeline import run_pipeline_cached
+
+    return run_pipeline_cached(spark, sf_dir).quads.select(*_QUAD_COLS)
+
+
+def rdf_nquads_roundtrip(spark, sf_dir):
+    """O11 graph-carrying round-trip: quads → N-Quads lines (graph IRI
+    as the 4th term) → vectorized parse — lossless incl. the named
+    graph, @lang tags and ^^datatypes; oracle is the independent DuckDB
+    quad oracle."""
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    q = run_pipeline_cached(spark, sf_dir).quads
+    return rdfio.parse_nquads(rdfio.to_nquads(q)).select(*_QUAD_COLS)
+
+
+def rdf_trig_roundtrip(spark, sf_dir):
+    """O11 TriG-subset round-trip: one `<g> {{ s p o . }}` block per
+    line, Turtle term syntax — same lossless quad-level oracle."""
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    q = run_pipeline_cached(spark, sf_dir).quads
+    return rdfio.parse_trig(rdfio.to_trig(q)).select(*_QUAD_COLS)
+
+
 def kg_graph_counts(spark, sf_dir):
     """Named-graph cardinalities (D4): one row per doc graph + the
     proxy root graph."""

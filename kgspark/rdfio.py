@@ -208,6 +208,137 @@ def parse_ntriples_native(lines: DataFrame) -> DataFrame:
     )
 
 
+# --- N-Quads (graph-carrying round-trip) --------------------------------------
+# SURVEY.md O11: N-Quads/TriG carry graph names → split the model by
+# named graph.  The pipeline's quad table (g, s, p, o, o_kind, o_lang,
+# o_datatype) round-trips losslessly: the writer appends the graph IRI
+# as the fourth term, the parser recovers it — so a graph-scoped
+# export/import preserves per-document graph boundaries.
+
+QUADS_PARSED_DDL = "g string, " + PARSED_DDL
+
+
+def to_nquads(quads: DataFrame) -> DataFrame:
+    """(g,s,p,o[,term cols]) → one N-Quads line per row: the N-Triples
+    statement with the graph IRI as the 4th term."""
+    obj = _object_term(
+        quads, lambda c: F.concat(F.lit("<"), expand(c), F.lit(">"))
+    )
+    line = F.concat(
+        F.lit("<"), expand(F.col("s")), F.lit("> <"), expand(F.col("p")),
+        F.lit("> "), obj, F.lit(" <"), expand(F.col("g")), F.lit("> ."),
+    )
+    return quads.select(line.alias("line"))
+
+
+_NQ_RE = re.compile(
+    r"^<(?P<s>[^>]*)> <(?P<p>[^>]*)> "
+    r"(?:<(?P<oiri>[^>]*)>|\"(?P<olit>(?:[^\"\\]|\\.)*)\""
+    r"(?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)|\^\^<(?P<dt>[^>]*)>)?)"
+    r" <(?P<g>[^>]*)> \.$"
+)
+
+
+def nquads_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized N-Quads parser: one Arrow batch of lines in, one batch
+    of (g, s, p, o, o_kind, o_lang, o_datatype) out; malformed lines are
+    dropped (quarantine upstream)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ext = pdf["line"].astype("string").str.extract(_NQ_RE)
+        ext = ext[ext["s"].notna()]
+        if len(ext) == 0:
+            continue
+        is_iri = ext["oiri"].notna()
+        o = ext["oiri"].where(is_iri, _unescape(ext["olit"]))
+        yield pd.DataFrame(
+            {
+                "g": _compact(ext["g"]),
+                "s": _compact(ext["s"]),
+                "p": _compact(ext["p"]),
+                "o": o.where(~is_iri, _compact(o)),
+                "o_kind": is_iri.map({True: "iri", False: "literal"}),
+                "o_lang": ext["lang"].fillna(""),
+                "o_datatype": _compact(ext["dt"].fillna("")),
+            }
+        )
+
+
+def parse_nquads(lines: DataFrame) -> DataFrame:
+    return lines.mapInPandas(nquads_parse_kernel, schema=QUADS_PARSED_DDL)
+
+
+# --- TriG subset ----------------------------------------------------------------
+# One single-line graph block per quad — `<g> { s p o . }` with Turtle
+# term syntax inside the braces.  (TriG allows one statement per block;
+# the line-oriented subset keeps the writer pure native exprs and the
+# parser an Arrow regex kernel, the same shape as every other format.)
+
+def to_trig(quads: DataFrame) -> DataFrame:
+    obj = _object_term(quads, _ttl_term)
+    if "o_kind" in quads.columns:
+        is_lit = F.col("o_kind") == "literal"
+        lang = F.col("o_lang") if "o_lang" in quads.columns else F.lit("")
+        dtype = F.col("o_datatype") if "o_datatype" in quads.columns else F.lit("")
+        suffix = (
+            F.when(lang != "", F.concat(F.lit("@"), lang))
+            .when(dtype != "", F.concat(F.lit("^^"), _ttl_term(dtype)))
+            .otherwise(F.lit(""))
+        )
+        obj = F.when(
+            is_lit,
+            F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'), suffix),
+        ).otherwise(_ttl_term(F.col("o")))
+    line = F.concat(
+        _ttl_term(F.col("g")), F.lit(" { "),
+        _ttl_term(F.col("s")), F.lit(" "), _ttl_term(F.col("p")),
+        F.lit(" "), obj, F.lit(" . }"),
+    )
+    return quads.select(line.alias("line"))
+
+
+def trig_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """TriG-subset parser: `<g> { s p o . }` one-line blocks; @prefix
+    and comment lines skipped; malformed lines dropped."""
+    trig_re = re.compile(
+        rf"^(?P<g>{_TTL_TERM}) \{{ (?P<s>{_TTL_TERM}) (?P<p>{_TTL_TERM}) "
+        rf"(?:(?P<oterm>{_TTL_TERM})|\"(?P<olit>(?:[^\"\\]|\\.)*)\""
+        rf"(?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)|\^\^(?P<dt>{_TTL_TERM}))?)"
+        rf" \. \}}$"
+    )
+
+    def norm_term(sr: pd.Series) -> pd.Series:
+        bare = sr.str.replace(r"^<|>$", "", regex=True)
+        return _compact(bare)
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        lines = pdf["line"].astype("string").str.strip()
+        lines = lines[~lines.str.startswith(("@prefix", "@base", "#"), na=False)]
+        ext = lines.str.extract(trig_re)
+        ext = ext[ext["s"].notna()]
+        if len(ext) == 0:
+            continue
+        is_iri = ext["oterm"].notna()
+        yield pd.DataFrame(
+            {
+                "g": norm_term(ext["g"]),
+                "s": norm_term(ext["s"]),
+                "p": norm_term(ext["p"]),
+                "o": norm_term(ext["oterm"]).where(is_iri, _unescape(ext["olit"])),
+                "o_kind": is_iri.map({True: "iri", False: "literal"}),
+                "o_lang": ext["lang"].fillna(""),
+                "o_datatype": norm_term(ext["dt"].fillna("")),
+            }
+        )
+
+
+def parse_trig(lines: DataFrame) -> DataFrame:
+    return lines.mapInPandas(trig_parse_kernel, schema=QUADS_PARSED_DDL)
+
+
 # --- Turtle subset -----------------------------------------------------------
 def _ttl_term(col):
     """Prefixed name when the value starts with a known prefix, else <iri>."""

@@ -111,3 +111,43 @@ def test_rdfxml_adversarial_literals(spark):
     )
     back = rdfio.parse_rdfxml(rdfio.to_rdfxml(t))
     assert _full(back) == _full(t)
+
+
+def _quad(df):
+    cols = ["g", "s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_nquads_roundtrip_carries_graph(spark, sf_dir):
+    """O11: N-Quads round-trip is lossless INCLUDING the named graph —
+    a graph-scoped export/import preserves per-doc graph boundaries."""
+    q = run_pipeline(spark, sf_dir).quads.localCheckpoint()
+    back = rdfio.parse_nquads(rdfio.to_nquads(q))
+    assert _quad(back) == _quad(q)
+    # graphs really are plural (per-doc graphs + the proxy root)
+    assert back.select("g").distinct().count() > 1
+
+
+def test_trig_roundtrip_carries_graph(spark, sf_dir):
+    q = run_pipeline(spark, sf_dir).quads.localCheckpoint()
+    back = rdfio.parse_trig(rdfio.to_trig(q))
+    assert _quad(back) == _quad(q)
+
+
+def test_quad_adversarial_literals(spark):
+    """@lang, ^^datatype, and escape-heavy literals survive the quad
+    round-trip per graph in both formats."""
+    vals = [
+        ("ex:graph/1", "ex:s1", "rdfs:label", "back\\nslash", "literal", "en", ""),
+        ("ex:graph/1", "ex:s2", "ex:score", "42", "literal", "", "xsd:integer"),
+        ("ex:graph/2", "ex:s1", "rdfs:label", 'q"uote\nnl', "literal", "", ""),
+        ("ex:graph/2", "ex:s3", "ex:mentions", "ex://src/a_b", "iri", "", ""),
+        ("http://other.example/g", "ex:s4", "ex:mentions", "ex:s5", "iri", "", ""),
+    ]
+    q = spark.createDataFrame(
+        vals,
+        "g string, s string, p string, o string, o_kind string, "
+        "o_lang string, o_datatype string",
+    )
+    assert _quad(rdfio.parse_nquads(rdfio.to_nquads(q))) == _quad(q)
+    assert _quad(rdfio.parse_trig(rdfio.to_trig(q))) == _quad(q)
