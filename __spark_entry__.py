@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_full": Q.kg_triples_full,       # D3 full term model
         "kg_graph_counts": Q.kg_graph_counts,       # D4 named graphs
         "kg_entity_class": Q.kg_entity_class,       # O25 rulebase classes
+        "kg_entity_props": Q.kg_entity_props,       # O24 property rulebase (r3)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_full": OS.TRIPLES_FULL_SQL,
         "kg_graph_counts": OS.GRAPH_COUNTS_SQL,
         "kg_entity_class": OS.ENTITY_CLASS_SQL,
+        "kg_entity_props": OS.ENTITY_PROPS_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -100,6 +100,74 @@ def rulebase_df(spark) -> DataFrame:
     )
 
 
+def property_rules_df(spark) -> DataFrame:
+    """The D7 PROPERTY rulebase as a (tiny) DataFrame — broadcast into
+    the per-predicate candidate join (spindle ``props.c`` map analogue)."""
+    return spark.createDataFrame(
+        G.PROPERTY_RULES, "pred string, shape string, priority int, lang_pref int"
+    )
+
+
+def entity_props(
+    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+) -> DataFrame:
+    """O24 FULL D7 form: multi-predicate property selection driven by
+    the broadcast PROPERTY_RULES table.  Every member mention
+    contributes one candidate row per feature shape; the rulebase join
+    attaches (target pred, priority, lang_pref); a single window per
+    (entity, pred) picks the winner — priority asc, then LANG_PREF rank
+    (only for lang_pref rules), then value asc, then lang asc (total
+    order ⇒ deterministic at any parallelism).
+
+    Returns (entity_id, pred, value, value_lang) — one row per entity
+    per target predicate.  Scale shape: candidates are slim 4-column
+    rows distinct-ed before the 5-row broadcast join; the window
+    partitions on (entity_id, pred) — no global sort."""
+    if members is None:
+        members = entity_membership(mentions, labels)
+    m = mentions.join(
+        labels.withColumnRenamed("node", "norm_text"), "norm_text"
+    ).join(members.select("label", "entity_id").distinct(), "label")
+    base = m.select("entity_id", "norm_text", "lang", "source")
+    ntok = F.size(F.split("norm_text", " "))
+    shapes = [
+        ("norm_multi", F.col("norm_text"), ntok >= 2),
+        ("norm_any", F.col("norm_text"), F.lit(True)),
+        ("first_token", F.split("norm_text", " ").getItem(0), F.lit(True)),
+        ("source", F.col("source"), F.lit(True)),
+        ("lang", F.col("lang"), F.lit(True)),
+    ]
+    cands = None
+    for name, val, cond in shapes:
+        c = base.filter(cond).select(
+            "entity_id", F.lit(name).alias("shape"), val.alias("value"), "lang"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    rules = property_rules_df(mentions.sparkSession)
+    joined = cands.join(F.broadcast(rules), "shape").withColumn(
+        "lang_ord",
+        F.when(F.col("lang_pref") == 1, X.lang_rank(F.col("lang"))).otherwise(
+            F.lit(0)
+        ),
+    )
+    w = Window.partitionBy("entity_id", "pred").orderBy(
+        "priority", "lang_ord", "value", "lang"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            "pred",
+            "value",
+            F.when(F.col("lang_pref") == 1, F.col("lang"))
+            .otherwise(F.lit(""))
+            .alias("value_lang"),
+        )
+    )
+
+
 def entity_classes(
     mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
 ) -> DataFrame:

@@ -101,6 +101,31 @@ CLASS_RULES = [  # (first_token, class, score)
 DEFAULT_CLASS = O_ENTITY_CLASS
 DEFAULT_CLASS_SCORE = 0
 
+# ---------------------------------------------------------------------------
+# Property rulebase (D7 FULL form; spindle ``generate/props.c`` property
+# map `[U~]`): an ordered candidate list per TARGET predicate.  Each
+# rule maps a member feature SHAPE to a candidate value with a priority
+# (lower wins — spindle evaluates its prop map in order); rules with
+# ``lang_pref`` = 1 additionally rank same-priority candidates by the
+# LANG_PREF list (spindle's language preference on literal properties).
+# Selection per (entity, target_pred): min priority, then lang rank,
+# then value asc, then lang asc — one winning (value, lang) pair.
+# Shapes are features of the member mentions:
+#   norm_multi  — the normalized mention text, only when multi-token
+#                 (the more descriptive title candidate),
+#   norm_any    — any normalized mention text (fallback),
+#   first_token — the mention's head token,
+#   source      — the member's document source,
+#   lang        — the member's document language.
+# ---------------------------------------------------------------------------
+PROPERTY_RULES = [  # (pred, shape, priority, lang_pref)
+    ("ex:title", "norm_multi", 1, 1),
+    ("ex:title", "norm_any", 2, 1),
+    ("ex:subject", "first_token", 1, 0),
+    ("ex:origin", "source", 1, 0),
+    ("dc:language", "lang", 1, 1),
+]
+
 # Coreference predicates (spindle/correlate coref set analogue).
 COREF_PREDICATES = [P_SAME_AS, "skos:exactMatch"]
 

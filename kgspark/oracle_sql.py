@@ -224,6 +224,49 @@ attrs AS MATERIALIZED (
 )
 """
 
+# Property rulebase (O24 full D7 form; mirrors generate.entity_props).
+_PROP_RULES_ROWS = ", ".join(
+    f"('{p}', '{sh}', {pr}, {lp})" for p, sh, pr, lp in G.PROPERTY_RULES
+)
+
+PROPS_CTE = f"""
+prules(pred, shape, prio, lang_pref) AS (VALUES {_PROP_RULES_ROWS}),
+pcand AS MATERIALIZED (
+  SELECT DISTINCT entity_id, shape, value, lang FROM (
+    SELECT e.entity_id, 'norm_multi' AS shape, mm.norm_text AS value, mm.lang
+    FROM mm JOIN eids e ON e.label = mm.root
+    WHERE len(string_split(mm.norm_text, ' ')) >= 2
+    UNION ALL
+    SELECT e.entity_id, 'norm_any', mm.norm_text, mm.lang
+    FROM mm JOIN eids e ON e.label = mm.root
+    UNION ALL
+    SELECT e.entity_id, 'first_token', string_split(mm.norm_text, ' ')[1], mm.lang
+    FROM mm JOIN eids e ON e.label = mm.root
+    UNION ALL
+    SELECT e.entity_id, 'source', mm.source, mm.lang
+    FROM mm JOIN eids e ON e.label = mm.root
+    UNION ALL
+    SELECT e.entity_id, 'lang', mm.lang, mm.lang
+    FROM mm JOIN eids e ON e.label = mm.root
+  )
+),
+eprops AS MATERIALIZED (
+  SELECT entity_id, pred, value,
+         CASE WHEN lang_pref = 1 THEN lang ELSE '' END AS value_lang
+  FROM (
+    SELECT c.entity_id, r.pred, c.value, c.lang, r.lang_pref,
+           row_number() OVER (
+             PARTITION BY c.entity_id, r.pred
+             ORDER BY r.prio,
+                      CASE WHEN r.lang_pref = 1
+                           THEN {_lang_rank_sql('c.lang')} ELSE 0 END,
+                      c.value, c.lang
+           ) AS rn
+    FROM pcand c JOIN prules r USING (shape)
+  ) WHERE rn = 1
+)
+"""
+
 # Rulebase class selection (O25; mirrors generate.entity_classes).
 _RULES_ROWS = ", ".join(f"('{t}', '{c}', {s})" for t, c, s in G.CLASS_RULES)
 
@@ -293,6 +336,12 @@ ENTITY_ATTRS_SQL = f"""
 {_KG_CTES}
 SELECT entity_id, label, label_lang, class, n_members, n_mentions, score
 FROM attrs ORDER BY entity_id
+"""
+
+ENTITY_PROPS_SQL = f"""
+{_KG_CTES}, {PROPS_CTE}
+SELECT entity_id, pred, value, value_lang
+FROM eprops ORDER BY entity_id, pred
 """
 
 TRIPLES_SQL = f"""

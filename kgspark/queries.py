@@ -577,6 +577,13 @@ def kg_entity_class(spark, sf_dir):
     return gen.entity_classes(m, labels)
 
 
+def kg_entity_props(spark, sf_dir):
+    """O24 full D7 form: multi-predicate property selection via the
+    broadcast PROPERTY_RULES table (priority + lang-pref window)."""
+    m, labels = _labels(spark, sf_dir)
+    return gen.entity_props(m, labels)
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 

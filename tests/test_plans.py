@@ -152,3 +152,12 @@ def test_rulebase_join_broadcasts(spark, sf_dir):
 
     p = _plan(Q.kg_entity_class(spark, sf_dir))
     assert "BroadcastHashJoin" in p, "rulebase join did not broadcast"
+
+
+def test_property_rulebase_join_broadcasts(spark, sf_dir):
+    """O24 full form: the PROPERTY_RULES join must be a
+    BroadcastHashJoin (5-row dimension table)."""
+    import kgspark.queries as Q
+
+    p = _plan(Q.kg_entity_props(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, "property rulebase join did not broadcast"
