@@ -186,10 +186,14 @@ def main() -> None:
     if "--scaling" in sys.argv:
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         n_hi = 4 * n_lo
-        results = {}
-        for n in (n_lo, n_hi):
-            best = None
-            for _ in range(3):  # min-of-3: noisy-neighbor guard
+        passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "5"))
+        # INTERLEAVE the two levels (lo, hi, lo, hi, …): the host VM's
+        # noisy-neighbor windows last minutes — running all-lo then
+        # all-hi lets one window bias a single level and therefore the
+        # ratio; alternating spreads any window across both levels.
+        samples: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+        for _ in range(passes):
+            for n in (n_lo, n_hi):
                 env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                            SPARK_GRAFT_CPUS=str(n),
                            SPARK_GRAFT_SCALE_REP=str(rep))
@@ -197,23 +201,39 @@ def main() -> None:
                     [sys.executable, __file__, "--scale-child"], env=env,
                     capture_output=True, text=True, check=True,
                 )
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                if best is None or r["value"] < best["value"]:
-                    best = r
-            results[n] = best
-        t_lo, t_hi = results[n_lo]["value"], results[n_hi]["value"]
+                samples[n].append(
+                    json.loads(out.stdout.strip().splitlines()[-1])
+                )
+
+        def _min(n):
+            return min(r["value"] for r in samples[n])
+
+        def _median(n):
+            xs = sorted(r["value"] for r in samples[n])
+            m = len(xs) // 2
+            return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+        t_lo, t_hi = _min(n_lo), _min(n_hi)
+        md_lo, md_hi = _median(n_lo), _median(n_hi)
+        n_triples = samples[n_lo][0]["n_triples"]
         print(json.dumps({
             "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
-            "value": round((t_lo / t_hi) / 4.0, 3),
+            "value": round((t_lo / t_hi) / (n_hi / n_lo), 3),
+            "efficiency_median": round((md_lo / md_hi) / (n_hi / n_lo), 3),
             "unit": "ratio",
             "sf": sf_dir,
             "replication": rep,
+            "passes": passes,
             "job": "doc-parallel extract (spans→mentions→base triples distinct)",
             f"sec_local{n_lo}": t_lo,
             f"sec_local{n_hi}": t_hi,
-            f"throughput_local{n_lo}_triples_per_sec": results[n_lo]["triples_per_sec"],
-            f"throughput_local{n_hi}_triples_per_sec": results[n_hi]["triples_per_sec"],
-            "n_triples": results[n_lo]["n_triples"],
+            f"sec_median_local{n_lo}": round(md_lo, 3),
+            f"sec_median_local{n_hi}": round(md_hi, 3),
+            f"samples_local{n_lo}": [r["value"] for r in samples[n_lo]],
+            f"samples_local{n_hi}": [r["value"] for r in samples[n_hi]],
+            f"throughput_local{n_lo}_triples_per_sec": round(n_triples / t_lo, 1),
+            f"throughput_local{n_hi}_triples_per_sec": round(n_triples / t_hi, 1),
+            "n_triples": n_triples,
         }))
         return
 
@@ -227,7 +247,15 @@ def main() -> None:
 def _scale_child(sf_dir: str, cpus: int, rep: int) -> dict:
     """One measurement of the doc-parallel extract job: fixed 32
     shuffle/data partitions at every level (identical work), input
-    prep (replication + repartition) excluded from the timed window."""
+    prep (replication + repartition) excluded from the timed window.
+
+    The timed job is the production DAG shape (pipeline.py): spans →
+    mention kernel → base triples → distinct → count as ONE action,
+    with the span table shared via a LAZY localCheckpoint — the eager
+    per-stage materialization barriers of the old protocol were a bench
+    artifact (block-manager traffic + GC the real pipeline doesn't do)
+    that contends hardest exactly on the multi-core side, understating
+    engine scaling."""
     from kgspark.session import get_spark
     from kgspark import extract, fixtures
     from kgspark.pipeline import repartition_docs
@@ -237,9 +265,10 @@ def _scale_child(sf_dir: str, cpus: int, rep: int) -> dict:
     docs = _scaled_documents(spark, sf_dir, rep)
     rp = repartition_docs(docs, 32).localCheckpoint(eager=True)
     t0 = time.time()
-    flat = fixtures.flat_spans(fixtures.with_spans(rp)).localCheckpoint(eager=True)
-    mentions = extract.mentions_df(flat).localCheckpoint(eager=True)
-    n = extract.base_triples(flat, mentions).count()
+    flat = fixtures.flat_spans(fixtures.with_spans(rp)).localCheckpoint(
+        eager=False
+    )
+    n = extract.base_triples(flat, extract.mentions_df(flat)).count()
     dt = time.time() - t0
     return {
         "value": round(dt, 3),

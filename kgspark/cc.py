@@ -23,11 +23,13 @@ Skew handling (hub entities: one IRI in 30% of docs):
   any single reducer's input — the classic hot-key two-phase combine.
 Both paths produce identical labels (tested).
 
-For graphs with giant diameters, large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce and Beyond") would
-bound rounds to ~O(log n); mention-coref graphs have tiny diameters
-(components are near-cliques), so min-propagation with early exit is
-both simpler and faster here — documented as the scale-up lever.
+For graphs with giant diameters, min-propagation's O(diameter) rounds
+blow up; ``algorithm="contraction"`` switches to large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), which converges in ~O(log n) rounds regardless of diameter.
+Mention-coref graphs have tiny diameters (components are near-cliques),
+so min-propagation with early exit stays the default; the contraction
+path is the implemented (and label-identical, tested) scale-up lever.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def connected_components(
     max_iter: int = 50,
     salt_buckets: int = 1,
     driver_threshold: int = 5_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """edges: (norm_a, norm_b) undirected; nodes: 1-col DataFrame of all
     node ids (singletons included).  Returns (node, label) where label =
@@ -63,8 +66,17 @@ def connected_components(
     never leave the cluster: they get label = node via a distributed
     anti-join.  An open-vocabulary corpus with few edges but billions
     of isolated mentions therefore cannot OOM the driver (round-2
-    verdict finding #3)."""
+    verdict finding #3).
+
+    ``algorithm``: "auto" (adaptive driver/min-label, the default),
+    "minlabel" (force the distributed propagation loop), or
+    "contraction" (large-star/small-star — O(log n) rounds, the
+    high-diameter path)."""
     spark = edges.sparkSession
+    if algorithm == "contraction":
+        return _contraction_cc(edges, nodes, node_col, max_iter)
+    if algorithm == "minlabel":
+        return _distributed_cc(edges, nodes, node_col, max_iter, salt_buckets)
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges, nodes, node_col)
@@ -173,3 +185,104 @@ def _distributed_cc(
             "(graph diameter > max_iter); raise max_iter"
         )
     return labels
+
+
+def _contraction_cc(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — public algorithm):
+
+        large-star(E): per node u, m = min(Γ(u) ∪ {u});
+                       emit (v, m) for every neighbor v > u
+        small-star(E): direct edges large→small; per node u,
+                       m = min of u's smaller neighbors;
+                       emit (v, m) for those neighbors and (u, m)
+
+    Alternating the two converges in ~O(log n) rounds to a union of
+    star graphs centered at each component's min node — independent of
+    graph DIAMETER, unlike min-label propagation's O(diameter).  Every
+    step is a groupBy-min plus an equi-join on the node id (shuffle on
+    one key; AQE splits skewed hubs); ``localCheckpoint`` cuts lineage
+    per round.  Convergence test: the canonical (larger, smaller) edge
+    set's (xor-hash, count) fingerprint is a fixpoint.
+
+    Label algebra matches the other two paths exactly (lexicographic
+    min member), so the three implementations are interchangeable —
+    asserted in tests/test_cc_contraction.py."""
+    spark = edges.sparkSession
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        r = e.select(
+            F.bit_xor(F.xxhash64("a", "b")).alias("f"), F.count("*").alias("n")
+        ).collect()[0]
+        return (int(r["f"] or 0), int(r["n"] or 0))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        m = (
+            nbrs.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", F.col("a")).alias("m"))
+        )
+        return (
+            nbrs.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = canon(e)  # (a, b) with a > b: edges directed large→small
+        m = d.groupBy("a").agg(F.min("b").alias("m"))
+        return (
+            d.join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(m.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    cur = canon(
+        edges.select(F.col("norm_a").alias("a"), F.col("norm_b").alias("b"))
+    ).localCheckpoint(eager=True)
+    prev_fp = fingerprint(cur)
+    converged = False
+    for _ in range(max_iter):
+        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        f = fingerprint(cur)
+        if f == prev_fp:
+            converged = True
+            break
+        prev_fp = f
+    if not converged:
+        raise RuntimeError(
+            f"contraction_cc: no fixpoint after {max_iter} rounds; "
+            "raise max_iter"
+        )
+    # fixpoint = stars: every non-min node has exactly one edge to its
+    # component min; minima and singletons label themselves
+    node_ids = nodes.select(F.col(node_col).alias("node"))
+    labeled = (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .join(node_ids, "node", "left_semi")
+    )
+    selfs = node_ids.join(labeled.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return labeled.unionByName(selfs)

@@ -174,6 +174,12 @@ def run_all(
         spark, cat, "entity_attrs", me_fp, me_n,
         lambda: gen.entity_attrs_df(mentions, labels), "entity_attrs",
     )
+    # D7 full-form property index (spindle writes its index tables; the
+    # multi-predicate props are part of the materialized catalog)
+    props = _run_global_stage(
+        spark, cat, "entity_props", me_fp, me_n,
+        lambda: gen.entity_props(mentions, labels), "entity_props",
+    )
     # final triples additionally depend on the base-quad table (media/
     # lang triples come from spans, not mentions)
     b_fp, b_n = _global_fingerprint(base_triples, ["g", "s", "p", "o"])
@@ -185,7 +191,8 @@ def run_all(
     return {
         "spans": flat, "mentions": mentions, "media_features": media,
         "base_triples": base_triples, "edges": edges, "labels": labels,
-        "entities": entities, "entity_attrs": attrs, "triples": triples,
+        "entities": entities, "entity_attrs": attrs, "entity_props": props,
+        "triples": triples,
     }
 
 
