@@ -147,7 +147,8 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True,
                          "revenue_by_nation", "top2_lineitems_per_order",
                          "event_type_stats", "dedup_minhash_pairs",
                          "dedup_simhash_pairs", "ngram_jaccard_pairs", "langid",
-                         "ann_topk", "text_quality", "event_sessions"]:
+                         "ann_topk", "ann_ivf_probe", "embedding_neardup",
+                         "text_quality", "event_sessions"]:
                 fn = getattr(Q, name)
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()

@@ -34,6 +34,7 @@ def test_link_plan_shape(spark, sf_dir):
     p = _plan(link.scored_edges(m, emb))
     assert "CartesianProduct" not in p, "link join degenerated"
     assert p.count("BroadcastHashJoin") >= 2, "embedding probes must broadcast"
+    assert p.count("ArrowEvalPython") == 1, "cosine kernel must run once"
 
 
 def test_extraction_is_arrow_batched(spark, sf_dir):
