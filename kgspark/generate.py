@@ -318,20 +318,56 @@ def incremental_entities(
     mentions_all: DataFrame,
     labels_all: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spindle trigger semantics (O32) for the D7 attrs index — see
+    ``_incremental_index`` for the shared trigger machinery."""
+    return _incremental_index(
+        prior_mentions, prior_labels, prior_attrs,
+        mentions_all, labels_all, entity_attrs_df,
+    )
+
+
+def incremental_props(
+    prior_mentions: DataFrame,
+    prior_labels: DataFrame,
+    prior_props: DataFrame,
+    mentions_all: DataFrame,
+    labels_all: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental regeneration of the multi-predicate property index
+    (O24 full form) under the same spindle-trigger semantics as the
+    attrs index: only changed components' (entity_id, pred) rows are
+    recomputed; the merged table equals a from-scratch
+    ``entity_props`` run (tested)."""
+    return _incremental_index(
+        prior_mentions, prior_labels, prior_props,
+        mentions_all, labels_all, entity_props,
+    )
+
+
+def _incremental_index(
+    prior_mentions: DataFrame,
+    prior_labels: DataFrame,
+    prior_rows: DataFrame,
+    mentions_all: DataFrame,
+    labels_all: DataFrame,
+    regen,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Spindle trigger semantics (O32; spindle ``triggers`` table
     `[U~]`): after a batch updates the coref graph, regenerate ONLY the
     entities whose component changed and retire the index rows of prior
     components that moved/merged; every untouched prior row is kept
-    as-is (never recomputed).
+    as-is (never recomputed).  Generic over any entity_id-keyed index
+    table — ``regen(mentions, labels) -> DataFrame`` recomputes the
+    changed components' rows (attrs, props, …).
 
     A node is *affected* when its label changed or it is new; an
     affected node touches BOTH its prior component (which must be
     retired — it may have merged away entirely) and its new component
     (which must be regenerated).
 
-    Returns (changed_roots, new_attrs, final_attrs); final_attrs equals
-    a from-scratch ``entity_attrs_df`` over all data (tested), while
-    only the changed components' rows were computed.
+    Returns (changed_roots, new_rows, final_rows); final_rows equals
+    a from-scratch ``regen`` over all data (tested), while only the
+    changed components' rows were computed.
     """
     p = prior_labels.select(F.col("node"), F.col("label").alias("prior_label"))
     cur = labels_all.select("node", "label")
@@ -372,7 +408,7 @@ def incremental_entities(
         "norm_text",
         "left_semi",
     )
-    new_attrs = entity_attrs_df(changed_mentions, changed_norms)
+    new_rows = regen(changed_mentions, changed_norms)
 
     # retire prior rows of: (a) regenerated entity ids, (b) prior
     # components that were affected (their eid may have vanished)
@@ -384,10 +420,10 @@ def incremental_entities(
     stale_eids = prior_eids.join(stale_prior_roots, "label", "left_semi").select(
         "entity_id"
     )
-    untouched = prior_attrs.join(
-        new_attrs.select("entity_id").unionByName(stale_eids).distinct(),
+    untouched = prior_rows.join(
+        new_rows.select("entity_id").unionByName(stale_eids).distinct(),
         "entity_id",
         "left_anti",
     )
-    final_attrs = untouched.unionByName(new_attrs)
-    return changed_roots, new_attrs, final_attrs
+    final_rows = untouched.unionByName(new_rows)
+    return changed_roots, new_rows, final_rows

@@ -806,6 +806,43 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3
 """
 
+ANN_RECALL_SQL = """
+WITH exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 20
+  ) WHERE rank <= 3
+), ivf3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[]) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c
+      ON c.vec_id != q.vec_id AND c.label = q.label
+    WHERE q.vec_id < 20
+  ) WHERE rank <= 3
+), hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact3 e
+  JOIN ivf3 i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(floor(1e6 * coalesce(h.n_hits, 0) / 3) AS BIGINT) AS recall_e6
+FROM (SELECT DISTINCT query_id FROM exact3) q
+LEFT JOIN hits h USING (query_id)
+"""
+
 # O12 XSLT-analogue oracle: the template semantics restated directly
 # over the documents table (title = first 3 tokens, lang-tagged; plain
 # dc:language literal; xsd:integer size).

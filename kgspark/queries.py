@@ -456,6 +456,32 @@ def langid(spark, sf_dir):
     return TS.langid(spark, _t(spark, sf_dir, "documents"))
 
 
+def ann_recall(spark, sf_dir):
+    """ANN quality evaluation: per-query recall@k of the IVF
+    cell-restricted search against the exact brute-force top-k — the
+    standard accuracy metric for the similarity-search suite, computed
+    as one distributed job (semi-join hit counting, no collect).
+    Deterministic because both rankings are."""
+    from . import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 3
+    exact = ann.ann_topk(emb, n_queries=20, k=k).select("query_id", "neighbor_id")
+    ivf = ann.ann_ivf(emb, n_queries=20, k=k).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.alias("n_hits"),
+        F.floor(F.lit(1e6) * n_hits / F.lit(k)).cast("bigint").alias("recall_e6"),
+    )
+
+
 def curate_corpus(spark, sf_dir):
     """Composed keep/drop curation decision (quality → langid →
     near-dup keeper; grammar.py policy)."""

@@ -46,6 +46,26 @@ def test_incremental_equals_full(spark, sf_dir):
     assert 0 < n_changed < n_total, (n_changed, n_total)
 
 
+def test_incremental_props_equals_full(spark, sf_dir):
+    """The property index regenerates under the same trigger semantics
+    as the attrs index (shared _incremental_index machinery)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+
+    m_old, l_old = _stage(spark, old)
+    props_old = gen.entity_props(m_old, l_old).localCheckpoint()
+
+    m_all, l_all = _stage(spark, docs)
+    changed, new_props, final_props = gen.incremental_props(
+        m_old, l_old, props_old, m_all, l_all
+    )
+
+    want = {tuple(r) for r in gen.entity_props(m_all, l_all).collect()}
+    got = {tuple(r) for r in final_props.collect()}
+    assert got == want
+    assert 0 < changed.count() < l_all.select("label").distinct().count()
+
+
 def test_noop_batch_changes_nothing(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m, l = _stage(spark, docs)
