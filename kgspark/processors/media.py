@@ -131,3 +131,89 @@ def binary_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         out["width"] = (out["content_fp"] % 640 + 1).astype("int32")
         out["height"] = (out["length"] % 480 + 1).astype("int32")
         yield out
+
+
+# --- frame sampling + resize (task brief: decode / feature-extract /
+# resize / frame-sample as Pandas UDFs over mapInPandas).  Both kernels
+# are REAL in everything Spark cares about — schema, Arrow batching,
+# batch EXPANSION (frame rows out ≫ blob rows in), columnar math — and
+# stub only the pixel decode (no PIL/ffmpeg in this container), exactly
+# like binary_media_kernel.  A production cluster swaps the fake
+# "decode" lines for the library call inside the same kernel body.
+
+FRAME_SAMPLES_DDL = "path string, frame_idx int, ts_ms bigint, frame_fp bigint"
+
+_FAKE_FPS = 25
+_FAKE_BYTES_PER_FRAME = 1024
+
+
+def make_frame_sample_kernel(every_n: int = 10, max_frames: int = 32):
+    """One output row per SAMPLED frame of each input blob — the
+    row-expanding shape of an ffmpeg keyframe sampler.  Frame count
+    derives deterministically from the byte length (1 frame per KiB at
+    25 fps); the per-frame fingerprint chains the blob's rolling
+    content fingerprint with the frame index.  All ragged-row math is
+    columnar (repeat/cumsum — no per-frame Python loop)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fp = _rolling_fp_bytes(pdf["content"]).to_numpy()
+            lens = pdf["content"].map(len).to_numpy()
+            n_frames = np.maximum(lens // _FAKE_BYTES_PER_FRAME, 1)
+            n_samp = np.minimum(
+                (n_frames + every_n - 1) // every_n, max_frames
+            ).astype(np.int64)
+            total = int(n_samp.sum())
+            if total == 0:
+                continue
+            row_starts = np.repeat(np.cumsum(n_samp) - n_samp, n_samp)
+            local = np.arange(total, dtype=np.int64) - row_starts
+            frame_idx = local * every_n
+            yield pd.DataFrame(
+                {
+                    "path": np.repeat(pdf["path"].astype("string").to_numpy(), n_samp),
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "ts_ms": frame_idx * (1000 // _FAKE_FPS),
+                    "frame_fp": (np.repeat(fp, n_samp) * 31 + frame_idx) % G.FP_MOD,
+                }
+            )
+
+    return kernel
+
+
+RESIZE_PLAN_DDL = (
+    "path string, width int, height int, out_w int, out_h int, scale_e6 bigint"
+)
+
+
+def make_resize_plan_kernel(max_w: int = 224, max_h: int = 224):
+    """Aspect-preserving downscale plan per image: (out_w, out_h,
+    scale) a real resampler would apply for a max_w×max_h bounding box
+    (never upscales).  The geometry arithmetic is the genuine operator;
+    source dims come from the same deterministic fake decode as
+    binary_media_kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fp = _rolling_fp_bytes(pdf["content"]).to_numpy()
+            lens = pdf["content"].map(len).to_numpy()
+            # deterministic fake decode (identical to binary_media_kernel)
+            w = (fp % 640 + 1).astype(np.int64)
+            h = (lens % 480 + 1).astype(np.int64)
+            scale = np.minimum(np.minimum(max_w / w, max_h / h), 1.0)
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"].astype("string"),
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "out_w": np.maximum((w * scale).astype(np.int64), 1).astype(np.int32),
+                    "out_h": np.maximum((h * scale).astype(np.int64), 1).astype(np.int32),
+                    "scale_e6": np.floor(scale * 1e6).astype(np.int64),
+                }
+            )
+
+    return kernel

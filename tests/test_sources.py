@@ -83,3 +83,65 @@ def test_binary_media_ingestion(spark, tmp_path):
     # deterministic: second run byte-identical
     again = {os.path.basename(r["path"]): r for r in feats.collect()}
     assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_frame_sampling_expands_rows(spark, tmp_path):
+    """Frame-sample kernel: row EXPANSION (one row per sampled frame),
+    deterministic frame fingerprints, columnar ragged math."""
+    import os
+
+    mdir = tmp_path / "video"
+    mdir.mkdir()
+    (mdir / "long.bin").write_bytes(b"FAKE" + b"\x07" * (50 * 1024))  # ~50 frames
+    (mdir / "tiny.bin").write_bytes(b"FAKE12")                        # 1 frame
+
+    from kgspark.processors.media import (
+        FRAME_SAMPLES_DDL,
+        make_frame_sample_kernel,
+    )
+
+    bf = spark.read.format("binaryFile").load(str(mdir))
+    frames = bf.select("path", "content").mapInPandas(
+        make_frame_sample_kernel(every_n=10, max_frames=32),
+        schema=FRAME_SAMPLES_DDL,
+    )
+    rows = frames.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(os.path.basename(r["path"]), []).append(r)
+    # 50 frames sampled every 10 → idx 0,10,20,30,40
+    assert sorted(r["frame_idx"] for r in by["long.bin"]) == [0, 10, 20, 30, 40]
+    assert [r["frame_idx"] for r in by["tiny.bin"]] == [0]
+    # ts at fake 25 fps
+    assert {r["frame_idx"]: r["ts_ms"] for r in by["long.bin"]}[20] == 800
+    # per-frame fingerprints distinct and deterministic across runs
+    fps1 = sorted(r["frame_fp"] for r in by["long.bin"])
+    assert len(set(fps1)) == 5
+    again = sorted(
+        r["frame_fp"] for r in frames.collect()
+        if os.path.basename(r["path"]) == "long.bin"
+    )
+    assert again == fps1
+
+
+def test_resize_plan_geometry(spark, tmp_path):
+    """Resize-plan kernel: aspect-preserving bounding-box downscale,
+    never upscales, output dims consistent with the reported scale."""
+    mdir = tmp_path / "imgs"
+    mdir.mkdir()
+    (mdir / "a.png").write_bytes(b"\x89PNG\r\n" + b"\x01" * 500)
+    (mdir / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x02" * 100)
+
+    from kgspark.processors.media import RESIZE_PLAN_DDL, make_resize_plan_kernel
+
+    bf = spark.read.format("binaryFile").load(str(mdir))
+    plans = bf.select("path", "content").mapInPandas(
+        make_resize_plan_kernel(max_w=224, max_h=224), schema=RESIZE_PLAN_DDL
+    )
+    for r in plans.collect():
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        assert r["scale_e6"] <= 1_000_000  # never upscale
+        # out dims = floor(src * scale) (>=1), aspect preserved via one scale
+        s = r["scale_e6"] / 1e6
+        assert abs(r["out_w"] - max(int(r["width"] * s), 1)) <= 1
+        assert abs(r["out_h"] - max(int(r["height"] * s), 1)) <= 1
