@@ -162,3 +162,28 @@ def test_stream_triples_match_batch(spark, sf_dir, doc_stream_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_quads_serialize_identically(spark, sf_dir, doc_stream_dir, tmp_path):
+    """O40 × O11: exporting the STREAM-produced quad table as N-Quads
+    yields byte-identical lines to exporting the batch quad table — a
+    graph-scoped export is independent of the ingestion path."""
+    from kgspark import rdfio
+    from kgspark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "wh_q"), 8)
+    S.stream_to_catalog(spark, doc_stream_dir, cat, str(tmp_path / "scp_q"))
+    cols = ["g", "s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    streamed = cat.read(spark, "stream_base_triples").select(*cols)
+    flat = fixtures.flat_spans(spark, sf_dir)
+    batch = extract.base_quads(flat, extract.mentions_df(flat)).select(*cols)
+
+    got = {r["line"] for r in rdfio.to_nquads(streamed).collect()}
+    want = {r["line"] for r in rdfio.to_nquads(batch).collect()}
+    assert got == want and len(want) > 0
+    # and the round-trip of the streamed export is lossless
+    back = {
+        tuple(r)
+        for r in rdfio.parse_nquads(rdfio.to_nquads(streamed)).select(*cols).collect()
+    }
+    assert back == {tuple(r) for r in streamed.collect()}
