@@ -103,11 +103,14 @@ def _staged_pipeline(spark, docs_df, emb_df, timings, stages):
     timed("cc_labels", _cc)
     labels = holder["labels"]
 
-    timed("entities", lambda: gen.entities_df(mentions, labels).count())
+    # same shared-membership shape as pipeline.py: one membership
+    # computation feeds the entities AND proxy-triples branches
+    members = gen.entity_membership(mentions, labels).localCheckpoint(eager=False)
+    timed("entities", lambda: gen.entities_df(mentions, labels, members=members).count())
     base = extract.base_quads(flat, mentions)
     triples = (
         base.select("s", "p", "o")
-        .unionByName(gen.proxy_triples(mentions, labels))
+        .unionByName(gen.proxy_triples(mentions, labels, members=members))
         .dropDuplicates(["s", "p", "o"])
     )
     n_triples = timed("triples_total", lambda: triples.count())

@@ -40,8 +40,12 @@ def entity_membership(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def entities_df(mentions: DataFrame, labels: DataFrame) -> DataFrame:
-    return entity_membership(mentions, labels).select("entity_id", "member_iri")
+def entities_df(
+    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+) -> DataFrame:
+    if members is None:
+        members = entity_membership(mentions, labels)
+    return members.select("entity_id", "member_iri")
 
 
 def entity_attrs_df(
@@ -203,7 +207,12 @@ def entity_classes(
     )
 
 
-def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+def proxy_triples_full(
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    attrs: DataFrame | None = None,
+) -> DataFrame:
     """Proxy-graph triples with the full D3 term model
     (s, p, o, o_kind, o_lang, o_datatype):
 
@@ -213,6 +222,10 @@ def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
                       language rides as the literal's @lang tag
     * ``ex:score``    xsd:integer-datatyped literal (spindle index
                       score analogue)
+
+    ``members``/``attrs`` let the caller share one membership/index
+    computation across the entities/attrs/quads branches (pipeline.py
+    does) instead of rebuilding the same joins per branch.
     """
     def term(df, kind: str, lang=None, dtype=None):
         return (
@@ -223,7 +236,8 @@ def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
 
     # the membership join feeds three branches (sameAs, class rules,
     # attrs) — compute it once and let lazy localCheckpoint share it
-    members = entity_membership(mentions, labels).localCheckpoint(eager=False)
+    if members is None:
+        members = entity_membership(mentions, labels).localCheckpoint(eager=False)
     t_sameas = term(
         members.select(
             F.col("entity_id").alias("s"),
@@ -240,7 +254,8 @@ def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
         ),
         "iri",
     )
-    attrs = entity_attrs_df(mentions, labels, members=members)
+    if attrs is None:
+        attrs = entity_attrs_df(mentions, labels, members=members)
     t_label = term(
         attrs.select(
             F.col("entity_id").alias("s"),
@@ -268,20 +283,30 @@ def proxy_triples_full(mentions: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def proxy_triples(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+def proxy_triples(
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    attrs: DataFrame | None = None,
+) -> DataFrame:
     """Graph-agnostic (s,p,o) view of the proxy triples."""
     return (
-        proxy_triples_full(mentions, labels)
+        proxy_triples_full(mentions, labels, members=members, attrs=attrs)
         .select("s", "p", "o")
         .dropDuplicates(["s", "p", "o"])
     )
 
 
-def proxy_quads(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+def proxy_quads(
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    attrs: DataFrame | None = None,
+) -> DataFrame:
     """Proxy triples in the spindle ROOT graph (D4): generated proxy
     descriptions all live in one named graph, distinct from the
     per-document source graphs.  Full term model."""
-    return proxy_triples_full(mentions, labels).select(
+    return proxy_triples_full(mentions, labels, members=members, attrs=attrs).select(
         F.lit(G.ROOT_GRAPH).alias("g"),
         "s", "p", "o", "o_kind", "o_lang", "o_datatype",
     )

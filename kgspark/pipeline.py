@@ -118,13 +118,23 @@ def run_pipeline(
     norms = mentions.select(F.col("norm_text").alias("node")).distinct()
     labels = cc.connected_components(cc_edges, norms, salt_buckets=salt_buckets)
 
-    entities = generate.entities_df(mentions, labels)
-    attrs = generate.entity_attrs_df(mentions, labels)
+    # one membership + one attrs computation shared across the
+    # entities / attrs / proxy-quads branches (each used to rebuild the
+    # same joins independently — 3× the generate-stage shuffles)
+    members = generate.entity_membership(mentions, labels).localCheckpoint(
+        eager=False
+    )
+    entities = generate.entities_df(mentions, labels, members=members)
+    attrs = generate.entity_attrs_df(mentions, labels, members=members)
+    if materialize:
+        attrs = attrs.localCheckpoint(eager=False)
     # named-graph full-term quad view: per-doc graphs + proxy root graph
     term_cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
     quads = (
         base_quads.select("g", *term_cols)
-        .unionByName(generate.proxy_quads(mentions, labels))
+        .unionByName(
+            generate.proxy_quads(mentions, labels, members=members, attrs=attrs)
+        )
         .dropDuplicates(["g", *term_cols])
     )
     if materialize:
