@@ -69,3 +69,34 @@ def test_ntriples_roundtrip_adversarial_literals(spark):
     got = {(r["s"], r["p"], r["o"]) for r in back.collect()}
     want = set(rows)
     assert got == want
+
+
+def test_quad_formats_roundtrip_adversarial_literals(spark):
+    """N-Quads AND TriG: random escape-heavy literals with random
+    lang/datatype tags round-trip exactly per named graph."""
+    from kgspark import rdfio
+
+    rng = random.Random(271)
+    alphabet = list('abc"\\\n\t xyZ09&<>')
+    rows = []
+    for i in range(150):
+        g = f"doc://{i % 7}"
+        lit = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 18)))
+        tag = rng.choice(["plain", "lang", "dtype"])
+        rows.append(
+            (g, f"ex://s/{i}", "rdfs:label", lit, "literal",
+             "en" if tag == "lang" else "",
+             "xsd:integer" if tag == "dtype" else "")
+        )
+        rows.append(
+            (g, f"ex://s/{i}", "ex:mentions", f"ex://o/{i}", "iri", "", "")
+        )
+    ddl = ("g string, s string, p string, o string, o_kind string, "
+           "o_lang string, o_datatype string")
+    q = spark.createDataFrame(rows, ddl)
+    for fmt in [
+        lambda d: rdfio.parse_nquads(rdfio.to_nquads(d)),
+        lambda d: rdfio.parse_trig(rdfio.to_trig(d)),
+    ]:
+        got = {tuple(r) for r in fmt(q).collect()}
+        assert got == set(rows)
