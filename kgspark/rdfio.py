@@ -524,3 +524,85 @@ def rdfxml_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def parse_rdfxml(lines: DataFrame) -> DataFrame:
     return lines.mapInPandas(rdfxml_parse_kernel, schema=PARSED_DDL)
+
+
+# --- graph-partitioned N-Quads store ------------------------------------------
+# O5/O6 at file level: the quad table written as N-Triples lines
+# PARTITIONED BY named graph, so a graph-scoped fetch (sparql-get
+# analogue) is a partition-PRUNED scan — Spark never opens other
+# graphs' files — and a graph replace (sparql-put analogue) is a
+# dynamic partition overwrite of exactly that graph's directory.
+
+def _nt_line_col(triples: DataFrame):
+    """The N-Triples line expression over a (possibly quad) frame."""
+    obj = _object_term(
+        triples, lambda c: F.concat(F.lit("<"), expand(c), F.lit(">"))
+    )
+    return F.concat(
+        F.lit("<"), expand(F.col("s")), F.lit("> <"), expand(F.col("p")),
+        F.lit("> "), obj, F.lit(" ."),
+    )
+
+
+def write_nquads_store(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write (g, s, p, o[, term cols]) as a per-graph partitioned text
+    store: each graph's statements land in its own ``g=<iri>`` partition
+    directory as N-Triples lines (the graph name lives in the partition
+    key, so each partition's file IS that graph's PUT payload)."""
+    quads.select("g", _nt_line_col(quads).alias("line")).write.mode(
+        mode
+    ).partitionBy("g").text(path)
+
+
+def read_nquads_store(spark, path: str, graph=None) -> DataFrame:
+    """Read the partitioned store back to the full quad model.
+
+    ``graph`` (an IRI or list of IRIs) applies the graph-scoped fetch —
+    and it MUST be applied here, on the raw frame's partition column,
+    not as a filter on the parsed output: Catalyst does not push
+    predicates through a Python MapInPandas operator, so a post-parse
+    filter would scan (and parse) every graph's files.  Passed here,
+    the predicate sits on the partition column directly above the text
+    scan and prunes to the requested graphs' directories
+    (PartitionFilters in the scan — verified in tests/test_rdfio.py).
+    The parse kernel carries each row's partition graph through the
+    Arrow batch."""
+    raw = spark.read.text(path)  # partition discovery adds the g column
+    if graph is not None:
+        pred = (
+            F.col("g").isin(list(graph))
+            if isinstance(graph, (list, tuple, set))
+            else F.col("g") == graph
+        )
+        raw = raw.filter(pred)
+    return _parse_with_graph(raw)
+
+
+def _parse_with_graph(raw: DataFrame) -> DataFrame:
+    """Parse N-Triples lines keeping each row's partition graph: the
+    kernel input carries (g, line) and the output re-emits g."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ext = pdf["value"].astype("string").str.extract(_NT_RE)
+            ok = ext["s"].notna()
+            ext = ext[ok]
+            if len(ext) == 0:
+                continue
+            is_iri = ext["oiri"].notna()
+            o = ext["oiri"].where(is_iri, _unescape(ext["olit"]))
+            yield pd.DataFrame(
+                {
+                    "g": pdf.loc[ext.index, "g"].astype("string"),
+                    "s": _compact(ext["s"]),
+                    "p": _compact(ext["p"]),
+                    "o": o.where(~is_iri, _compact(o)),
+                    "o_kind": is_iri.map({True: "iri", False: "literal"}),
+                    "o_lang": ext["lang"].fillna(""),
+                    "o_datatype": _compact(ext["dt"].fillna("")),
+                }
+            )
+
+    return raw.mapInPandas(kernel, schema=QUADS_PARSED_DDL)

@@ -151,3 +151,47 @@ def test_quad_adversarial_literals(spark):
     )
     assert _quad(rdfio.parse_nquads(rdfio.to_nquads(q))) == _quad(q)
     assert _quad(rdfio.parse_trig(rdfio.to_trig(q))) == _quad(q)
+
+
+def test_nquads_store_partition_pruned_graph_fetch(spark, sf_dir, tmp_path):
+    """O5/O6 at file level: the per-graph partitioned N-Quads store —
+    a graph-scoped read prunes to that graph's partition (PartitionFilters
+    in the scan), and the full round-trip is lossless."""
+    store = str(tmp_path / "nq_store")
+    q = run_pipeline(spark, sf_dir).quads.localCheckpoint()
+    rdfio.write_nquads_store(q, store)
+
+    back = rdfio.read_nquads_store(spark, store)
+    assert _quad(back) == _quad(q)
+
+    # graph-scoped fetch: partition pruning reaches the scan (the
+    # predicate must ride BELOW the parse kernel — filters don't push
+    # through MapInPandas, so read_nquads_store applies it to the raw
+    # partition column)
+    one_g = q.select("g").filter(F.col("g") != "ex://graph/root").first()["g"]
+    scoped = rdfio.read_nquads_store(spark, store, graph=one_g)
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(g" in plan, plan[:2000]
+    got = {t[1:] for t in _quad(scoped)}
+    want = {t[1:] for t in _quad(q.filter(F.col("g") == one_g))}
+    assert got == want and len(want) > 0
+
+    # per-graph replace: overwriting one graph's partition leaves the
+    # other graphs' files untouched (dynamic partition overwrite)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        edited = q.filter(F.col("g") == one_g).withColumn(
+            "s", F.concat(F.col("s"), F.lit("#v2"))
+        )
+        rdfio.write_nquads_store(edited, store, mode="overwrite")
+        after = rdfio.read_nquads_store(spark, store)
+        # the edited graph changed...
+        assert {t[1:] for t in _quad(after.filter(F.col("g") == one_g))} == {
+            t[1:] for t in _quad(edited)
+        }
+        # ...and every other graph is byte-identical
+        assert _quad(after.filter(F.col("g") != one_g)) == _quad(
+            q.filter(F.col("g") != one_g)
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
