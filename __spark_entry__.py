@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": Q.latest_event_per_user,           # O30
         "norm_iri_demo": Q.norm_iri_demo,                           # O33
         "revenue_rollup": Q.revenue_rollup,                         # rollup
+        "revenue_cube": Q.revenue_cube,                             # cube (r3)
+        "nation_intersect": Q.nation_intersect,                     # intersect (r3)
+        "event_value_percentiles": Q.event_value_percentiles,       # exact pct (r3)
         "event_value_pivot": Q.event_value_pivot,                   # pivot
         "event_sessions": Q.event_sessions,                         # sessionize
         # training-data-pipeline operators (task brief: dedup/ANN/text)

@@ -1049,6 +1049,30 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+RELATIONAL_SQL["revenue_cube"] = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum({_e6('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_e6,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+RELATIONAL_SQL["nation_intersect"] = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+RELATIONAL_SQL["event_value_percentiles"] = f"""
+SELECT event_type,
+       CAST(floor(quantile_cont(v_e6, 0.25)) AS BIGINT) AS p25_e6,
+       CAST(floor(quantile_cont(v_e6, 0.50)) AS BIGINT) AS p50_e6,
+       CAST(floor(quantile_cont(v_e6, 0.75)) AS BIGINT) AS p75_e6
+FROM (SELECT event_type, {_e6('value')} AS v_e6 FROM events)
+GROUP BY event_type
+"""
+
 RELATIONAL_SQL["event_value_pivot"] = f"""
 WITH t AS (SELECT event_type FROM
   (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2)),

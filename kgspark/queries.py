@@ -635,6 +635,50 @@ def revenue_rollup(spark, sf_dir):
     )
 
 
+def revenue_cube(spark, sf_dir):
+    """CUBE (l_returnflag, l_linestatus): all four grouping sets, with
+    coalesced subtotal labels so rows hash identically across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rev_e6", e6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("rev_e6").alias("revenue_e6"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue_e6",
+            "n",
+        )
+    )
+
+
+def nation_intersect(spark, sf_dir):
+    """INTERSECT set op: nations having BOTH customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+def event_value_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (p25/p50/p75) of the event value per
+    type — sort-based exact percentile with linear interpolation, the
+    same definition DuckDB's quantile_cont uses; values are e6-scaled
+    integers BEFORE the aggregate so both engines interpolate over the
+    identical exact inputs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", e6(F.col("value")).alias("v_e6")
+    )
+    def pct(p, name):
+        return F.floor(F.expr(f"percentile(v_e6, {p})")).cast("bigint").alias(name)
+    return ev.groupBy("event_type").agg(
+        pct(0.25, "p25_e6"), pct(0.5, "p50_e6"), pct(0.75, "p75_e6")
+    )
+
+
 def event_value_pivot(spark, sf_dir):
     """Pivot-style conditional aggregation: per user, summed value for
     the two lexicographically-first event types."""
