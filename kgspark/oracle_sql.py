@@ -1073,6 +1073,41 @@ FROM (SELECT event_type, {_e6('value')} AS v_e6 FROM events)
 GROUP BY event_type
 """
 
+# The oracle states the as-of semantics as the naive ts-inequality
+# join + per-purchase rank (fine at oracle scale; the Spark side is the
+# union+window form that scales) — same (ts desc, id desc) tie-break.
+RELATIONAL_SQL["event_asof_join"] = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type IN ('click', 'purchase')),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts_us AS purchase_ts_us,
+         c.event_id AS click_id, c.ts_us AS click_ts_us,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY c.ts_us DESC NULLS LAST,
+                                     c.event_id DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+)
+SELECT user_id, purchase_id, purchase_ts_us, click_id, click_ts_us
+FROM j WHERE rn = 1
+"""
+
+# Oracle = the naive inequality join the banded plan replaces.
+RELATIONAL_SQL["event_range_join"] = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+err AS (SELECT event_id AS err_id, ts_us AS err_ts_us FROM e
+        WHERE event_type = 'error'),
+o AS (SELECT ts_us AS o_ts_us FROM e WHERE event_type != 'error'),
+counts AS (
+  SELECT err_id, count(*) AS n_nearby
+  FROM err JOIN o ON abs(o.o_ts_us - err.err_ts_us) <= 60000000
+  GROUP BY err_id
+)
+SELECT err.err_id, CAST(coalesce(c.n_nearby, 0) AS BIGINT) AS n_nearby
+FROM err LEFT JOIN counts c USING (err_id)
+"""
+
 RELATIONAL_SQL["event_value_pivot"] = f"""
 WITH t AS (SELECT event_type FROM
   (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2)),

@@ -679,6 +679,95 @@ def event_value_percentiles(spark, sf_dir):
     )
 
 
+def event_asof_join(spark, sf_dir):
+    """AS-OF JOIN (task-brief custom operator): each purchase
+    attributed to the user's most recent click at ts' <= ts.
+
+    Scale shape: implemented as UNION + WINDOW, not a join — both
+    sides land in one frame partitioned by user, and a running
+    struct-max over a RANGE frame (all peers of the current timestamp
+    included) yields the latest preceding click.  No per-key pair
+    enumeration, no skew blowup on hot users, one shuffle on user_id;
+    this is the as-of pattern that survives 10^12 rows where a
+    ts-inequality join explodes.  Tie-break is the lexicographic
+    struct max on (ts, event_id) — deterministic on every engine."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    best = F.max(
+        F.when(
+            F.col("event_type") == "click", F.struct("ts_us", "event_id")
+        )
+    ).over(w)
+    return (
+        ev.withColumn("best", best)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("best.event_id").alias("click_id"),
+            F.col("best.ts_us").alias("click_ts_us"),
+        )
+    )
+
+
+def event_range_join(spark, sf_dir):
+    """Banded RANGE (interval) join: for each error event, how many
+    non-error events across ALL users fall within ±60 s of it.
+
+    Scale shape: a raw ts-inequality join is a cross product; instead
+    both sides bucket to the 60 s grid and the join key is the BUCKET —
+    each error probes its own bucket ± 1 (a 3-element explode on the
+    small side), then the exact |Δts| predicate verifies inside the
+    equi-join.  Work is O(rows × band density), shuffle is a plain
+    hash join on an integer key — the banded-join trick that keeps an
+    interval join alive at 10^12 rows."""
+    _ensure_utc(spark)
+    band_us = 60_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts_us").alias("err_ts_us"),
+        F.floor(F.col("ts_us") / band_us).alias("bucket"),
+    )
+    probes = err.select(
+        "err_id",
+        "err_ts_us",
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("b"),
+    )
+    other = ev.filter(F.col("event_type") != "error").select(
+        F.col("ts_us").alias("o_ts_us"),
+        F.floor(F.col("ts_us") / band_us).alias("b"),
+    )
+    counts = (
+        probes.join(other, "b")
+        .filter(F.abs(F.col("o_ts_us") - F.col("err_ts_us")) <= band_us)
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+    return err.select("err_id").join(counts, "err_id", "left").select(
+        "err_id", F.coalesce("n_nearby", F.lit(0)).alias("n_nearby")
+    )
+
+
 def event_value_pivot(spark, sf_dir):
     """Pivot-style conditional aggregation: per user, summed value for
     the two lexicographically-first event types."""
