@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": Q.ann_ivf,                               # IVF-cell ANN
         "ann_ivf_probe": Q.ann_ivf_probe,                   # trained IVF, nprobe=2
         "ann_recall": Q.ann_recall,                         # recall@k eval (r3)
+        "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_ivf": OS.ANN_IVF_SQL,
             "ann_ivf_probe": OS.ANN_IVF_PROBE_SQL,
             "ann_recall": OS.ANN_RECALL_SQL,
+            "distinct_kmv_sketch": OS.KMV_SKETCH_SQL,
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,

@@ -806,6 +806,34 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3
 """
 
+_KMV_K = 128
+KMV_SKETCH_SQL = f"""
+WITH {SHINGLES_CTE},
+kmv_codes AS (
+  SELECT DISTINCT lang, code FROM (
+    SELECT lang, unnest(shingles) AS code FROM shingled
+  )
+),
+kmv_hs AS (
+  SELECT DISTINCT lang,
+         ({G.hash_a(0)} * code + {G.hash_b(0)}) % {G.HASH_P} AS h
+  FROM kmv_codes
+),
+kmv_ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM kmv_hs
+),
+kmv_n AS (SELECT lang, count(*) AS n_codes FROM kmv_codes GROUP BY lang),
+kmv_kth AS (SELECT lang, h AS kth_min FROM kmv_ranked WHERE rn = {_KMV_K})
+SELECT n.lang,
+       CAST(n.n_codes AS BIGINT) AS n_codes,
+       CAST(coalesce(k.kth_min, 0) AS BIGINT) AS kth_min,
+       CAST(CASE WHEN k.kth_min IS NOT NULL
+                 THEN {(_KMV_K - 1) * G.HASH_P} // k.kth_min
+                 ELSE n.n_codes END AS BIGINT) AS est
+FROM kmv_n n LEFT JOIN kmv_kth k USING (lang)
+"""
+
 ANN_RECALL_SQL = """
 WITH exact3 AS (
   SELECT query_id, neighbor_id FROM (

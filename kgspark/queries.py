@@ -482,6 +482,52 @@ def ann_recall(spark, sf_dir):
     )
 
 
+def distinct_kmv_sketch(spark, sf_dir, k: int = 128):
+    """KMV (k-minimum-values) distinct-count sketch per language over
+    the shingle-code universe — the task brief's "novel sketch" slot.
+
+    The sketch state is the k smallest values of h(code) where h is the
+    grammar's integer hash family (pure int64 → bit-identical on every
+    engine), so unlike HLL this sketch is DETERMINISTIC and the DuckDB
+    oracle checks it value-exactly.  Estimator: (k-1)·P / kth_min
+    (integer division).  Scale shape: the per-partition top-k of a
+    monotone hash merges associatively — at cluster scale the k minima
+    reduce map-side first; here the window row_number does the same in
+    two phases (WindowGroupLimit partial → final).  Also reports the
+    exact distinct count for error inspection."""
+    from .dedup import with_shingles
+
+    sh = with_shingles(_t(spark, sf_dir, "documents"))
+    codes = (
+        sh.select("lang", F.explode("shingles").alias("code")).distinct()
+    )
+    a0, b0 = G.hash_a(0), G.hash_b(0)
+    hs = codes.select(
+        "lang",
+        ((F.lit(a0) * F.col("code") + F.lit(b0)) % F.lit(G.HASH_P)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    kth = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("lang", F.col("h").alias("kth_min"))
+    )
+    n = codes.groupBy("lang").agg(F.count("*").alias("n_codes"))
+    est_num = (k - 1) * G.HASH_P
+    return n.join(kth, "lang", "left").select(
+        "lang",
+        F.col("n_codes").cast("bigint").alias("n_codes"),
+        F.coalesce("kth_min", F.lit(0)).cast("bigint").alias("kth_min"),
+        F.when(
+            F.col("kth_min").isNotNull(),
+            F.expr(f"{est_num} DIV kth_min"),
+        )
+        .otherwise(F.col("n_codes"))
+        .cast("bigint")
+        .alias("est"),
+    )
+
+
 def curate_corpus(spark, sf_dir):
     """Composed keep/drop curation decision (quality → langid →
     near-dup keeper; grammar.py policy)."""
