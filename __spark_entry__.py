@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe": Q.ann_ivf_probe,                   # trained IVF, nprobe=2
         "ann_recall": Q.ann_recall,                         # recall@k eval (r3)
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
+        "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_ivf_probe": OS.ANN_IVF_PROBE_SQL,
             "ann_recall": OS.ANN_RECALL_SQL,
             "distinct_kmv_sketch": OS.KMV_SKETCH_SQL,
+            "doc_split_assign": OS.DOC_SPLIT_SQL,
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,

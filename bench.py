@@ -11,12 +11,15 @@ Scaling mode (``python bench.py --scaling``, BASELINE.md protocol):
 the same job at local[N] vs local[4N] (the sandbox stand-in for N vs
 4N executors; default N = $SPARK_GRAFT_SCALE_N = 1) over the SAME
 input, in separate child processes (a local master can't be resized
-in-process), 2 repetitions per level taking the min (the host VM has
-noisy neighbors).  N defaults to 1 because measured raw-CPU scaling on
-this box is linear only up to ~8 concurrent workers (SMT/host
-oversubscription above that — see BENCH/BASELINE.md) — both levels
-must sit inside the hardware's linear region for the efficiency number
-to measure the ENGINE rather than the VM.
+in-process).  The two levels run INTERLEAVED (lo, hi, lo, hi, …) for
+$SPARK_GRAFT_SCALE_PASSES (default 5) passes so a multi-minute noisy-
+neighbor window hits both levels instead of biasing the ratio; min AND
+median efficiency are reported with all raw samples.  N defaults to 1
+because measured raw-CPU scaling on this box is linear only up to ~8
+concurrent workers (SMT/host oversubscription above that — see
+BENCH/BASELINE.md) — both levels must sit inside the hardware's linear
+region for the efficiency number to measure the ENGINE rather than the
+VM.
 
 The measured job is the per-document extraction pipeline
 (spans → mention kernel → base triples + distinct) over the sf dir's

@@ -806,6 +806,17 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3
 """
 
+DOC_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         (({G.hash_a(1)} * doc_id + {G.hash_b(1)}) % {G.HASH_P}) % 100 AS b
+  FROM documents
+)
+"""
+
 _KMV_K = 128
 KMV_SKETCH_SQL = f"""
 WITH {SHINGLES_CTE},

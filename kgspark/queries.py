@@ -528,6 +528,28 @@ def distinct_kmv_sketch(spark, sf_dir, k: int = 128):
     )
 
 
+def doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) — the standard
+    training-data-pipeline assignment, keyed on a hash of the DOC ID
+    (never random()): reruns, resumes, and any partitioning produce the
+    identical split, and adding documents never reassigns existing ones.
+    Uses the grammar's int64 hash family so the DuckDB oracle reproduces
+    the assignment value-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.lit(G.hash_a(1)) * F.col("doc_id") + F.lit(G.hash_b(1))) % F.lit(
+        G.HASH_P
+    )
+    bucket = h % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def curate_corpus(spark, sf_dir):
     """Composed keep/drop curation decision (quality → langid →
     near-dup keeper; grammar.py policy)."""
