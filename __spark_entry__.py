@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_counts": Q.kg_graph_counts,       # D4 named graphs
         "kg_entity_class": Q.kg_entity_class,       # O25 rulebase classes
         "kg_entity_props": Q.kg_entity_props,       # O24 property rulebase (r3)
+        "kg_props_triples": Q.kg_props_triples,     # D7→D3 props as triples (r3)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_counts": OS.GRAPH_COUNTS_SQL,
         "kg_entity_class": OS.ENTITY_CLASS_SQL,
         "kg_entity_props": OS.ENTITY_PROPS_SQL,
+        "kg_props_triples": OS.PROPS_TRIPLES_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

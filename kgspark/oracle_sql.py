@@ -344,6 +344,13 @@ SELECT entity_id, pred, value, value_lang
 FROM eprops ORDER BY entity_id, pred
 """
 
+PROPS_TRIPLES_SQL = f"""
+{_KG_CTES}, {PROPS_CTE}
+SELECT entity_id AS s, pred AS p, value AS o,
+       'literal' AS o_kind, value_lang AS o_lang, '' AS o_datatype
+FROM eprops ORDER BY s, p
+"""
+
 TRIPLES_SQL = f"""
 {_KG_CTES}
 SELECT DISTINCT s, p, o FROM {_QUADS_UNION} ORDER BY s, p, o

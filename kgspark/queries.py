@@ -678,6 +678,23 @@ def kg_entity_props(spark, sf_dir):
     return gen.entity_props(m, labels)
 
 
+def kg_props_triples(spark, sf_dir):
+    """The D7→D3 step: the property index rendered as proxy-graph
+    triples (one lang-tagged/plain literal per entity per target
+    predicate) — what a spindle-style generate stage would write for
+    the property rulebase's winners."""
+    m, labels = _labels(spark, sf_dir)
+    props = gen.entity_props(m, labels)
+    return props.select(
+        F.col("entity_id").alias("s"),
+        F.col("pred").alias("p"),
+        F.col("value").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.col("value_lang").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 

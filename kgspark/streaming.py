@@ -175,3 +175,93 @@ def stream_to_catalog(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_entity_index(
+    spark: SparkSession,
+    input_dir: str,
+    cat,
+    checkpoint_dir: str,
+    n_embeddings: int = 500,
+    embeddings_path: str | None = None,
+) -> None:
+    """Continuously-maintained entity index — the twined-daemon
+    semantic (O32 triggers × O40–O43): each micro-batch of documents
+
+    1. replaces the batch docs' mentions in the live mention store
+       (per-doc replace = the graph-PUT semantic, and it makes
+       redelivered batches idempotent),
+    2. re-links and re-labels the coref graph over ALL mentions (the
+       distinct-norm graph saturates, so this global step stays small
+       regardless of corpus size),
+    3. regenerates ONLY the entities whose component changed via the
+       spindle-trigger machinery (generate.incremental_entities /
+       incremental_props) — untouched index rows are carried over,
+       never recomputed,
+    4. writes mentions/labels/attrs/props back to the catalog.
+
+    After the stream drains, ``live_attrs``/``live_props`` equal a
+    from-scratch batch run over all documents (tested)."""
+    from . import cc as cc_mod
+    from . import generate as gen
+    from . import grammar as G
+    from . import link
+
+    emb = spark.read.parquet(embeddings_path) if embeddings_path else None
+
+    def process_batch(df, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        flat = fixtures.flat_spans(fixtures.with_spans(df))
+        m_batch = extract.mentions_df(flat).localCheckpoint(eager=True)
+
+        have_prior = cat.exists("live_mentions")
+        if have_prior:
+            prior_m = cat.read(spark, "live_mentions").localCheckpoint(eager=True)
+            prior_l = cat.read(spark, "live_labels").localCheckpoint(eager=True)
+            prior_attrs = cat.read(spark, "live_attrs").localCheckpoint(eager=True)
+            prior_props = cat.read(spark, "live_props").localCheckpoint(eager=True)
+            batch_docs = m_batch.select("doc_id").distinct()
+            m_all = (
+                prior_m.join(batch_docs, "doc_id", "left_anti")
+                .unionByName(m_batch)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            m_all = m_batch
+
+        edges = link.scored_edges(
+            m_all, emb, n_embeddings=n_embeddings,
+            vocab=sorted(G.ENTITY_TOKENS),
+        )
+        norms = m_all.select(F.col("norm_text").alias("node")).distinct()
+        labels_all = cc_mod.connected_components(edges, norms).localCheckpoint(
+            eager=True
+        )
+
+        if have_prior:
+            _, _, attrs = gen.incremental_entities(
+                prior_m, prior_l, prior_attrs, m_all, labels_all
+            )
+            _, _, props = gen.incremental_props(
+                prior_m, prior_l, prior_props, m_all, labels_all
+            )
+        else:
+            attrs = gen.entity_attrs_df(m_all, labels_all)
+            props = gen.entity_props(m_all, labels_all)
+        attrs = attrs.localCheckpoint(eager=True)
+        props = props.localCheckpoint(eager=True)
+
+        cat.write(m_all, "live_mentions")
+        cat.write(labels_all, "live_labels")
+        cat.write(attrs, "live_attrs")
+        cat.write(props, "live_props")
+
+    q = (
+        read_documents_stream(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
