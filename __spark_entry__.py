@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_moving_sum": Q.event_moving_sum,                     # RANGE-frame window
         "event_asof_join": Q.event_asof_join,                       # as-of via union+window (r3)
         "event_range_join": Q.event_range_join,                     # banded interval join (r3)
+        "event_hypertable_rollup": Q.event_hypertable_rollup,       # multi-res rollup (r3)
         "event_gaps": Q.event_gaps,                                 # O29 lead
         "top10_orders": Q.top10_orders,                             # O31 top-k
         "lineitem_except_all": Q.lineitem_except_all,               # O32 set op

@@ -1154,6 +1154,33 @@ SELECT err.err_id, CAST(coalesce(c.n_nearby, 0) AS BIGINT) AS n_nearby
 FROM err LEFT JOIN counts c USING (err_id)
 """
 
+RELATIONAL_SQL["event_hypertable_rollup"] = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, {_e6('value')} AS v_e6 FROM events
+),
+minute AS (
+  SELECT event_type, ts_us // 60000000 AS bucket,
+         count(*) AS n, CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+         max(v_e6) AS max_e6
+  FROM base GROUP BY event_type, bucket
+),
+hour AS (
+  SELECT event_type, bucket // 60 AS bucket,
+         CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_e6) AS BIGINT) AS sum_e6,
+         max(max_e6) AS max_e6
+  FROM minute GROUP BY event_type, 2
+),
+day AS (
+  SELECT event_type, bucket // 24 AS bucket,
+         CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_e6) AS BIGINT) AS sum_e6,
+         max(max_e6) AS max_e6
+  FROM hour GROUP BY event_type, 2
+)
+SELECT 'minute' AS level, * FROM minute
+UNION ALL SELECT 'hour', * FROM hour
+UNION ALL SELECT 'day', * FROM day
+"""
+
 RELATIONAL_SQL["event_value_pivot"] = f"""
 WITH t AS (SELECT event_type FROM
   (SELECT DISTINCT event_type FROM events ORDER BY event_type LIMIT 2)),

@@ -853,6 +853,53 @@ def event_range_join(spark, sf_dir):
     )
 
 
+def event_hypertable_rollup(spark, sf_dir):
+    """Hypertable rollup (task-brief custom operator): minute → hour →
+    day continuous aggregates per event type, where each level
+    RE-AGGREGATES the level below (sum/count/max are associative), not
+    the raw rows — the TimescaleDB continuous-aggregate maintenance
+    pattern.  At 10^12 rows the raw table is touched once (minute
+    level); hour reads |minutes| rows and day reads |hours| — the
+    rollup tree's total cost is ~1 raw scan regardless of depth."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        e6(F.col("value")).alias("v_e6"),
+    )
+    minute = (
+        ev.withColumn("bucket", F.floor(F.col("ts_us") / 60_000_000))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v_e6").alias("sum_e6"),
+            F.max("v_e6").alias("max_e6"),
+        )
+    )
+    def up(lower, fan):
+        return (
+            lower.withColumn("bucket", F.floor(F.col("bucket") / fan))
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_e6").alias("sum_e6"),
+                F.max("max_e6").alias("max_e6"),
+            )
+        )
+    hour = up(minute, 60)
+    day = up(hour, 24)
+    def lvl(df, name):
+        return df.select(
+            F.lit(name).alias("level"), "event_type", "bucket",
+            "n", "sum_e6", "max_e6",
+        )
+    return (
+        lvl(minute, "minute")
+        .unionByName(lvl(hour, "hour"))
+        .unionByName(lvl(day, "day"))
+    )
+
+
 def event_value_pivot(spark, sf_dir):
     """Pivot-style conditional aggregation: per user, summed value for
     the two lexicographically-first event types."""
