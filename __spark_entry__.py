@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": Q.ann_recall,                         # recall@k eval (r3)
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
+        "top_terms_tfidf": Q.top_terms_tfidf,               # int-exact tf-idf top-k (r3)
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_recall": OS.ANN_RECALL_SQL,
             "distinct_kmv_sketch": OS.KMV_SKETCH_SQL,
             "doc_split_assign": OS.DOC_SPLIT_SQL,
+            "top_terms_tfidf": OS.TOP_TERMS_TFIDF_SQL,
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,

@@ -813,6 +813,27 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3
 """
 
+TOP_TERMS_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks_f AS (SELECT doc_id, term FROM toks WHERE term != ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM
+       (SELECT DISTINCT doc_id, term FROM toks_f) GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * length(bin(n.n // df.df)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(score AS BIGINT) AS score, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
 DOC_SPLIT_SQL = f"""
 SELECT doc_id, lang,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'

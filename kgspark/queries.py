@@ -550,6 +550,40 @@ def doc_split_assign(spark, sf_dir):
     )
 
 
+def top_terms_tfidf(spark, sf_dir, k: int = 3):
+    """Per-document top-k salient terms by an INTEGER-exact tf-idf:
+    score = tf · bitlen(N // df), where bitlen(x) = ⌊log2 x⌋ + 1 — a
+    log2-quantized idf computed entirely in int64, so the ranking is
+    bit-identical on every engine (a float ln() idf can flap at floor
+    boundaries between engines).  Scale shape: tf is a map-side-combined
+    groupBy, df a term-level aggregate joined back by term (broadcast
+    at dictionary scale), top-k a per-doc window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n")).select("n")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.length(F.bin(F.expr("n DIV df")))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", F.col("score").cast("bigint").alias("score"), "rn")
+    )
+
+
 def curate_corpus(spark, sf_dir):
     """Composed keep/drop curation decision (quality → langid →
     near-dup keeper; grammar.py policy)."""
