@@ -134,20 +134,27 @@ def entity_props(
     ).join(members.select("label", "entity_id").distinct(), "label")
     base = m.select("entity_id", "norm_text", "lang", "source")
     ntok = F.size(F.split("norm_text", " "))
-    shapes = [
-        ("norm_multi", F.col("norm_text"), ntok >= 2),
-        ("norm_any", F.col("norm_text"), F.lit(True)),
-        ("first_token", F.split("norm_text", " ").getItem(0), F.lit(True)),
-        ("source", F.col("source"), F.lit(True)),
-        ("lang", F.col("lang"), F.lit(True)),
-    ]
-    cands = None
-    for name, val, cond in shapes:
-        c = base.filter(cond).select(
-            "entity_id", F.lit(name).alias("shape"), val.alias("value"), "lang"
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+
+    # ONE pass over the membership join: every row emits its 5 shape
+    # candidates via a single explode (a union of per-shape branches
+    # would replay the mention⋈label⋈member join chain once per shape)
+    def sv(name, val):
+        return F.struct(F.lit(name).alias("shape"), val.alias("value"))
+
+    shapes_arr = F.array(
+        F.when(ntok >= 2, sv("norm_multi", F.col("norm_text"))),
+        sv("norm_any", F.col("norm_text")),
+        sv("first_token", F.split("norm_text", " ").getItem(0)),
+        sv("source", F.col("source")),
+        sv("lang", F.col("lang")),
+    )
+    cands = (
+        base.select("entity_id", "lang", F.explode(shapes_arr).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("entity_id", F.col("c.shape").alias("shape"),
+                F.col("c.value").alias("value"), "lang")
+        .distinct()
+    )
     rules = property_rules_df(mentions.sparkSession)
     joined = cands.join(F.broadcast(rules), "shape").withColumn(
         "lang_ord",

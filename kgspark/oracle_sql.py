@@ -863,7 +863,10 @@ kmv_ranked AS (
   FROM kmv_hs
 ),
 kmv_n AS (SELECT lang, count(*) AS n_codes FROM kmv_codes GROUP BY lang),
-kmv_kth AS (SELECT lang, h AS kth_min FROM kmv_ranked WHERE rn = {_KMV_K})
+kmv_kth AS (
+  SELECT lang, max(h) AS kth_min FROM kmv_ranked WHERE rn <= {_KMV_K}
+  GROUP BY lang HAVING count(*) = {_KMV_K}
+)
 SELECT n.lang,
        CAST(n.n_codes AS BIGINT) AS n_codes,
        CAST(coalesce(k.kth_min, 0) AS BIGINT) AS kth_min,

@@ -506,11 +506,18 @@ def distinct_kmv_sketch(spark, sf_dir, k: int = 128):
         "lang",
         ((F.lit(a0) * F.col("code") + F.lit(b0)) % F.lit(G.HASH_P)).alias("h"),
     ).distinct()
+    # rn <= k (not == k) so Spark's WindowGroupLimit prunes each input
+    # partition to its k smallest BEFORE the per-lang shuffle — the
+    # reducer sees ≤ k·P rows instead of every hash of the language;
+    # kth value = max of the k survivors (only when a full k exist)
     w = Window.partitionBy("lang").orderBy("h")
     kth = (
         hs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == k)
-        .select("lang", F.col("h").alias("kth_min"))
+        .filter(F.col("rn") <= k)
+        .groupBy("lang")
+        .agg(F.max("h").alias("kth_min"), F.count("*").alias("nk"))
+        .filter(F.col("nk") == k)
+        .select("lang", "kth_min")
     )
     n = codes.groupBy("lang").agg(F.count("*").alias("n_codes"))
     est_num = (k - 1) * G.HASH_P

@@ -188,9 +188,11 @@ def stream_entity_index(
     """Continuously-maintained entity index — the twined-daemon
     semantic (O32 triggers × O40–O43): each micro-batch of documents
 
-    1. replaces the batch docs' mentions in the live mention store
-       (per-doc replace = the graph-PUT semantic, and it makes
-       redelivered batches idempotent),
+    1. replaces the batch docs' mentions in the live mention store —
+       per-doc replace (the graph-PUT semantic, redelivery-idempotent)
+       executed as a dynamic partition overwrite of ONLY the doc
+       buckets the batch touches, so the store write is O(batch), not
+       O(corpus),
     2. re-links and re-labels the coref graph over ALL mentions (the
        distinct-norm graph saturates, so this global step stays small
        regardless of corpus size),
@@ -198,7 +200,9 @@ def stream_entity_index(
        spindle-trigger machinery (generate.incremental_entities /
        incremental_props) — untouched index rows are carried over,
        never recomputed,
-    4. writes mentions/labels/attrs/props back to the catalog.
+    4. writes the touched mention buckets + the (entity-granular, and
+       therefore orders-of-magnitude smaller) labels/attrs/props tables
+       back to the catalog.
 
     After the stream drains, ``live_attrs``/``live_props`` equal a
     from-scratch batch run over all documents (tested)."""
@@ -206,14 +210,18 @@ def stream_entity_index(
     from . import generate as gen
     from . import grammar as G
     from . import link
+    from .catalog import with_bucket
 
+    n_buckets = cat.n_buckets
     emb = spark.read.parquet(embeddings_path) if embeddings_path else None
 
     def process_batch(df, epoch_id: int) -> None:
         if df.isEmpty():
             return
         flat = fixtures.flat_spans(fixtures.with_spans(df))
-        m_batch = extract.mentions_df(flat).localCheckpoint(eager=True)
+        m_batch = with_bucket(extract.mentions_df(flat), n_buckets).localCheckpoint(
+            eager=True
+        )
 
         have_prior = cat.exists("live_mentions")
         if have_prior:
@@ -252,7 +260,15 @@ def stream_entity_index(
         attrs = attrs.localCheckpoint(eager=True)
         props = props.localCheckpoint(eager=True)
 
-        cat.write(m_all, "live_mentions")
+        # mention store: overwrite ONLY the buckets the batch touches
+        # (per-doc replace rides on bucket(doc_id) partitioning — the
+        # write cost is O(batch), independent of corpus size)
+        touched = m_all.join(
+            m_batch.select("bucket").distinct(), "bucket", "left_semi"
+        )
+        cat.write_bucketed(touched, "live_mentions")
+        # entity-granular tables are small (saturating norm graph):
+        # full overwrite is the simple correct choice there
         cat.write(labels_all, "live_labels")
         cat.write(attrs, "live_attrs")
         cat.write(props, "live_props")
