@@ -563,8 +563,10 @@ def top_terms_tfidf(spark, sf_dir, k: int = 3):
     log2-quantized idf computed entirely in int64, so the ranking is
     bit-identical on every engine (a float ln() idf can flap at floor
     boundaries between engines).  Scale shape: tf is a map-side-combined
-    groupBy, df a term-level aggregate joined back by term (broadcast
-    at dictionary scale), top-k a per-doc window."""
+    groupBy; df a term-level aggregate joined back by term — NOT
+    broadcast-hinted, because an open-vocabulary corpus has a term
+    dictionary far too large to broadcast (AQE auto-broadcasts small
+    ones, shuffles big ones); top-k a per-doc window."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -575,7 +577,7 @@ def top_terms_tfidf(spark, sf_dir, k: int = 3):
     )
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n")).select("n")
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
