@@ -344,6 +344,19 @@ SELECT entity_id, pred, value, value_lang
 FROM eprops ORDER BY entity_id, pred
 """
 
+ENTITY_COOCCURRENCE_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+)
+SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+       count(*) AS n_docs
+FROM doc_ents a JOIN doc_ents b
+  ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+GROUP BY 1, 2
+"""
+
 PROPS_TRIPLES_SQL = f"""
 {_KG_CTES}, {PROPS_CTE}
 SELECT entity_id AS s, pred AS p, value AS o,

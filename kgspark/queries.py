@@ -738,6 +738,38 @@ def kg_props_triples(spark, sf_dir):
     )
 
 
+def kg_entity_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence graph: canonical-entity pairs appearing in
+    the same document, with document counts — the edge layer a
+    downstream KG-analytics stage (centrality, relatedness) consumes.
+    Scale shape: the self-join key is doc_id, so block size = entities
+    per document (small and bounded by document length), never corpus-
+    global; pairs are canonicalized (a < b) before the count groupBy
+    (map-side combined)."""
+    m, labels = _labels(spark, sf_dir)
+    members = gen.entity_membership(m, labels)
+    doc_ents = (
+        m.join(labels.withColumnRenamed("node", "norm_text"), "norm_text")
+        .join(members.select("label", "entity_id").distinct(), "label")
+        .select("doc_id", "entity_id")
+        .distinct()
+    )
+    a = doc_ents.alias("a")
+    b = doc_ents.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .groupBy(
+            F.col("a.entity_id").alias("entity_a"),
+            F.col("b.entity_id").alias("entity_b"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 
