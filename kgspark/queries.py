@@ -94,11 +94,24 @@ def kg_link_edges(spark, sf_dir):
     )
 
 
+_LABELS_CACHE: dict = {}
+
+
 def _labels(spark, sf_dir):
-    m, edges = _edges(spark, sf_dir)
-    m = m.localCheckpoint(eager=False)
-    norms = m.select(F.col("norm_text").alias("node")).distinct()
-    return m, cc_mod.connected_components(edges, norms)
+    """Memoized per (session, sf_dir) like run_pipeline_cached: seven
+    contract queries derive from the same mentions+edges+CC chain —
+    lazy localCheckpoints make the first consumer pay once and the
+    rest reuse the materialized lineage."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _LABELS_CACHE:
+        m, edges = _edges(spark, sf_dir)
+        m = m.localCheckpoint(eager=False)
+        norms = m.select(F.col("norm_text").alias("node")).distinct()
+        labels = cc_mod.connected_components(edges, norms).localCheckpoint(
+            eager=False
+        )
+        _LABELS_CACHE[key] = (m, labels)
+    return _LABELS_CACHE[key]
 
 
 def kg_entities(spark, sf_dir):
