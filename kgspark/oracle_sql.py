@@ -344,6 +344,16 @@ SELECT entity_id, pred, value, value_lang
 FROM eprops ORDER BY entity_id, pred
 """
 
+BGP_MATCH_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS e, t2.o AS l, t3.o AS n
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'rdfs:label'
+JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
+WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+"""
+
 ENTITY_COOCCURRENCE_SQL = f"""
 {_KG_CTES},
 doc_ents AS (

@@ -783,6 +783,25 @@ def kg_entity_cooccurrence(spark, sf_dir):
     )
 
 
+def kg_bgp_match(spark, sf_dir):
+    """SPARQL BGP over the constructed graph (the store's query side):
+    every Commerce-class entity with its label and score —
+    {?e rdf:type ex:Commerce . ?e rdfs:label ?l . ?e ex:score ?n}
+    compiled to filtered scans + equi-joins on the shared variable."""
+    from .bgp import bgp_match
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return bgp_match(
+        t,
+        [
+            ("?e", "rdf:type", "ex:Commerce"),
+            ("?e", "rdfs:label", "?l"),
+            ("?e", "ex:score", "?n"),
+        ],
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 
