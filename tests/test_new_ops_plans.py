@@ -1,0 +1,68 @@
+"""Plan + determinism gates for the round-3 operators: no accidental
+cartesian products, banded/as-of joins keep their scale shape, and
+results are invariant to input partitioning."""
+
+from __future__ import annotations
+
+import kgspark.queries as Q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_window_not_join(spark, sf_dir):
+    """The as-of operator must stay the union+window form: no join
+    operator at all between the two event sides (the naive inequality
+    join explodes at scale), one partition-by-user window chain."""
+    p = _plan(Q.event_asof_join(spark, sf_dir))
+    for bad in ["CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"]:
+        assert bad not in p, f"as-of degenerated into {bad}"
+    assert "Window" in p
+
+
+def test_range_join_is_banded(spark, sf_dir):
+    """The interval join must be an equi-join on the grid bucket (hash
+    join key), never a nested-loop over the raw inequality."""
+    p = _plan(Q.event_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bgp_match_no_cartesian(spark, sf_dir):
+    p = _plan(Q.kg_bgp_match(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_dictionary_not_broadcast_hinted(spark, sf_dir):
+    """At fixture scale AQE may still choose broadcast; the gate is that
+    the LOGICAL plan carries no explicit broadcast hint on the df side
+    (open-vocabulary dictionaries must be free to shuffle)."""
+    df = Q.top_terms_tfidf(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint: the 1-row n_docs frame
+    assert logical.count("UnresolvedHint") <= 1 or logical.count("hint") <= 1
+
+
+def test_new_ops_partitioning_invariant(spark, sf_dir):
+    """asof / range / kmv / split results are identical at 2 vs 32
+    shuffle partitions (no partition-order dependence)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_all():
+        return [
+            {tuple(r) for r in Q.event_asof_join(spark, sf_dir).collect()},
+            {tuple(r) for r in Q.event_range_join(spark, sf_dir).collect()},
+            {tuple(r) for r in Q.distinct_kmv_sketch(spark, sf_dir).collect()},
+            {tuple(r) for r in Q.doc_split_assign(spark, sf_dir).collect()},
+        ]
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        lo = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        hi = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert lo == hi
