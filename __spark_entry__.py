@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_props_triples": Q.kg_props_triples,     # D7→D3 props as triples (r3)
         "kg_entity_cooccurrence": Q.kg_entity_cooccurrence,  # entity graph edges (r3)
         "kg_bgp_match": Q.kg_bgp_match,             # SPARQL BGP over triples (r3)
+        "kg_bgp_optional": Q.kg_bgp_optional,       # SPARQL OPTIONAL (r3)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_props_triples": OS.PROPS_TRIPLES_SQL,
         "kg_entity_cooccurrence": OS.ENTITY_COOCCURRENCE_SQL,
         "kg_bgp_match": OS.BGP_MATCH_SQL,
+        "kg_bgp_optional": OS.BGP_OPTIONAL_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

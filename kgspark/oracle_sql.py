@@ -354,6 +354,15 @@ JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
 WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
 """
 
+BGP_OPTIONAL_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS d, t1.o AS lang, t2.o AS media
+FROM tri t1
+LEFT JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:hasMedia'
+WHERE t1.p = 'dc:language'
+"""
+
 ENTITY_COOCCURRENCE_SQL = f"""
 {_KG_CTES},
 doc_ents AS (

@@ -802,6 +802,22 @@ def kg_bgp_match(spark, sf_dir):
     )
 
 
+def kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL over the constructed graph: every document's
+    language, with its media references when present — documents too
+    short to carry a media span bind NULL (left-join semantics).
+    {?d dc:language ?lang . OPTIONAL {?d ex:hasMedia ?media}}"""
+    from .bgp import bgp_match
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return bgp_match(
+        t,
+        [("?d", "dc:language", "?lang")],
+        optionals=[[("?d", "ex:hasMedia", "?media")]],
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 

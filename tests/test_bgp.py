@@ -73,3 +73,43 @@ def test_disjoint_patterns_cross_product(tri):
 def test_empty_bgp_raises(tri):
     with pytest.raises(ValueError):
         bgp_match(tri, [])
+
+
+def test_optional_binds_null_when_unmatched(tri):
+    out = bgp_match(
+        tri,
+        [("?x", "rdf:type", "?t")],
+        optionals=[[("?x", "ex:knows", "?y")]],
+    )
+    rows = _rows(out.select("x", "t", "y"))
+    assert ("ex:a", "ex:Person", "ex:b") in rows
+    assert ("ex:c", "ex:Robot", None) in rows  # carl knows nobody
+
+
+def test_not_exists_removes_bindings(tri):
+    out = bgp_match(
+        tri,
+        [("?x", "rdf:type", "?t")],
+        anti=[[("?x", "ex:knows", "?y")]],
+    )
+    assert _rows(out.select("x")) == {("ex:c",)}
+
+
+def test_optional_after_anti_compose(tri):
+    out = bgp_match(
+        tri,
+        [("?x", "rdfs:label", "?l")],
+        anti=[[("?x", "rdf:type", "ex:Robot")]],
+        optionals=[[("?x", "ex:knows", "?y")]],
+    )
+    rows = _rows(out.select("x", "l", "y"))
+    assert rows == {
+        ("ex:a", "alice", "ex:b"),
+        ("ex:b", "bob", "ex:a"),
+    }
+
+
+def test_disjoint_optional_raises(tri):
+    with pytest.raises(ValueError):
+        bgp_match(tri, [("?x", "rdf:type", "?t")],
+                  optionals=[[("ex:a", "rdfs:label", "?only")]])
