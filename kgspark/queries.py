@@ -511,8 +511,12 @@ def distinct_kmv_sketch(spark, sf_dir, k: int = 128):
     from .dedup import with_shingles
 
     sh = with_shingles(_t(spark, sf_dir, "documents"))
+    # codes feeds BOTH the sketch path and the exact count — share the
+    # materialized distinct instead of recomputing the shingle chain
     codes = (
-        sh.select("lang", F.explode("shingles").alias("code")).distinct()
+        sh.select("lang", F.explode("shingles").alias("code"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     a0, b0 = G.hash_a(0), G.hash_b(0)
     hs = codes.select(
