@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": Q.kg_entity_cooccurrence,  # entity graph edges (r3)
         "kg_bgp_match": Q.kg_bgp_match,             # SPARQL BGP over triples (r3)
         "kg_bgp_optional": Q.kg_bgp_optional,       # SPARQL OPTIONAL (r3)
+        "kg_bgp_filter": Q.kg_bgp_filter,           # SPARQL FILTER+SELECT DISTINCT (r4)
+        "kg_bgp_union": Q.kg_bgp_union,             # SPARQL UNION (r4)
+        "kg_sameas_closure": Q.kg_sameas_closure,   # property path (sameAs|^sameAs)+ (r4)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -133,6 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cooccurrence": OS.ENTITY_COOCCURRENCE_SQL,
         "kg_bgp_match": OS.BGP_MATCH_SQL,
         "kg_bgp_optional": OS.BGP_OPTIONAL_SQL,
+        "kg_bgp_filter": OS.BGP_FILTER_SQL,
+        "kg_bgp_union": OS.BGP_UNION_SQL,
+        "kg_sameas_closure": OS.SAMEAS_CLOSURE_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

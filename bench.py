@@ -248,7 +248,24 @@ def main() -> None:
         print(json.dumps(_scale_child(sf_dir, cpus, rep)))
         return
 
-    print(json.dumps(_run_bench(sf_dir, cpus, rep=1)))
+    res = _run_bench(sf_dir, cpus, rep=1)
+    # Full detail (per-stage rows/sec dicts) on an EARLIER line; the
+    # LAST line is a compact summary the driver's stdout tail window is
+    # guaranteed to capture whole (round-3 verdict #4: the fat line got
+    # truncated mid-key and BENCH_r03.json recorded parsed: null).
+    print(json.dumps(res))
+    compact = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "sf": res["sf"],
+        "cpus": res["cpus"],
+        "n_triples": res["n_triples"],
+        "triples_per_sec": res["triples_per_sec"],
+        "doc_parallel_sec": res["doc_parallel_sec"],
+        "queries": res["queries"],
+    }
+    print(json.dumps(compact))
 
 
 def _scale_child(sf_dir: str, cpus: int, rep: int) -> dict:

@@ -1,30 +1,130 @@
-"""SPARQL basic-graph-pattern matching over the triple table
+"""SPARQL query surface over the triple table
 (SURVEY.md D5 consumer side; the RES stack queried Twine's store via
 SPARQL — bbcarchdev/quilt `[U~]`).  This is the S2RDF-style relational
 encoding of BGP evaluation: each triple pattern is a filtered scan of
-the triples DataFrame, variables become projected columns, and shared
-variables between patterns become equi-join keys.
+the triples DataFrame, variables become projected columns, shared
+variables between patterns become equi-join keys, FILTER expressions
+become post-join predicates (pushed back into the scans by Catalyst
+when they touch a single pattern), SELECT/DISTINCT is a projection,
+UNION unions compatible groups, and property paths (`pred+`,
+`(pred|^pred)+`) compile to a transitive-closure frame.
 
 Scale shape: constants in a pattern are pushed-down filters on the
 (columnar, partitioned) triple table; the join chain is left to
 Catalyst/AQE — selective patterns broadcast, unselective ones shuffle
-on the variable column.  No driver-side evaluation of any kind.
+on the variable column.  Directed closure is iterative doubling
+(O(log diameter) rounds); symmetric closure rides the existing
+connected-components machinery (kgspark/cc.py — large-star/small-star,
+O(log n) rounds).  No driver-side evaluation beyond the documented
+closure fixpoint loop.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# predicate-position path syntax accepted in a triple pattern:
+#   "pred+"          → directed transitive closure (one or more steps)
+#   "(pred|^pred)+"  → symmetric transitive closure (steps may traverse
+#                      the predicate in either direction — SPARQL's
+#                      coref-closure idiom, e.g. (owl:sameAs|^owl:sameAs)+)
+_SYM_PATH = re.compile(r"^\((\S+)\|\^(\S+)\)\+$")
 
-def _pattern_frame(triples: DataFrame, pat: tuple[str, str, str]) -> DataFrame:
-    """One triple pattern → filtered scan projecting its variables."""
+
+def transitive_pairs(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Directed transitive closure of an edge set — (src, dst) pairs
+    connected by a path of ≥ 1 edges.
+
+    Iterative DOUBLING, not single-step semi-naive: round k holds every
+    pair with a path of length ≤ 2^k, so the loop converges in
+    ⌈log2(diameter)⌉ rounds — the plan shape that survives deep chains
+    (a 10^6-long chain closes in 20 rounds, not 10^6).  Each round is
+    one self-equi-join + distinct; the only driver action is the 1-row
+    fixpoint count.  NOTE: closure output is inherently Θ(Σ|component|²)
+    rows — at store scale feed it into an aggregate or a selective join,
+    don't materialize it bare.
+    """
+    reach = (
+        edges.select(F.col(edges.columns[0]).alias("src"),
+                     F.col(edges.columns[1]).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_iter):
+        a, b = reach.alias("a"), reach.alias("b")
+        grown = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .unionByName(reach)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = grown.count()
+        if m == n:  # monotone ⇒ equal count is the fixpoint
+            return reach
+        reach, n = grown, m
+    raise RuntimeError(f"transitive closure did not converge in {max_iter} doubling rounds")
+
+
+def symmetric_closure_pairs(triples: DataFrame, pred: str) -> DataFrame:
+    """`(pred|^pred)+` — all (src, dst) pairs connected through pred
+    edges traversed in either direction.  Under SPARQL path semantics
+    every node of a component reaches every node of that component
+    (including itself, via the 2-cycle step-forward/step-back), so the
+    closure is exactly {(x, y) : component(x) = component(y)} over the
+    pred subgraph — computed with the CC machinery (O(log n) rounds)
+    instead of pair doubling.  Same quadratic-output caveat as
+    transitive_pairs."""
+    from . import cc as cc_mod
+
+    e = triples.filter(F.col("p") == pred).select(
+        F.col("s").alias("norm_a"), F.col("o").alias("norm_b")
+    )
+    nodes = (
+        e.select(F.col("norm_a").alias("node"))
+        .unionByName(e.select(F.col("norm_b").alias("node")))
+        .distinct()
+    )
+    labels = cc_mod.connected_components(e, nodes).localCheckpoint(eager=False)
+    a, b = labels.alias("a"), labels.alias("b")
+    return a.join(b, F.col("a.label") == F.col("b.label")).select(
+        F.col("a.node").alias("src"), F.col("b.node").alias("dst")
+    )
+
+
+def _pattern_frame(triples: DataFrame, pat: tuple[str, str, str], idx: int) -> DataFrame:
+    """One triple pattern → filtered scan (or closure frame) projecting
+    its variables.  A constant-only pattern yields a 1/0-row existence
+    gate whose helper column is uniquely named and dropped by the
+    caller (never leaks into results — round-3 ADVICE)."""
     if len(pat) != 3:
         raise ValueError(f"triple pattern must have 3 terms: {pat!r}")
-    t = triples
+    s_term, p_term, o_term = pat
+
+    sym = _SYM_PATH.match(p_term) if not p_term.startswith("?") else None
+    if sym:
+        if sym.group(1) != sym.group(2):
+            raise ValueError(f"symmetric path must repeat one predicate: {p_term!r}")
+        t = symmetric_closure_pairs(triples, sym.group(1))
+        cols = ["src", "dst"]
+        terms = [s_term, o_term]
+    elif not p_term.startswith("?") and p_term.endswith("+"):
+        e = triples.filter(F.col("p") == p_term[:-1]).select("s", "o")
+        t = transitive_pairs(e)
+        cols = ["src", "dst"]
+        terms = [s_term, o_term]
+    else:
+        t = triples
+        cols = ["s", "p", "o"]
+        terms = [s_term, p_term, o_term]
+
     proj = []
     seen_in_pattern: dict[str, str] = {}
-    for col, term in zip(["s", "p", "o"], pat):
+    for col, term in zip(cols, terms):
         if term.startswith("?"):
             var = term[1:]
             if not var:
@@ -37,18 +137,50 @@ def _pattern_frame(triples: DataFrame, pat: tuple[str, str, str]) -> DataFrame:
                 proj.append(F.col(col).alias(var))
         else:
             t = t.filter(F.col(col) == term)
-    return t.select(*proj) if proj else t.select(F.lit(1).alias("_match")).limit(1)
+    if proj:
+        return t.select(*proj)
+    return t.select(F.lit(1).alias(f"_exists_{idx}")).limit(1)
 
 
-def _conjunction(triples: DataFrame, patterns) -> DataFrame:
+def _conjunction(
+    triples: DataFrame, patterns, allow_product: bool = False
+) -> DataFrame:
     bound: DataFrame | None = None
-    for pat in patterns:
-        t = _pattern_frame(triples, pat)
+    gates: list[str] = []
+    for i, pat in enumerate(patterns):
+        t = _pattern_frame(triples, pat, i)
         if bound is None:
             bound = t
+            gates = [c for c in t.columns if c.startswith("_exists_")]
+            continue
+        shared = [
+            c for c in t.columns
+            if c in bound.columns and not c.startswith("_exists_")
+        ]
+        if shared:
+            bound = bound.join(t, shared)
+        elif t.columns[0].startswith("_exists_"):
+            # constant-only pattern: pure existence gate — semi-join on a
+            # TRUE condition keeps bindings iff the (≤1-row) gate matched
+            bound = bound.join(t, F.lit(True), "left_semi")
+        elif all(c.startswith("_exists_") for c in bound.columns):
+            # everything so far was gates: apply them to the first
+            # variable-bearing pattern the same way, swapped
+            bound = t.join(bound, F.lit(True), "left_semi")
+        elif allow_product:
+            bound = bound.crossJoin(t)
         else:
-            shared = [c for c in t.columns if c in bound.columns]
-            bound = bound.join(t, shared) if shared else bound.crossJoin(t)
+            # disjoint variable sets: SPARQL says cartesian product, but a
+            # stray disjoint pattern at store scale is a corpus² blowup —
+            # refuse unless the caller opts in (round-3 verdict #3).
+            raise ValueError(
+                f"pattern {pat!r} shares no variable with the group; "
+                "a cross product at store scale is corpus-quadratic — "
+                "pass allow_product=True to opt in"
+            )
+    gates = [c for c in bound.columns if c.startswith("_exists_")]
+    if gates and len(gates) < len(bound.columns):
+        bound = bound.drop(*gates)
     return bound
 
 
@@ -57,39 +189,108 @@ def bgp_match(
     patterns: list[tuple[str, str, str]],
     optionals: list[list[tuple[str, str, str]]] | None = None,
     anti: list[list[tuple[str, str, str]]] | None = None,
+    filters: list[Column | str] | None = None,
+    select: list[str] | None = None,
+    distinct: bool = False,
+    allow_product: bool = False,
 ) -> DataFrame:
     """Match a BGP against a (s, p, o) DataFrame.
 
     ``patterns`` — required conjunctive patterns; a term starting with
     ``?`` is a variable (bound across patterns), anything else a
-    constant.  Returns one column per distinct variable.
+    constant.  A predicate term may be a property path: ``pred+``
+    (directed transitive closure) or ``(pred|^pred)+`` (symmetric
+    closure — the coref idiom).  Returns one column per distinct
+    variable; a constant-only pattern acts as an existence gate (its
+    helper column never surfaces).
 
     ``optionals`` — list of OPTIONAL groups: each group is itself a
     conjunctive pattern list, LEFT-joined on its shared variables
-    (SPARQL OPTIONAL: unmatched bindings surface as NULL).
+    (SPARQL OPTIONAL: unmatched bindings surface as NULL).  A group
+    binding no variables is a no-op (kept for SPARQL compatibility).
 
     ``anti`` — list of FILTER-NOT-EXISTS groups: bindings for which the
-    group matches are REMOVED (left-anti join on shared variables).
+    group matches are REMOVED (left-anti join on shared variables; a
+    constant-only group empties the result iff its triple exists).
+
+    ``filters`` — SPARQL FILTER expressions over bound variables:
+    pyspark Columns or SQL strings (``"n > '5'"``, ``"l rlike 'a.*'"``),
+    applied after the conjunction — Catalyst pushes single-pattern
+    predicates back into the pattern scans.
+
+    ``select`` — explicit variable projection (SPARQL SELECT ?x ?y);
+    ``distinct`` — SELECT DISTINCT semantics.
+
+    ``allow_product`` — required opt-in for patterns sharing no
+    variable (SPARQL's cartesian product; corpus-quadratic at scale).
 
     Example::
 
         bgp_match(t, [("?e", "rdf:type", "ex:Commerce")],
                   optionals=[[("?e", "rdfs:label", "?l")]],
-                  anti=[[("?e", "ex:retired", "?any")]])
+                  anti=[[("?e", "ex:retired", "?any")]],
+                  filters=["l rlike '^c'"],
+                  select=["e", "l"], distinct=True)
     """
     if not patterns:
         raise ValueError("empty BGP")
-    bound = _conjunction(triples, patterns)
+    bound = _conjunction(triples, patterns, allow_product=allow_product)
+    if all(c.startswith("_exists_") for c in bound.columns):
+        # ASK-style all-constant BGP: 1 row / 0 rows under a stable name
+        bound = bound.select(F.lit(True).alias("matched"))
+    for f in filters or []:
+        bound = bound.filter(F.expr(f) if isinstance(f, str) else f)
     for group in anti or []:
-        g = _conjunction(triples, group)
+        g = _conjunction(triples, group, allow_product=allow_product)
         shared = [c for c in g.columns if c in bound.columns]
-        if not shared:
+        if shared:
+            bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
+        elif all(c.startswith("_exists_") for c in g.columns):
+            # constant-only NOT EXISTS: valid SPARQL guard — empties the
+            # result iff the gate matched (anti-join on TRUE condition)
+            bound = bound.join(g, F.lit(True), "left_anti")
+        else:
             raise ValueError("NOT-EXISTS group shares no variable with the BGP")
-        bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
     for group in optionals or []:
-        g = _conjunction(triples, group)
+        g = _conjunction(triples, group, allow_product=allow_product)
+        if all(c.startswith("_exists_") for c in g.columns):
+            continue  # OPTIONAL {constant-only} binds nothing — no-op
         shared = [c for c in g.columns if c in bound.columns]
         if not shared:
             raise ValueError("OPTIONAL group shares no variable with the BGP")
         bound = bound.join(g, shared, "left")
+    if select is not None:
+        missing = [v for v in select if v not in bound.columns]
+        if missing:
+            raise ValueError(f"SELECT variables not bound: {missing}")
+        bound = bound.select(*select)
+    if distinct:
+        bound = bound.distinct()
     return bound
+
+
+def bgp_union(triples: DataFrame, groups: list[dict]) -> DataFrame:
+    """SPARQL UNION of BGP groups: each dict is a bgp_match(**kwargs)
+    call; results are unioned by variable NAME (SPARQL set-union of
+    solution mappings — a variable unbound in one branch surfaces as
+    NULL there).  Bag semantics like SPARQL UNION; wrap in .distinct()
+    for set semantics."""
+    if not groups:
+        raise ValueError("empty UNION")
+    frames = [bgp_match(triples, **g) for g in groups]
+    all_vars: list[str] = []
+    for fr in frames:
+        for c in fr.columns:
+            if c not in all_vars:
+                all_vars.append(c)
+    padded = [
+        fr.select(*[
+            F.col(c) if c in fr.columns else F.lit(None).cast("string").alias(c)
+            for c in all_vars
+        ])
+        for fr in frames
+    ]
+    out = padded[0]
+    for fr in padded[1:]:
+        out = out.unionByName(fr)
+    return out

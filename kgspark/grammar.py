@@ -191,6 +191,12 @@ HAMMING_TAU = 3
 # n-gram Jaccard dedup.
 NGRAM_N = 3
 
+# KMV distinct sketch — SINGLE source of k for the Spark builder
+# (queries.distinct_kmv_sketch) AND the DuckDB oracle
+# (oracle_sql.KMV_SKETCH_SQL); a per-call parameter silently diverged
+# from the hardcoded oracle (round-3 ADVICE).
+KMV_K = 128
+
 # Quality scoring stopword set = STOP_TOKENS; token-count regex:
 BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
 

@@ -107,13 +107,21 @@ def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series(dots / (na * nb))
 
 
-# The kernel IS deterministic; this alias only flips the Catalyst flag so
-# a threshold filter referencing the scored column is NOT pushed below the
-# projection (PushDownPredicates duplicates the expression, yielding two
-# ArrowEvalPython nodes that each run the kernel over every pair — the
-# round-2 double-eval finding in embedding_neardup{,_trained}).  Use this
-# alias whenever a filter consumes the kernel's output column.
-_cosine_batch_once = _cosine_batch.asNondeterministic()
+# The kernel IS deterministic; this variant only flips the Catalyst flag
+# so a threshold filter referencing the scored column is NOT pushed below
+# the projection (PushDownPredicates duplicates the expression, yielding
+# two ArrowEvalPython nodes that each run the kernel over every pair —
+# the round-2 double-eval finding in embedding_neardup{,_trained}).  Use
+# this variant whenever a filter consumes the kernel's output column.
+#
+# It is built from the RAW kernel function as an INDEPENDENT
+# UserDefinedFunction: on pyspark 4.x, `wrapper.asNondeterministic()`
+# mutates the one UDF object shared by wrapper and alias, which would
+# silently make `_cosine_batch` itself nondeterministic at import and
+# forbid its use in join conditions / aggregates (round-3 ADVICE).
+_cosine_batch_once = F.pandas_udf(T.DoubleType())(
+    _cosine_batch.func
+).asNondeterministic()
 
 
 def scored_edges(
@@ -171,11 +179,19 @@ def scored_edges(
     # construction) pass ``vocab`` and skip the observed-vocab job.
     caller_vocab = vocab is not None
     if vocab is None:
-        vocab = [
-            r["tok"]
-            for r in norms.select(F.explode("tokset").alias("tok")).distinct()
-            .orderBy("tok").collect()
-        ]
+        # BOUNDED probe (round-3 verdict #1): the driver only needs to
+        # know "are there ≤ 62 distinct tokens, and if so which" — a
+        # global-sorted limit(63) answers that exactly while the driver
+        # receives at most 63 rows.  On an open-vocabulary corpus the
+        # old `.distinct().collect()` shipped the ENTIRE token
+        # dictionary through the driver just to pick the array path.
+        probe = (
+            norms.select(F.explode("tokset").alias("tok")).distinct()
+            .orderBy("tok").limit(63).collect()
+        )
+        if len(probe) > 62:
+            return _scored_edges_array(norms, embeddings, tau, block_cap)
+        vocab = [r["tok"] for r in probe]
     if len(vocab) <= 62:
         if caller_vocab:
             # a caller-supplied dictionary is a CLAIM, not a fact: a

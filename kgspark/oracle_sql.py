@@ -363,6 +363,54 @@ LEFT JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:hasMedia'
 WHERE t1.p = 'dc:language'
 """
 
+# SPARQL FILTER + SELECT DISTINCT (round-4: the quilt-consumer surface).
+# CAST + regex mirror the Spark side's CAST(n AS INT) / rlike exactly.
+BGP_FILTER_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT DISTINCT t1.s AS e, t2.o AS l, t3.o AS n
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'rdfs:label'
+JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
+WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+  AND CAST(t3.o AS INT) >= 3 AND regexp_matches(t2.o, '^[a-m]')
+"""
+
+# SPARQL UNION of BGP groups — disjoint variables NULL-padded (bag
+# semantics, matching bgp_union's unionByName).
+BGP_UNION_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS e, t2.o AS l,
+       CAST(NULL AS VARCHAR) AS d, CAST(NULL AS VARCHAR) AS lang
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'rdfs:label'
+WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), s, o
+FROM tri WHERE p = 'dc:language'
+"""
+
+# SPARQL property path (owl:sameAs|^owl:sameAs)+ — the coref closure.
+# Independent re-derivation: recursive CTE over the UNDIRECTED sameAs
+# edge set (set-semantics UNION terminates the recursion); the Spark
+# side computes the same relation via connected components.
+SAMEAS_CLOSURE_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+sa_edges AS (
+  SELECT s AS a, o AS b FROM tri WHERE p = 'owl:sameAs'
+  UNION
+  SELECT o AS a, s AS b FROM tri WHERE p = 'owl:sameAs'
+),
+sa_reach AS (
+  SELECT a, b FROM sa_edges
+  UNION
+  SELECT r.a, e.b FROM sa_reach r JOIN sa_edges e ON e.a = r.b
+)
+SELECT a AS x, b AS y FROM sa_reach WHERE a < b
+"""
+
 ENTITY_COOCCURRENCE_SQL = f"""
 {_KG_CTES},
 doc_ents AS (
@@ -877,7 +925,7 @@ FROM (
 )
 """
 
-_KMV_K = 128
+_KMV_K = G.KMV_K  # single shared constant with queries.distinct_kmv_sketch
 KMV_SKETCH_SQL = f"""
 WITH {SHINGLES_CTE},
 kmv_codes AS (
@@ -1166,12 +1214,23 @@ INTERSECT
 SELECT s_nationkey AS nationkey FROM supplier
 """
 
+# Exact int64 interpolation mirroring queries.event_value_percentiles —
+# quantile_cont's floating interpolation could differ from Spark's
+# percentile() by one ulp exactly at integer grid points (round-3
+# ADVICE); the quarter-unit integer formula is bit-identical by
+# construction (v_e6 >= 0 so // == floor on both engines).
 RELATIONAL_SQL["event_value_percentiles"] = f"""
+WITH ev AS (SELECT event_type, {_e6('value')} AS v_e6 FROM events),
+ranked AS (
+  SELECT event_type, v_e6,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_e6) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev)
 SELECT event_type,
-       CAST(floor(quantile_cont(v_e6, 0.25)) AS BIGINT) AS p25_e6,
-       CAST(floor(quantile_cont(v_e6, 0.50)) AS BIGINT) AS p50_e6,
-       CAST(floor(quantile_cont(v_e6, 0.75)) AS BIGINT) AS p75_e6
-FROM (SELECT event_type, {_e6('value')} AS v_e6 FROM events)
+       CAST(sum(CASE WHEN i = ((n-1)*1)//4 THEN v_e6 * (4 - ((n-1)*1)%4) WHEN i = ((n-1)*1)//4 + 1 THEN v_e6 * (((n-1)*1)%4) ELSE 0 END)//4 AS BIGINT) AS p25_e6,
+       CAST(sum(CASE WHEN i = ((n-1)*2)//4 THEN v_e6 * (4 - ((n-1)*2)%4) WHEN i = ((n-1)*2)//4 + 1 THEN v_e6 * (((n-1)*2)%4) ELSE 0 END)//4 AS BIGINT) AS p50_e6,
+       CAST(sum(CASE WHEN i = ((n-1)*3)//4 THEN v_e6 * (4 - ((n-1)*3)%4) WHEN i = ((n-1)*3)//4 + 1 THEN v_e6 * (((n-1)*3)%4) ELSE 0 END)//4 AS BIGINT) AS p75_e6
+FROM ranked
 GROUP BY event_type
 """
 

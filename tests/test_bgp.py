@@ -65,9 +65,17 @@ def test_repeated_variable_within_pattern(tri):
 
 def test_disjoint_patterns_cross_product(tri):
     out = bgp_match(
-        tri, [("ex:a", "rdfs:label", "?la"), ("ex:c", "rdfs:label", "?lc")]
+        tri, [("ex:a", "rdfs:label", "?la"), ("ex:c", "rdfs:label", "?lc")],
+        allow_product=True,
     )
     assert _rows(out.select("la", "lc")) == {("alice", "carl")}
+
+
+def test_disjoint_patterns_refused_without_opt_in(tri):
+    # round-3 verdict #3: a stray disjoint pattern at store scale is a
+    # corpus² product — refuse unless the caller opts in
+    with pytest.raises(ValueError, match="allow_product"):
+        bgp_match(tri, [("ex:a", "rdfs:label", "?la"), ("ex:c", "rdfs:label", "?lc")])
 
 
 def test_empty_bgp_raises(tri):
@@ -113,3 +121,141 @@ def test_disjoint_optional_raises(tri):
     with pytest.raises(ValueError):
         bgp_match(tri, [("?x", "rdf:type", "?t")],
                   optionals=[[("ex:a", "rdfs:label", "?only")]])
+
+
+# --- round-4 surface: gates, FILTER, SELECT/DISTINCT, UNION, paths ----------
+def test_constant_only_pattern_gates_without_leaking(tri):
+    # existing triple → gate passes, and NO helper column in the output
+    out = bgp_match(
+        tri, [("ex:a", "rdf:type", "ex:Person"), ("?x", "rdf:type", "ex:Robot")]
+    )
+    assert set(out.columns) == {"x"}
+    assert _rows(out) == {("ex:c",)}
+    # missing triple → gate empties the result
+    out2 = bgp_match(
+        tri, [("ex:a", "rdf:type", "ex:Robot"), ("?x", "rdf:type", "ex:Robot")]
+    )
+    assert out2.count() == 0
+
+
+def test_constant_only_pattern_first_position(tri):
+    out = bgp_match(
+        tri, [("?x", "rdf:type", "ex:Robot"), ("ex:a", "rdf:type", "ex:Person")]
+    )
+    assert set(out.columns) == {"x"}
+    assert _rows(out) == {("ex:c",)}
+
+
+def test_all_constant_bgp_is_ask(tri):
+    assert bgp_match(tri, [("ex:a", "rdf:type", "ex:Person")]).columns == ["matched"]
+    assert bgp_match(tri, [("ex:a", "rdf:type", "ex:Person")]).count() == 1
+    assert bgp_match(tri, [("ex:a", "rdf:type", "ex:Robot")]).count() == 0
+
+
+def test_constant_only_anti_group_is_valid_guard(tri):
+    # round-3 ADVICE: constant-only NOT-EXISTS group is valid SPARQL —
+    # empties the result iff the triple exists
+    out = bgp_match(
+        tri, [("?x", "rdf:type", "ex:Robot")],
+        anti=[[("ex:a", "rdf:type", "ex:Person")]],
+    )
+    assert out.count() == 0
+    out2 = bgp_match(
+        tri, [("?x", "rdf:type", "ex:Robot")],
+        anti=[[("ex:a", "rdf:type", "ex:Robot")]],
+    )
+    assert _rows(out2.select("x")) == {("ex:c",)}
+
+
+def test_filter_and_select_distinct(tri):
+    out = bgp_match(
+        tri,
+        [("?x", "rdf:type", "?t"), ("?x", "rdfs:label", "?l")],
+        filters=["l rlike '^[ab]'"],
+        select=["x", "l"],
+        distinct=True,
+    )
+    assert out.columns == ["x", "l"]
+    assert _rows(out) == {("ex:a", "alice"), ("ex:b", "bob")}
+
+
+def test_filter_accepts_column_expr(tri):
+    from pyspark.sql import functions as F
+
+    out = bgp_match(
+        tri, [("?x", "rdfs:label", "?l")], filters=[F.col("l") > "b"]
+    )
+    assert _rows(out.select("l")) == {("bob",), ("carl",)}
+
+
+def test_select_unbound_variable_raises(tri):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_match(tri, [("?x", "rdfs:label", "?l")], select=["x", "nope"])
+
+
+def test_union_pads_unshared_variables_with_null(tri):
+    from kgspark.bgp import bgp_union
+
+    out = bgp_union(
+        tri,
+        [
+            {"patterns": [("?x", "rdf:type", "ex:Robot")]},
+            {"patterns": [("?x", "ex:knows", "?y")],
+             "filters": ["x = 'ex:a'"]},
+        ],
+    )
+    assert set(out.columns) == {"x", "y"}
+    assert _rows(out.select("x", "y")) == {("ex:c", None), ("ex:a", "ex:b")}
+
+
+PATH_TRIPLES = [
+    ("n1", "ex:next", "n2"),
+    ("n2", "ex:next", "n3"),
+    ("n3", "ex:next", "n4"),
+    ("m1", "ex:next", "m2"),
+    ("c1", "ex:next", "c2"),
+    ("c2", "ex:next", "c1"),  # 2-cycle
+    ("x1", "ex:other", "x2"),
+]
+
+
+@pytest.fixture()
+def ptri(spark):
+    return spark.createDataFrame(PATH_TRIPLES, "s string, p string, o string")
+
+
+def test_directed_path_plus(ptri):
+    out = bgp_match(ptri, [("?a", "ex:next+", "?b")])
+    rows = _rows(out.select("a", "b"))
+    assert ("n1", "n4") in rows          # length-3 path
+    assert ("n1", "n2") in rows          # original edge kept
+    assert ("n4", "n1") not in rows      # direction respected
+    assert ("m1", "m2") in rows
+    assert ("c1", "c1") in rows          # cycle ⇒ self pair
+    assert ("x1", "x2") not in rows      # other predicate excluded
+    assert len(rows) == 3 + 2 + 1 + 1 + 4  # n-chain closure 6, m 1, c 4
+
+
+def test_directed_path_with_constant_endpoint(ptri):
+    out = bgp_match(ptri, [("n1", "ex:next+", "?b")])
+    assert _rows(out.select("b")) == {("n2",), ("n3",), ("n4",)}
+
+
+def test_symmetric_path_closure(ptri):
+    out = bgp_match(ptri, [("?a", "(ex:next|^ex:next)+", "?b")])
+    rows = _rows(out.select("a", "b"))
+    # within the n-chain component every ordered pair incl. self
+    for a in ("n1", "n2", "n3", "n4"):
+        for b in ("n1", "n2", "n3", "n4"):
+            assert (a, b) in rows
+    assert ("n1", "m1") not in rows
+    assert ("m2", "m1") in rows          # reverse direction reachable
+
+
+def test_path_joins_with_plain_pattern(ptri):
+    out = bgp_match(
+        ptri,
+        [("?a", "ex:next+", "?b"), ("?b", "ex:next", "?c")],
+        filters=["a = 'n1'"],
+    )
+    assert _rows(out.select("b", "c")) == {("n2", "n3"), ("n3", "n4")}

@@ -86,3 +86,40 @@ def test_explicit_sameas_merges_components(spark, sf_dir):
     assert len(set(ml.values())) == len(set(labels.values())) - 1, (
         "exactly the two bridged components merge; everything else untouched"
     )
+
+
+def test_vocab_probe_is_driver_bounded(spark, monkeypatch):
+    """Round-3 verdict #1: with vocab=None on an OPEN vocabulary
+    (> 62 tokens) the driver must never receive more than 63 rows from
+    the probe — the old unbounded distinct().collect() shipped the
+    whole token dictionary driver-side.  Spy on DataFrame.collect and
+    record every result size."""
+    # 80-token open vocabulary (tokcode-collision-free: distinct
+    # first-two chars), pairwise-overlapping norms
+    def tok(i):
+        return f"{chr(97 + i // 26)}{chr(97 + i % 26)}tok"
+
+    rows = [(f"{tok(i)} {tok(i + 1)}",) for i in range(79)]
+    m = spark.createDataFrame(rows, "norm_text string")
+
+    # patch the RUNTIME DataFrame class (pyspark.sql.classic on 4.x —
+    # the pyspark.sql.DataFrame facade is never dispatched through)
+    cls = type(m)
+    sizes: list[int] = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    out = link.scored_edges(m, emb, n_embeddings=500)
+    n = len(orig(out))  # count via un-spied collect
+    assert n >= 0
+    assert sizes, "expected the probe collect to run"
+    assert max(sizes) <= 63, f"driver received {max(sizes)} rows from a probe"

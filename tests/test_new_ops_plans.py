@@ -66,3 +66,36 @@ def test_new_ops_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert lo == hi
+
+
+def test_bgp_filter_pushed_into_pattern_scans(spark, sf_dir):
+    """kg_bgp_filter's FILTER expressions are single-variable column
+    predicates — Catalyst must push each below the joins into the one
+    pattern scan binding its variable.  Gate: in the optimized plan no
+    Filter ABOVE a Join still mentions the rlike/cast predicates."""
+    df = Q.kg_bgp_filter(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    join_depths = [len(l) - len(l.lstrip(" +-:")) for l in lines if "Join" in l]
+    assert join_depths, "expected a join chain"
+    top_join = min(join_depths)
+    for l in lines:
+        depth = len(l) - len(l.lstrip(" +-:"))
+        if "Filter" in l and depth < top_join:
+            assert "rlike" not in l.lower() and "cast" not in l.lower(), (
+                f"filter not pushed below the joins: {l.strip()}"
+            )
+
+
+def test_bgp_filter_no_cartesian(spark, sf_dir):
+    p = _plan(Q.kg_bgp_filter(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_sameas_closure_rides_cc_not_doubling(spark, sf_dir):
+    """The symmetric path compiles to the CC machinery: output is the
+    same-label self-join (one equi-join on label), not an iterated
+    pair-doubling chain."""
+    p = _plan(Q.kg_sameas_closure(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
