@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_filter": Q.kg_bgp_filter,           # SPARQL FILTER+SELECT DISTINCT (r4)
         "kg_bgp_union": Q.kg_bgp_union,             # SPARQL UNION (r4)
         "kg_sameas_closure": Q.kg_sameas_closure,   # property path (sameAs|^sameAs)+ (r4)
+        "kg_entity_media": Q.kg_entity_media,       # license/media selection rules (r4)
+        "kg_sparql_topk": Q.kg_sparql_topk,         # SPARQL text front-end (r4)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -139,6 +141,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_filter": OS.BGP_FILTER_SQL,
         "kg_bgp_union": OS.BGP_UNION_SQL,
         "kg_sameas_closure": OS.SAMEAS_CLOSURE_SQL,
+        "kg_entity_media": OS.ENTITY_MEDIA_SQL,
+        "kg_sparql_topk": OS.SPARQL_TOPK_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -96,24 +96,39 @@ def entity_attrs_df(
     )
 
 
-def rulebase_df(spark) -> DataFrame:
+def rulebase_df(spark, ttl_path: str | None = None) -> DataFrame:
     """The D7 class rulebase as a (tiny) DataFrame — broadcast into the
-    class-selection join (spindle ``rulebase.ttl`` analogue)."""
+    class-selection join.  With ``ttl_path``, the rules are loaded from
+    a rulebase.ttl artifact through the engine's own Turtle parser
+    (spindle's config model — see kgspark/rulebase.py); otherwise from
+    the grammar constants (identical content, round-trip-tested)."""
+    if ttl_path is not None:
+        from .rulebase import load_class_rules
+
+        return load_class_rules(spark, ttl_path)
     return spark.createDataFrame(
         G.CLASS_RULES, "tok string, class string, rule_score int"
     )
 
 
-def property_rules_df(spark) -> DataFrame:
+def property_rules_df(spark, ttl_path: str | None = None) -> DataFrame:
     """The D7 PROPERTY rulebase as a (tiny) DataFrame — broadcast into
-    the per-predicate candidate join (spindle ``props.c`` map analogue)."""
+    the per-predicate candidate join (spindle ``props.c`` map analogue).
+    With ``ttl_path``, loaded via the engine's Turtle parser."""
+    if ttl_path is not None:
+        from .rulebase import load_property_rules
+
+        return load_property_rules(spark, ttl_path)
     return spark.createDataFrame(
         G.PROPERTY_RULES, "pred string, shape string, priority int, lang_pref int"
     )
 
 
 def entity_props(
-    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    rules: DataFrame | None = None,
 ) -> DataFrame:
     """O24 FULL D7 form: multi-predicate property selection driven by
     the broadcast PROPERTY_RULES table.  Every member mention
@@ -155,7 +170,8 @@ def entity_props(
                 F.col("c.value").alias("value"), "lang")
         .distinct()
     )
-    rules = property_rules_df(mentions.sparkSession)
+    if rules is None:
+        rules = property_rules_df(mentions.sparkSession)
     joined = cands.join(F.broadcast(rules), "shape").withColumn(
         "lang_ord",
         F.when(F.col("lang_pref") == 1, X.lang_rank(F.col("lang"))).otherwise(
@@ -179,8 +195,99 @@ def entity_props(
     )
 
 
+def license_rules_df(spark) -> DataFrame:
+    """Spindle ``license.c`` rulebase analogue as a broadcast dim."""
+    return spark.createDataFrame(
+        G.LICENSE_RULES, "rights_bucket int, license string, lic_rank int"
+    )
+
+
+def media_kind_rules_df(spark) -> DataFrame:
+    """Spindle ``media.c`` kind-classification rulebase analogue."""
+    return spark.createDataFrame(
+        G.MEDIA_KIND_RULES, "kind_bucket int, media_class string, med_rank int"
+    )
+
+
+def entity_media(
+    mentions: DataFrame,
+    labels: DataFrame,
+    flat: DataFrame,
+    members: DataFrame | None = None,
+) -> DataFrame:
+    """Per-entity license + representative-media selection — the
+    spindle ``license.c`` / ``media.c`` rule families (SURVEY O7/D7
+    `[U~]`): rights statements on member documents map through the
+    LICENSE_RULES table to a ranked license bucket, media references
+    through MEDIA_KIND_RULES to a ranked kind class; one priority
+    window per entity picks the winners (rank asc, value asc — total
+    order, deterministic at any parallelism).
+
+    Returns (entity_id, license, best_media, media_class); entities
+    whose member documents carry no media span bind NULL media (the
+    OPTIONAL semantics of the store's hasMedia edge).
+
+    Scale shape: candidates are slim distinct rows before the ≤4-row
+    broadcast rule joins; both windows partition on entity_id — no
+    global sort, no skew beyond per-entity document counts."""
+    if members is None:
+        members = entity_membership(mentions, labels)
+    m = mentions.join(
+        labels.withColumnRenamed("node", "norm_text"), "norm_text"
+    ).join(members.select("label", "entity_id").distinct(), "label")
+    docs = m.select("entity_id", "doc_id", "source").distinct()
+    spark = mentions.sparkSession
+
+    src_num = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    lic = (
+        docs.select(
+            "entity_id", (src_num % G.LICENSE_MOD).alias("rights_bucket")
+        )
+        .distinct()
+        .join(F.broadcast(license_rules_df(spark)), "rights_bucket")
+    )
+    wl = Window.partitionBy("entity_id").orderBy("lic_rank", "license")
+    best_lic = (
+        lic.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "license")
+    )
+
+    media = (
+        flat.filter(F.col("kind") == "media")
+        .select("doc_id", "media_ref")
+        .distinct()
+    )
+    med_num = F.regexp_extract("media_ref", "([0-9]+)$", 1).cast("int")
+    med = (
+        docs.select("entity_id", "doc_id")
+        .distinct()
+        .join(media, "doc_id")
+        .select(
+            "entity_id", "media_ref",
+            (med_num % G.MEDIA_KIND_MOD).alias("kind_bucket"),
+        )
+        .distinct()
+        .join(F.broadcast(media_kind_rules_df(spark)), "kind_bucket")
+    )
+    wm = Window.partitionBy("entity_id").orderBy("med_rank", "media_ref")
+    best_med = (
+        med.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("media_ref").alias("best_media"),
+            "media_class",
+        )
+    )
+    return best_lic.join(best_med, "entity_id", "left")
+
+
 def entity_classes(
-    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    rules: DataFrame | None = None,
 ) -> DataFrame:
     """O25 rulebase-driven class scoring: each member contributes the
     rule matched by its norm-text's first token; the entity's class is
@@ -189,7 +296,8 @@ def entity_classes(
     construction (16-row dimension)."""
     if members is None:
         members = entity_membership(mentions, labels)
-    rules = rulebase_df(mentions.sparkSession)
+    if rules is None:
+        rules = rulebase_df(mentions.sparkSession)
     cands = (
         members.select(
             "entity_id", F.split("norm_text", " ").getItem(0).alias("tok")

@@ -126,6 +126,29 @@ PROPERTY_RULES = [  # (pred, shape, priority, lang_pref)
     ("dc:language", "lang", 1, 1),
 ]
 
+# License / media selection rulebases (spindle license.c / media.c
+# analogues — SURVEY O7/D7 `[U~]`): a document's rights bucket derives
+# deterministically from its source ordinal (srcK → K % LICENSE_MOD),
+# a media ref's kind bucket from its ordinal (% MEDIA_KIND_MOD); the
+# per-entity selection keeps the best-RANKED value across member
+# documents (priority window, lexicographic tie-break) — the same
+# selection pattern as entity_props.
+LICENSE_MOD = 3
+LICENSE_RULES = [  # (rights_bucket, license_iri, lic_rank)
+    (0, "ex:license/open", 1),
+    (1, "ex:license/attribution", 2),
+    (2, "ex:license/restricted", 3),
+]
+MEDIA_KIND_MOD = 4
+MEDIA_KIND_RULES = [  # (kind_bucket, media_class, med_rank)
+    (0, "image", 1),
+    (1, "audio", 2),
+    (2, "video", 3),
+    (3, "data", 4),
+]
+P_LICENSE = "ex:license"
+P_BEST_MEDIA = "ex:bestMedia"
+
 # Coreference predicates (spindle/correlate coref set analogue).
 COREF_PREDICATES = [P_SAME_AS, "skos:exactMatch"]
 

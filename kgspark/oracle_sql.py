@@ -363,6 +363,48 @@ LEFT JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:hasMedia'
 WHERE t1.p = 'dc:language'
 """
 
+# Per-entity license + representative media (spindle license.c/media.c
+# analogue): independent re-derivation over the mention→label→entity
+# chain with the same rule tables inlined as VALUES.
+ENTITY_MEDIA_SQL = f"""
+{_KG_CTES},
+docs_e AS (
+  SELECT DISTINCT e.entity_id, m.doc_id, m.source
+  FROM mentions m
+  JOIN labels l ON l.node = m.norm_text
+  JOIN eids e USING (label)
+),
+lic AS (
+  SELECT entity_id, license,
+         row_number() OVER (PARTITION BY entity_id
+                            ORDER BY lic_rank, license) AS rn
+  FROM (SELECT DISTINCT d.entity_id, r.license, r.lic_rank
+        FROM docs_e d
+        JOIN (VALUES (0, 'ex:license/open', 1), (1, 'ex:license/attribution', 2), (2, 'ex:license/restricted', 3))
+          AS r(rights_bucket, license, lic_rank)
+          ON r.rights_bucket =
+             CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INT)
+               % 3)
+),
+med AS (
+  SELECT entity_id, media_ref, media_class,
+         row_number() OVER (PARTITION BY entity_id
+                            ORDER BY med_rank, media_ref) AS rn
+  FROM (SELECT DISTINCT d.entity_id, s.media_ref, r.media_class, r.med_rank
+        FROM docs_e d
+        JOIN spans_pos s ON s.doc_id = d.doc_id AND s.kind = 'media'
+        JOIN (VALUES (0, 'image', 1), (1, 'audio', 2), (2, 'video', 3), (3, 'data', 4))
+          AS r(kind_bucket, media_class, med_rank)
+          ON r.kind_bucket =
+             CAST(regexp_extract(s.media_ref, '([0-9]+)$', 1) AS INT)
+               % 4)
+)
+SELECT l.entity_id, l.license, m.media_ref AS best_media, m.media_class
+FROM (SELECT entity_id, license FROM lic WHERE rn = 1) l
+LEFT JOIN (SELECT entity_id, media_ref, media_class FROM med WHERE rn = 1) m
+  USING (entity_id)
+"""
+
 # SPARQL FILTER + SELECT DISTINCT (round-4: the quilt-consumer surface).
 # CAST + regex mirror the Spark side's CAST(n AS INT) / rlike exactly.
 BGP_FILTER_SQL = f"""
@@ -374,6 +416,23 @@ JOIN tri t2 ON t2.s = t1.s AND t2.p = 'rdfs:label'
 JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
 WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
   AND CAST(t3.o AS INT) >= 3 AND regexp_matches(t2.o, '^[a-m]')
+"""
+
+# SPARQL text front-end (ORDER BY ?n DESC, ?l, ?e is a total order so
+# the LIMIT cut is engine-independent; comparison stays binary-collated
+# strings on both engines).
+SPARQL_TOPK_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT e, l, n FROM (
+  SELECT DISTINCT t1.s AS e, t2.o AS l, t3.o AS n
+  FROM tri t1
+  JOIN tri t2 ON t2.s = t1.s AND t2.p = 'rdfs:label'
+  JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
+  WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+    AND CAST(t3.o AS INT) >= 2
+)
+ORDER BY n DESC, l, e LIMIT 25
 """
 
 # SPARQL UNION of BGP groups — disjoint variables NULL-padded (bag

@@ -825,6 +825,17 @@ def kg_bgp_optional(spark, sf_dir):
     )
 
 
+def kg_entity_media(spark, sf_dir):
+    """Per-entity license + representative media (spindle license.c /
+    media.c analogue — round-3 verdict missing #4): rights and media
+    kinds map through broadcast rule tables, one priority window per
+    entity picks the winners; NULL media for entities whose documents
+    carry no media span."""
+    m, labels = _labels(spark, sf_dir)
+    flat = fixtures.flat_spans(spark, sf_dir)
+    return gen.entity_media(m, labels, flat)
+
+
 def kg_bgp_filter(spark, sf_dir):
     """SPARQL FILTER + SELECT DISTINCT over the constructed graph
     (round-3 verdict #2 — the first thing a store user writes after
@@ -885,6 +896,30 @@ def kg_sameas_closure(spark, sf_dir):
         [("?x", "(owl:sameAs|^owl:sameAs)+", "?y")],
         filters=["x < y"],
         select=["x", "y"],
+    )
+
+
+def kg_sparql_topk(spark, sf_dir):
+    """The SPARQL TEXT front-end end-to-end (kgspark/sparql.py): a
+    SELECT with FILTER + ORDER BY + LIMIT as a store consumer would
+    write it, parsed and compiled onto bgp_match.  ORDER BY+LIMIT plan
+    as TakeOrdered (per-partition top-k, no global sort); the ORDER BY
+    key (?n DESC, ?l, ?e) is a total order so the LIMIT cut is
+    deterministic on both engines."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT DISTINCT ?e ?l ?n WHERE {
+          ?e rdf:type ex:Commerce .
+          ?e rdfs:label ?l .
+          ?e ex:score ?n .
+          FILTER(xsd:integer(?n) >= 2)
+        } ORDER BY DESC(?n) ?l ?e LIMIT 25
+        """,
     )
 
 

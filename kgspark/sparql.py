@@ -1,0 +1,316 @@
+"""SPARQL text front-end (SURVEY D5 consumer side): parse a SPARQL
+SELECT subset into the relational BGP machinery (kgspark/bgp.py) —
+the store's query surface as upstream consumers actually write it
+(the RES stack / `bbcarchdev/quilt` `[U~]` issued textual SPARQL).
+
+Supported subset::
+
+    SELECT [DISTINCT] (?v ... | *)
+    WHERE { group [ UNION { group } ... ] }
+    [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
+
+    group := ( triple-pattern '.'
+             | OPTIONAL { triple-patterns }
+             | FILTER NOT EXISTS { triple-patterns }
+             | FILTER ( expression ) )*
+
+Triple patterns may use property paths (``pred+``, ``(pred|^pred)+``).
+FILTER expressions support ?var references, comparison operators,
+``&&``/``||``/``!``, ``REGEX(?v, "pat")``, ``STR(?v)``,
+``xsd:integer(?v)`` casts, and string/number literals — translated to
+Spark SQL expression strings, so they stay in whole-stage codegen and
+Catalyst pushes single-variable predicates into the pattern scans.
+
+The parser is driver-side work over a query STRING (bytes of config,
+not data) — the resulting plan is exactly the bgp_match plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import bgp_match, bgp_union
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<punct><=|>=|!=|&&|\|\||[{}().,<>=!*])
+      | (?P<word>[^\s{}().,<>=!"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(q: str) -> list[str]:
+    q = q.strip()
+    toks, i = [], 0
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if not m:
+            raise ValueError(f"SPARQL tokenizer stuck at: {q[i:i+30]!r}")
+        if m.end() == m.start():
+            break
+        toks.append(m.group("str") or m.group("punct") or m.group("word"))
+        i = m.end()
+    return toks
+
+
+class _P:
+    """Recursive-descent parser over the token stream."""
+
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> str | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t is not None and t.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, word: str) -> None:
+        if not self.kw(word):
+            raise ValueError(
+                f"SPARQL parse error: expected {word!r} at {self.peek()!r}"
+            )
+
+    def take(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("SPARQL parse error: unexpected end of query")
+        self.i += 1
+        return t
+
+
+def _parse_patterns(p: _P) -> list[tuple[str, str, str]]:
+    """Triple patterns up to the closing '}' (not consumed)."""
+    pats = []
+    while p.peek() not in ("}", None):
+        up = (p.peek() or "").upper()
+        if up in ("OPTIONAL", "FILTER", "UNION"):
+            break
+        s = p.take()
+        if p.peek() == "(":
+            # symmetric path (pred|^pred)+ — the tokenizer splits the
+            # parens off; reassemble the path term
+            p.take()
+            inner = p.take()
+            p.expect(")")
+            plus = p.take()
+            if plus != "+":
+                raise ValueError("path group must be followed by '+'")
+            pred = f"({inner})+"
+        else:
+            pred = p.take()
+            if pred == "a":  # SPARQL rdf:type shorthand
+                pred = "rdf:type"
+        o = p.take()
+        p.kw(".")  # trailing dot optional before }
+        pats.append((_term(s), _term(pred), _term(o)))
+    return pats
+
+
+def _term(tok: str) -> str:
+    if tok.startswith('"') and tok.endswith('"'):
+        return tok[1:-1]
+    return tok
+
+
+_VAR = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _expr_to_sql(p: _P) -> str:
+    """Consume a parenthesized FILTER expression, translating SPARQL
+    operators to Spark SQL."""
+    p.expect("(")
+    depth, parts = 1, []
+    while depth > 0:
+        t = p.take()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        up = t.upper()
+        if up == "&&":
+            parts.append("AND")
+        elif up == "||":
+            parts.append("OR")
+        elif t == "!" and p.peek() != "=":
+            parts.append("NOT")
+        elif up == "REGEX":
+            # REGEX(?v, "pat") → v rlike 'pat'
+            p.expect("(")
+            var = _VAR.fullmatch(p.take())
+            if not var:
+                raise ValueError("REGEX first argument must be a variable")
+            p.expect(",")
+            pat = p.take()
+            p.expect(")")
+            parts.append(f"{var.group(1)} rlike '{_term(pat)}'")
+        elif up == "STR":
+            p.expect("(")
+            var = _VAR.fullmatch(p.take())
+            p.expect(")")
+            parts.append(f"CAST({var.group(1)} AS STRING)")
+        elif up in ("XSD:INTEGER", "XSD:INT"):
+            p.expect("(")
+            var = _VAR.fullmatch(p.take())
+            p.expect(")")
+            parts.append(f"CAST({var.group(1)} AS INT)")
+        elif t.startswith("?"):
+            v = _VAR.fullmatch(t)
+            if not v:
+                raise ValueError(f"bad variable {t!r}")
+            parts.append(v.group(1))
+        elif t.startswith('"'):
+            parts.append("'" + _term(t).replace("'", "''") + "'")
+        else:
+            parts.append(t)
+    return " ".join(parts)
+
+
+def _parse_group(p: _P) -> dict:
+    """One { ... } group body → bgp_match kwargs (brace not consumed
+    at entry; closing brace consumed)."""
+    p.expect("{")
+    patterns: list = []
+    optionals: list = []
+    anti: list = []
+    filters: list[str] = []
+    while True:
+        t = p.peek()
+        if t is None:
+            raise ValueError("SPARQL parse error: unclosed group")
+        if t == "}":
+            p.take()
+            break
+        up = t.upper()
+        if up == "OPTIONAL":
+            p.take()
+            p.expect("{")
+            optionals.append(_parse_patterns(p))
+            p.expect("}")
+        elif up == "FILTER":
+            p.take()
+            if (p.peek() or "").upper() == "NOT":
+                p.take()
+                p.expect("EXISTS")
+                p.expect("{")
+                anti.append(_parse_patterns(p))
+                p.expect("}")
+            else:
+                filters.append(_expr_to_sql(p))
+        else:
+            got = _parse_patterns(p)
+            if not got:
+                raise ValueError(f"SPARQL parse error at {p.peek()!r}")
+            patterns.extend(got)
+    out: dict = {"patterns": patterns}
+    if optionals:
+        out["optionals"] = optionals
+    if anti:
+        out["anti"] = anti
+    if filters:
+        out["filters"] = filters
+    return out
+
+
+def parse_sparql(q: str) -> dict:
+    """Parse the SELECT subset → a spec dict (inspectable, testable)."""
+    p = _P(_tokenize(q))
+    p.expect("SELECT")
+    distinct = p.kw("DISTINCT")
+    select: list[str] | None = []
+    if p.kw("*"):
+        select = None
+    else:
+        while (p.peek() or "").startswith("?"):
+            select.append(_VAR.fullmatch(p.take()).group(1))
+        if not select:
+            raise ValueError("SELECT needs variables or *")
+    p.expect("WHERE")
+    groups = [_parse_group(p)]
+    while (p.peek() or "").upper() == "UNION":
+        p.take()
+        groups.append(_parse_group(p))
+
+    order: list[tuple[str, bool]] = []
+    if (p.peek() or "").upper() == "ORDER":
+        p.take()
+        p.expect("BY")
+        while True:
+            t = p.peek()
+            if t is None:
+                break
+            up = t.upper()
+            if up in ("ASC", "DESC"):
+                p.take()
+                p.expect("(")
+                v = _VAR.fullmatch(p.take()).group(1)
+                p.expect(")")
+                order.append((v, up == "DESC"))
+            elif t.startswith("?"):
+                order.append((_VAR.fullmatch(p.take()).group(1), False))
+            else:
+                break
+    limit = offset = None
+    if (p.peek() or "").upper() == "LIMIT":
+        p.take()
+        limit = int(p.take())
+    if (p.peek() or "").upper() == "OFFSET":
+        p.take()
+        offset = int(p.take())
+    if p.peek() is not None:
+        raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
+    return {
+        "distinct": distinct,
+        "select": select,
+        "groups": groups,
+        "order": order,
+        "limit": limit,
+        "offset": offset,
+    }
+
+
+def sparql_select(
+    triples: DataFrame, query: str, allow_product: bool = False
+) -> DataFrame:
+    """Execute a SPARQL SELECT (subset) against a (s,p,o) DataFrame.
+
+    ORDER BY + LIMIT compile to orderBy().limit() — Spark plans that as
+    TakeOrdered (per-partition top-k, no global sort).  Without ORDER
+    BY the solution sequence is unordered, as in SPARQL."""
+    spec = parse_sparql(query)
+    if len(spec["groups"]) == 1:
+        g = dict(spec["groups"][0])
+        g["allow_product"] = allow_product
+        out = bgp_match(triples, **g)
+    else:
+        gs = [dict(g, allow_product=allow_product) for g in spec["groups"]]
+        out = bgp_union(triples, gs)
+    if spec["select"] is not None:
+        missing = [v for v in spec["select"] if v not in out.columns]
+        if missing:
+            raise ValueError(f"SELECT variables not bound: {missing}")
+        out = out.select(*spec["select"])
+    if spec["distinct"]:
+        out = out.distinct()
+    if spec["order"]:
+        out = out.orderBy(
+            *[F.desc(v) if d else F.asc(v) for v, d in spec["order"]]
+        )
+    if spec["offset"]:
+        out = out.offset(spec["offset"])
+    if spec["limit"] is not None:
+        out = out.limit(spec["limit"])
+    return out

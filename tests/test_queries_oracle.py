@@ -20,6 +20,11 @@ FAST = [
     "lineitem_except_all", "distinct_segments", "events_isin_counts",
     "events_json_k", "best_order_per_customer", "event_type_stats",
     "latest_event_per_user", "norm_iri_demo",
+    # round-4 additions (pipeline-derived ones amortize the memoized
+    # _labels/run_pipeline_cached chain)
+    "event_value_percentiles", "event_value_pivot", "distinct_kmv_sketch",
+    "kg_entity_media", "kg_bgp_filter", "kg_bgp_union", "kg_sameas_closure",
+    "kg_sparql_topk",
 ]
 
 

@@ -1,0 +1,133 @@
+"""SPARQL text front-end: the parser and sparql_select vs the direct
+bgp_match machinery on synthetic triples."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgspark.bgp import bgp_match
+from kgspark.sparql import parse_sparql, sparql_select
+
+TRIPLES = [
+    ("ex:a", "rdf:type", "ex:Person"),
+    ("ex:a", "rdfs:label", "alice"),
+    ("ex:a", "ex:score", "7"),
+    ("ex:a", "ex:knows", "ex:b"),
+    ("ex:b", "rdf:type", "ex:Person"),
+    ("ex:b", "rdfs:label", "bob"),
+    ("ex:b", "ex:score", "2"),
+    ("ex:c", "rdf:type", "ex:Robot"),
+    ("ex:c", "rdfs:label", "carl"),
+    ("ex:c", "ex:score", "11"),
+    ("n1", "ex:next", "n2"),
+    ("n2", "ex:next", "n3"),
+]
+
+
+@pytest.fixture()
+def tri(spark):
+    return spark.createDataFrame(TRIPLES, "s string, p string, o string")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_parse_spec_shape():
+    spec = parse_sparql(
+        'SELECT DISTINCT ?e ?l WHERE { ?e rdf:type ex:Person . '
+        '?e rdfs:label ?l . FILTER(REGEX(?l, "^a")) } ORDER BY ?l LIMIT 5'
+    )
+    assert spec["distinct"] is True
+    assert spec["select"] == ["e", "l"]
+    assert spec["groups"][0]["patterns"] == [
+        ("?e", "rdf:type", "ex:Person"), ("?e", "rdfs:label", "?l")
+    ]
+    assert spec["groups"][0]["filters"] == ["l rlike '^a'"]
+    assert spec["order"] == [("l", False)] and spec["limit"] == 5
+
+
+def test_select_star_and_a_shorthand(tri):
+    out = sparql_select(tri, "SELECT * WHERE { ?x a ex:Person }")
+    assert set(out.columns) == {"x"}
+    assert _rows(out) == {("ex:a",), ("ex:b",)}
+
+
+def test_filter_comparison_and_cast(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?n WHERE { ?x ex:score ?n . "
+        "FILTER(xsd:integer(?n) >= 7) }",
+    )
+    assert _rows(out) == {("ex:a", "7"), ("ex:c", "11")}
+
+
+def test_filter_boolean_connectives(tri):
+    out = sparql_select(
+        tri,
+        'SELECT ?x WHERE { ?x rdfs:label ?l . '
+        'FILTER(REGEX(?l, "^[ab]") || ?l = "carl") }',
+    )
+    assert _rows(out) == {("ex:a",), ("ex:b",), ("ex:c",)}
+
+
+def test_optional_and_not_exists(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?y WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } "
+        "FILTER NOT EXISTS { ?x rdfs:label \"bob\" } }",
+    )
+    assert _rows(out) == {("ex:a", "ex:b")}
+
+
+def test_union_matches_python_api(tri):
+    q = (
+        "SELECT * WHERE { ?x rdf:type ex:Robot } "
+        "UNION { ?x ex:knows ?y }"
+    )
+    out = sparql_select(tri, q)
+    assert _rows(out) == {("ex:c", None), ("ex:a", "ex:b")}
+
+
+def test_order_limit_offset(tri):
+    q = "SELECT ?l WHERE { ?x rdfs:label ?l } ORDER BY DESC(?l) LIMIT 2"
+    got = [r["l"] for r in sparql_select(tri, q).collect()]
+    assert got == ["carl", "bob"]
+    q2 = "SELECT ?l WHERE { ?x rdfs:label ?l } ORDER BY ?l LIMIT 2 OFFSET 1"
+    got2 = [r["l"] for r in sparql_select(tri, q2).collect()]
+    assert got2 == ["bob", "carl"]
+
+
+def test_property_path_text_forms(tri):
+    out = sparql_select(tri, "SELECT ?b WHERE { n1 ex:next+ ?b }")
+    assert _rows(out) == {("n2",), ("n3",)}
+    out2 = sparql_select(
+        tri, "SELECT DISTINCT ?b WHERE { n3 (ex:next|^ex:next)+ ?b }"
+    )
+    assert _rows(out2) == {("n1",), ("n2",), ("n3",)}
+
+
+def test_text_equals_python_api(tri):
+    got = sparql_select(
+        tri,
+        'SELECT DISTINCT ?e ?l WHERE { ?e rdf:type ex:Person . '
+        '?e rdfs:label ?l . FILTER(REGEX(?l, "^[a-b]")) }',
+    )
+    want = bgp_match(
+        tri,
+        [("?e", "rdf:type", "ex:Person"), ("?e", "rdfs:label", "?l")],
+        filters=["l rlike '^[a-b]'"],
+        select=["e", "l"],
+        distinct=True,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT WHERE { ?x ?p ?o }")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o ")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o } JUNK")
