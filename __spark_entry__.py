@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_closure": Q.kg_sameas_closure,   # property path (sameAs|^sameAs)+ (r4)
         "kg_entity_media": Q.kg_entity_media,       # license/media selection rules (r4)
         "kg_sparql_topk": Q.kg_sparql_topk,         # SPARQL text front-end (r4)
+        "kg_sparql_construct": Q.kg_sparql_construct,  # SPARQL CONSTRUCT (r4)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": Q.ann_recall,                         # recall@k eval (r3)
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
+        "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "top_terms_tfidf": Q.top_terms_tfidf,               # int-exact tf-idf top-k (r3)
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
@@ -143,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas_closure": OS.SAMEAS_CLOSURE_SQL,
         "kg_entity_media": OS.ENTITY_MEDIA_SQL,
         "kg_sparql_topk": OS.SPARQL_TOPK_SQL,
+        "kg_sparql_construct": OS.SPARQL_CONSTRUCT_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)
@@ -162,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_recall": OS.ANN_RECALL_SQL,
             "distinct_kmv_sketch": OS.KMV_SKETCH_SQL,
             "doc_split_assign": OS.DOC_SPLIT_SQL,
+            "doc_pack_assign": OS.DOC_PACK_SQL,
             "top_terms_tfidf": OS.TOP_TERMS_TFIDF_SQL,
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,

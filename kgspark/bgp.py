@@ -190,6 +190,7 @@ def bgp_match(
     optionals: list[list[tuple[str, str, str]]] | None = None,
     anti: list[list[tuple[str, str, str]]] | None = None,
     filters: list[Column | str] | None = None,
+    values: list[tuple[list[str], list[tuple]]] | None = None,
     select: list[str] | None = None,
     distinct: bool = False,
     allow_product: bool = False,
@@ -212,6 +213,10 @@ def bgp_match(
     ``anti`` — list of FILTER-NOT-EXISTS groups: bindings for which the
     group matches are REMOVED (left-anti join on shared variables; a
     constant-only group empties the result iff its triple exists).
+
+    ``values`` — SPARQL VALUES blocks: each entry is (variable names,
+    literal rows); the inline table (query text, config-sized) is
+    broadcast-joined on its shared variables.
 
     ``filters`` — SPARQL FILTER expressions over bound variables:
     pyspark Columns or SQL strings (``"n > '5'"``, ``"l rlike 'a.*'"``),
@@ -238,6 +243,20 @@ def bgp_match(
     if all(c.startswith("_exists_") for c in bound.columns):
         # ASK-style all-constant BGP: 1 row / 0 rows under a stable name
         bound = bound.select(F.lit(True).alias("matched"))
+    for varnames, rows in values or []:
+        # SPARQL VALUES: inline solution-mapping table joined in.  The
+        # table is query TEXT (config-sized by construction), so a
+        # broadcast join — and a product when no variable is shared
+        # (the SPARQL extension semantics) — is bounded and safe.
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in varnames)
+        ).distinct()
+        shared = [c for c in vdf.columns if c in bound.columns]
+        if shared:
+            bound = bound.join(F.broadcast(vdf), shared)
+        else:
+            bound = bound.crossJoin(F.broadcast(vdf))
     for f in filters or []:
         bound = bound.filter(F.expr(f) if isinstance(f, str) else f)
     for group in anti or []:
@@ -294,3 +313,38 @@ def bgp_union(triples: DataFrame, groups: list[dict]) -> DataFrame:
     for fr in padded[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def bgp_construct(
+    triples: DataFrame,
+    template: list[tuple[str, str, str]],
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate ``template`` triple patterns for
+    every solution of the WHERE group (``match_kwargs`` →
+    :func:`bgp_match`).  The result is a GRAPH — distinct (s, p, o);
+    template instances containing an unbound (NULL) variable are
+    dropped, per the spec.  One scan of the solution set per template
+    pattern, unioned — no joins beyond the WHERE group's own."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sol = bgp_match(triples, **match_kwargs)
+
+    def term(t: str):
+        return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+
+    out = None
+    for s, p, o in template:
+        inst = sol.select(
+            term(s).alias("s"), term(p).alias("p"), term(o).alias("o")
+        )
+        out = inst if out is None else out.unionByName(inst)
+    return out.dropna(subset=["s", "p", "o"]).distinct()
+
+
+def bgp_ask(triples: DataFrame, **match_kwargs) -> DataFrame:
+    """SPARQL ASK: exactly one row ``(ask: boolean)`` — true iff the
+    group has any solution.  Plans as limit(1) + count aggregate (the
+    scan short-circuits after the first match)."""
+    sol = bgp_match(triples, **match_kwargs)
+    return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))

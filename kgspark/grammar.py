@@ -214,6 +214,14 @@ HAMMING_TAU = 3
 # n-gram Jaccard dedup.
 NGRAM_N = 3
 
+# Sequence packing (training-data concat-and-chunk): documents are
+# hash-sharded, then greedily concatenated in doc_id order within each
+# (split, shard); training sequence boundaries fall every
+# PACK_CAPACITY tokens.  Both constants are shared with the DuckDB
+# oracle.
+PACK_CAPACITY = 256
+PACK_SHARDS = 16
+
 # KMV distinct sketch — SINGLE source of k for the Spark builder
 # (queries.distinct_kmv_sketch) AND the DuckDB oracle
 # (oracle_sql.KMV_SKETCH_SQL); a per-call parameter silently diverged

@@ -435,6 +435,25 @@ SELECT e, l, n FROM (
 ORDER BY n DESC, l, e LIMIT 25
 """
 
+# SPARQL CONSTRUCT: template instantiation = one select per template
+# pattern over the solution set, UNION, DISTINCT.
+SPARQL_CONSTRUCT_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+sol AS (
+  SELECT t1.s AS e, t2.o AS l, t3.o AS n
+  FROM tri t1
+  JOIN tri t2 ON t2.s = t1.s AND t2.p = 'rdfs:label'
+  JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
+  WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT e AS s, 'rdf:type' AS p, 'ex:Summary' AS o FROM sol
+  UNION ALL SELECT e, 'rdfs:label', l FROM sol
+  UNION ALL SELECT e, 'ex:score', n FROM sol
+)
+"""
+
 # SPARQL UNION of BGP groups — disjoint variables NULL-padded (bag
 # semantics, matching bgp_union's unionByName).
 BGP_UNION_SQL = f"""
@@ -981,6 +1000,30 @@ FROM (
   SELECT doc_id, lang,
          (({G.hash_a(1)} * doc_id + {G.hash_b(1)}) % {G.HASH_P}) % 100 AS b
   FROM documents
+)
+"""
+
+DOC_PACK_SQL = f"""
+SELECT doc_id, split, shard, n_tok,
+       CAST(start // {G.PACK_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(start % {G.PACK_CAPACITY} AS BIGINT) AS seq_off
+FROM (
+  SELECT doc_id, split, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+  FROM (
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST((({G.hash_a(2)} * doc_id + {G.hash_b(2)}) % {G.HASH_P})
+                  % {G.PACK_SHARDS} AS INT) AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM (
+      SELECT doc_id, text,
+             (({G.hash_a(1)} * doc_id + {G.hash_b(1)}) % {G.HASH_P}) % 100 AS b
+      FROM documents
+    )
+  )
 )
 """
 

