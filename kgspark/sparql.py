@@ -389,3 +389,34 @@ def sparql_ask(
     if p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
     return bgp_ask(triples, allow_product=allow_product, **g)
+
+
+def store_sparql(
+    spark,
+    path: str,
+    query: str,
+    graph=None,
+    allow_product: bool = False,
+) -> DataFrame:
+    """SPARQL over the per-graph partitioned N-Quads file store
+    (rdfio.write_nquads_store) — the D5/D6 store consumed through its
+    query surface.
+
+    ``graph`` (IRI or list) is the graph-scoped fetch: the predicate is
+    applied to the RAW partition column inside read_nquads_store, so it
+    prunes to the requested graphs' directories BEFORE the parse kernel
+    runs (filters do not push through MapInPandas; plan-gated in
+    tests).  The queried default graph is the RDF MERGE of the selected
+    graphs (set semantics — distinct before matching)."""
+    from .rdfio import read_nquads_store
+
+    quads = read_nquads_store(spark, path, graph=graph)
+    triples = quads.select("s", "p", "o").distinct()
+    verb = (_tokenize(query) or [""])[0].upper()
+    if verb == "SELECT":
+        return sparql_select(triples, query, allow_product=allow_product)
+    if verb == "CONSTRUCT":
+        return sparql_construct(triples, query, allow_product=allow_product)
+    if verb == "ASK":
+        return sparql_ask(triples, query, allow_product=allow_product)
+    raise ValueError(f"unsupported SPARQL verb: {verb!r}")

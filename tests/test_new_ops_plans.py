@@ -100,3 +100,12 @@ def test_sameas_closure_rides_cc_not_doubling(spark, sf_dir):
     p = _plan(Q.kg_sameas_closure(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_entity_media_rule_joins_broadcast(spark, sf_dir):
+    """Both rule-table joins in kg_entity_media must be broadcast hash
+    joins (≤4-row dims); no cartesian anywhere."""
+    p = _plan(Q.kg_entity_media(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2, p[:2000]

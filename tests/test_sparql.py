@@ -189,3 +189,43 @@ def test_ask(tri):
     assert sparql_ask(tri, "ASK { ex:a ex:knows ex:b }").collect()[0]["ask"]
     assert not sparql_ask(tri, "ASK WHERE { ex:b ex:knows ex:c }").collect()[0]["ask"]
     assert sparql_ask(tri, 'ASK { ?x rdf:type ex:Robot . FILTER(REGEX(?x, "c")) }').collect()[0]["ask"]
+
+
+def test_store_sparql_graph_pruned(spark, tmp_path):
+    """SPARQL over the partitioned store: the graph-scoped fetch must
+    prune partitions BEFORE the parse kernel (PartitionFilters on the
+    text scan), and the merged default graph has set semantics."""
+    from kgspark import rdfio
+
+    rows = [
+        ("doc://1", "ex:a", "rdfs:label", "alice", "literal", "", ""),
+        ("doc://1", "ex:a", "rdf:type", "ex:Person", "iri", "", ""),
+        ("doc://2", "ex:b", "rdfs:label", "bob", "literal", "", ""),
+        # duplicate statement across graphs → ONE solution after merge
+        ("doc://2", "ex:a", "rdfs:label", "alice", "literal", "", ""),
+    ]
+    quads = spark.createDataFrame(rows, "g string, " + rdfio.PARSED_DDL)
+    path = str(tmp_path / "store")
+    rdfio.write_nquads_store(quads, path)
+
+    from kgspark.sparql import store_sparql
+
+    out = store_sparql(
+        spark, path, "SELECT ?x ?l WHERE { ?x rdfs:label ?l }",
+        graph="doc://1",
+    )
+    assert {tuple(r) for r in out.collect()} == {("ex:a", "alice")}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(g" in plan and "g#" in plan, plan
+
+    merged = store_sparql(
+        spark, path, "SELECT ?x ?l WHERE { ?x rdfs:label ?l }"
+    )
+    got = [tuple(r) for r in merged.collect()]
+    assert sorted(got) == [("ex:a", "alice"), ("ex:b", "bob")]  # set semantics
+
+    ask = store_sparql(
+        spark, path, "ASK { ex:b rdfs:label \"bob\" }", graph="doc://1"
+    )
+    assert ask.collect()[0]["ask"] is False
