@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_media": Q.kg_entity_media,       # license/media selection rules (r4)
         "kg_sparql_topk": Q.kg_sparql_topk,         # SPARQL text front-end (r4)
         "kg_sparql_construct": Q.kg_sparql_construct,  # SPARQL CONSTRUCT (r4)
+        "kg_sparql_groupby": Q.kg_sparql_groupby,      # SPARQL GROUP BY agg (r4)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_media": OS.ENTITY_MEDIA_SQL,
         "kg_sparql_topk": OS.SPARQL_TOPK_SQL,
         "kg_sparql_construct": OS.SPARQL_CONSTRUCT_SQL,
+        "kg_sparql_groupby": OS.SPARQL_GROUPBY_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

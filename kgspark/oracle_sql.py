@@ -454,6 +454,19 @@ SELECT DISTINCT s, p, o FROM (
 )
 """
 
+# SPARQL GROUP BY aggregation (text front-end): exact integer sum.
+SPARQL_GROUPBY_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.o AS t,
+       CAST(COUNT(DISTINCT t1.s) AS BIGINT) AS n,
+       CAST(SUM(CAST(t2.o AS BIGINT)) AS BIGINT) AS total
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+WHERE t1.p = 'rdf:type'
+GROUP BY t1.o
+"""
+
 # SPARQL UNION of BGP groups — disjoint variables NULL-padded (bag
 # semantics, matching bgp_union's unionByName).
 BGP_UNION_SQL = f"""

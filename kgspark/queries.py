@@ -988,6 +988,25 @@ def kg_sparql_construct(spark, sf_dir):
     )
 
 
+def kg_sparql_groupby(spark, sf_dir):
+    """SPARQL aggregation through the text front-end: per-class entity
+    count + integer-exact score sum.  Plans as partial+final hash
+    aggregate around one shuffle on the class variable (map-side
+    combine); SUM casts to BIGINT so both engines aggregate exactly."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?t (COUNT(DISTINCT ?e) AS ?n) (SUM(?s) AS ?total)
+        WHERE { ?e rdf:type ?t . ?e ex:score ?s }
+        GROUP BY ?t
+        """,
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 

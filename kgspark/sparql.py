@@ -5,9 +5,13 @@ the store's query surface as upstream consumers actually write it
 
 Supported subset::
 
-    SELECT [DISTINCT] (?v ... | *)
+    SELECT [DISTINCT] (?v ... | * | (AGG([DISTINCT] ?v | *) AS ?a) ...)
     WHERE { group [ UNION { group } ... ] }
+    [GROUP BY ?v ...] [HAVING ( expr )]
     [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
+
+    AGG := COUNT | SUM | MIN | MAX   (SUM casts to BIGINT — exact on
+    every engine; AVG rejected: float aggregate)
 
     CONSTRUCT { template-patterns } WHERE { group }
     ASK [WHERE] { group }
@@ -265,18 +269,52 @@ def parse_sparql(q: str) -> dict:
     p.expect("SELECT")
     distinct = p.kw("DISTINCT")
     select: list[str] | None = []
+    aggregates: list[tuple[str, bool, str | None, str]] = []
     if p.kw("*"):
         select = None
     else:
-        while (p.peek() or "").startswith("?"):
-            select.append(_VAR.fullmatch(p.take()).group(1))
-        if not select:
-            raise ValueError("SELECT needs variables or *")
+        while True:
+            t = p.peek() or ""
+            if t.startswith("?"):
+                select.append(_VAR.fullmatch(p.take()).group(1))
+            elif t == "(":
+                # (AGG([DISTINCT] ?v | *) AS ?alias)
+                p.take()
+                fn = p.take().upper()
+                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                    raise ValueError(f"unsupported aggregate {fn!r}")
+                p.expect("(")
+                agg_distinct = p.kw("DISTINCT")
+                arg = None if p.kw("*") else _VAR.fullmatch(p.take()).group(1)
+                p.expect(")")
+                p.expect("AS")
+                alias = _VAR.fullmatch(p.take()).group(1)
+                p.expect(")")
+                if arg is None and fn != "COUNT":
+                    raise ValueError(f"{fn}(*) is not valid SPARQL")
+                aggregates.append((fn, agg_distinct, arg, alias))
+            else:
+                break
+        if not select and not aggregates:
+            raise ValueError("SELECT needs variables, aggregates or *")
     p.expect("WHERE")
     groups = [_parse_group(p)]
     while (p.peek() or "").upper() == "UNION":
         p.take()
         groups.append(_parse_group(p))
+
+    group_by: list[str] = []
+    having: list[str] = []
+    if (p.peek() or "").upper() == "GROUP":
+        p.take()
+        p.expect("BY")
+        while (p.peek() or "").startswith("?"):
+            group_by.append(_VAR.fullmatch(p.take()).group(1))
+        if not group_by:
+            raise ValueError("GROUP BY needs variables")
+    if (p.peek() or "").upper() == "HAVING":
+        p.take()
+        having.append(_expr_to_sql(p))
 
     order: list[tuple[str, bool]] = []
     if (p.peek() or "").upper() == "ORDER":
@@ -309,6 +347,9 @@ def parse_sparql(q: str) -> dict:
     return {
         "distinct": distinct,
         "select": select,
+        "aggregates": aggregates,
+        "group_by": group_by,
+        "having": having,
         "groups": groups,
         "order": order,
         "limit": limit,
@@ -332,7 +373,46 @@ def sparql_select(
     else:
         gs = [dict(g, allow_product=allow_product) for g in spec["groups"]]
         out = bgp_union(triples, gs)
-    if spec["select"] is not None:
+    if spec["aggregates"]:
+        # SPARQL aggregation: GROUP BY keys must cover every bare
+        # SELECT variable.  SUM casts its argument to BIGINT (the
+        # store's literals ride as strings; an integer sum is exact on
+        # every engine, a float sum is not — AVG is rejected for the
+        # same reason).  Aggregates are map-side-combinable, so this
+        # plans as partial + final hash aggregate around one shuffle.
+        stray = [v for v in (spec["select"] or []) if v not in spec["group_by"]]
+        if stray:
+            raise ValueError(f"SELECT variables not in GROUP BY: {stray}")
+        aggs = []
+        for fn, agg_distinct, arg, alias in spec["aggregates"]:
+            if fn == "AVG":
+                raise ValueError(
+                    "AVG is not supported (float aggregate — use "
+                    "SUM and COUNT and divide downstream)"
+                )
+            if fn == "COUNT" and arg is None:
+                c = F.count(F.lit(1))
+            elif fn == "COUNT":
+                c = (
+                    F.countDistinct(arg)
+                    if agg_distinct
+                    else F.count(F.col(arg))
+                )
+            elif fn == "SUM":
+                col = F.col(arg).cast("bigint")
+                c = F.sum_distinct(col) if agg_distinct else F.sum(col)
+            else:  # MIN / MAX — distinct is a no-op
+                c = getattr(F, fn.lower())(F.col(arg))
+            aggs.append(c.alias(alias))
+        out = out.groupBy(*spec["group_by"]).agg(*aggs)
+        if spec["select"]:
+            out = out.select(
+                *spec["select"],
+                *[a for _, _, _, a in spec["aggregates"]],
+            )
+        for h in spec["having"]:
+            out = out.filter(F.expr(h))
+    elif spec["select"] is not None:
         missing = [v for v in spec["select"] if v not in out.columns]
         if missing:
             raise ValueError(f"SELECT variables not bound: {missing}")

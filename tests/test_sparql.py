@@ -229,3 +229,51 @@ def test_store_sparql_graph_pruned(spark, tmp_path):
         spark, path, "ASK { ex:b rdfs:label \"bob\" }", graph="doc://1"
     )
     assert ask.collect()[0]["ask"] is False
+
+
+def test_group_by_count(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "ORDER BY DESC(?n) ?p",
+    )
+    got = [(r["p"], r["n"]) for r in out.collect()]
+    assert got[0] == ("ex:score", 3)  # ties broken by ?p asc after count desc
+    assert dict(got)["ex:knows"] == 1
+    assert dict(got)["rdfs:label"] == 3
+
+
+def test_group_by_sum_and_having(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?t (SUM(?n) AS ?total) (COUNT(?e) AS ?k) WHERE { "
+        "?e rdf:type ?t . ?e ex:score ?n } "
+        "GROUP BY ?t HAVING(?k > 1)",
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("ex:Person", 9, 2)}
+
+
+def test_count_distinct(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?o (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s rdf:type ?o } GROUP BY ?o",
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("ex:Person", 2), ("ex:Robot", 1)}
+
+
+def test_select_var_not_in_group_by_raises(tri):
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sparql_select(
+            tri,
+            "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        )
+
+
+def test_avg_rejected(tri):
+    with pytest.raises(ValueError, match="AVG"):
+        sparql_select(
+            tri,
+            "SELECT (AVG(?n) AS ?a) WHERE { ?e ex:score ?n } GROUP BY ?e",
+        )
