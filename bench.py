@@ -154,7 +154,11 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True,
                          "event_type_stats", "dedup_minhash_pairs",
                          "dedup_simhash_pairs", "ngram_jaccard_pairs", "langid",
                          "ann_topk", "ann_ivf_probe", "embedding_neardup",
-                         "text_quality", "event_sessions"]:
+                         "text_quality", "event_sessions",
+                         # round-4 store query surface (amortize the
+                         # memoized pipeline chain across the three)
+                         "kg_sparql_topk", "kg_sameas_closure",
+                         "kg_entity_media", "doc_pack_assign"]:
                 fn = getattr(Q, name)
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()

@@ -484,6 +484,28 @@ def incremental_props(
     )
 
 
+def incremental_media(
+    prior_mentions: DataFrame,
+    prior_labels: DataFrame,
+    prior_media: DataFrame,
+    mentions_all: DataFrame,
+    labels_all: DataFrame,
+    flat_all: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental regeneration of the license/media selection index
+    (spindle license.c/media.c analogue) under the same trigger
+    semantics as attrs/props: the index is entity_id-keyed, so only
+    changed components' rows are recomputed; the merged table equals a
+    from-scratch ``entity_media`` run (tested).  ``flat_all`` supplies
+    the media spans — regeneration restricts them via the changed
+    components' member mentions inside entity_media's own joins."""
+    return _incremental_index(
+        prior_mentions, prior_labels, prior_media,
+        mentions_all, labels_all,
+        lambda m, l: entity_media(m, l, flat_all),
+    )
+
+
 def _incremental_index(
     prior_mentions: DataFrame,
     prior_labels: DataFrame,

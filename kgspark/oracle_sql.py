@@ -366,9 +366,8 @@ WHERE t1.p = 'dc:language'
 # Per-entity license + representative media (spindle license.c/media.c
 # analogue): independent re-derivation over the mention→label→entity
 # chain with the same rule tables inlined as VALUES.
-ENTITY_MEDIA_SQL = f"""
-{_KG_CTES},
-docs_e AS (
+_ENTITY_MEDIA_BODY = f"""
+WITH docs_e AS (
   SELECT DISTINCT e.entity_id, m.doc_id, m.source
   FROM mentions m
   JOIN labels l ON l.node = m.norm_text
@@ -403,6 +402,21 @@ SELECT l.entity_id, l.license, m.media_ref AS best_media, m.media_class
 FROM (SELECT entity_id, license FROM lic WHERE rn = 1) l
 LEFT JOIN (SELECT entity_id, media_ref, media_class FROM med WHERE rn = 1) m
   USING (entity_id)
+"""
+
+ENTITY_MEDIA_SQL = f"""
+{_KG_CTES},
+em AS ({_ENTITY_MEDIA_BODY})
+SELECT entity_id, license, best_media, media_class FROM em
+"""
+
+MEDIA_TRIPLES_SQL = f"""
+{_KG_CTES},
+em AS ({_ENTITY_MEDIA_BODY})
+SELECT entity_id AS s, 'ex:license' AS p, license AS o FROM em
+UNION ALL
+SELECT entity_id, 'ex:bestMedia', best_media FROM em
+WHERE best_media IS NOT NULL
 """
 
 # SPARQL FILTER + SELECT DISTINCT (round-4: the quilt-consumer surface).

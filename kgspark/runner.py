@@ -180,6 +180,14 @@ def run_all(
         spark, cat, "entity_props", me_fp, me_n,
         lambda: gen.entity_props(mentions, labels), "entity_props",
     )
+    # license/media selection index (spindle license.c/media.c) — also
+    # depends on the span table (media spans feed the candidates)
+    s_fp, s_n = _global_fingerprint(flat, ["doc_id", "span_pos", "media_ref"])
+    media_idx = _run_global_stage(
+        spark, cat, "entity_media", _mix_fps(me_fp, me_n, s_fp, s_n),
+        me_n + s_n,
+        lambda: gen.entity_media(mentions, labels, flat), "entity_media",
+    )
     # final triples additionally depend on the base-quad table (media/
     # lang triples come from spans, not mentions)
     b_fp, b_n = _global_fingerprint(base_triples, ["g", "s", "p", "o"])
@@ -192,7 +200,7 @@ def run_all(
         "spans": flat, "mentions": mentions, "media_features": media,
         "base_triples": base_triples, "edges": edges, "labels": labels,
         "entities": entities, "entity_attrs": attrs, "entity_props": props,
-        "triples": triples,
+        "entity_media": media_idx, "triples": triples,
     }
 
 

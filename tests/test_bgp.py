@@ -259,3 +259,89 @@ def test_path_joins_with_plain_pattern(ptri):
         filters=["a = 'n1'"],
     )
     assert _rows(out.select("b", "c")) == {("n2", "n3"), ("n3", "n4")}
+
+
+def test_transitive_pairs_deep_chain_doubling(spark):
+    """A 200-edge chain closes in ⌈log2(200)⌉ = 8 doubling rounds —
+    the O(log diameter) property that makes pred+ survive deep chains
+    (a single-step semi-naive loop would need 200 rounds and a
+    max_iter=40 ceiling would abort)."""
+    from kgspark.bgp import transitive_pairs
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(200)], "src string, dst string"
+    )
+    reach = transitive_pairs(edges, max_iter=10)  # 8 needed; 40 default
+    n = reach.count()
+    assert n == 200 * 201 // 2  # all (i < j) pairs of the 201-node chain
+
+
+def test_bgp_differential_vs_naive_pandas(spark):
+    """Differential gate: bgp_match vs an independent brute-force
+    pandas evaluator on randomized pattern sets over a random graph
+    (fixed seeds — deterministic)."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260817)
+    nodes = [f"n{i}" for i in range(12)]
+    preds = ["p0", "p1", "p2"]
+    triples = sorted({
+        (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+        for _ in range(60)
+    })
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    pdf = pd.DataFrame(triples, columns=["s", "p", "o"])
+
+    def naive(patterns):
+        """All variable assignments satisfying every pattern."""
+        vars_ = sorted({t[1:] for pat in patterns for t in pat if t.startswith("?")})
+        sols = [{}]
+        for pat in patterns:
+            new = []
+            for sol in sols:
+                for row in pdf.itertuples(index=False):
+                    binding = dict(sol)
+                    ok = True
+                    for term, val in zip(pat, row):
+                        if term.startswith("?"):
+                            v = term[1:]
+                            if v in binding and binding[v] != val:
+                                ok = False
+                                break
+                            binding[v] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        new.append(binding)
+            sols = new
+        return {tuple(s[v] for v in vars_) for s in sols}, vars_
+
+    for trial in range(12):
+        k = rng.randint(1, 3)
+        pats = []
+        var_pool = ["?a", "?b", "?c", "?d"]
+        for _ in range(k):
+            mk = lambda pool: rng.choice(pool)
+            pats.append((
+                mk(var_pool + nodes[:4]),
+                mk(var_pool[:2] + preds),
+                mk(var_pool + nodes[:4]),
+            ))
+        has_var = any(t.startswith("?") for pat in pats for t in pat)
+        if not has_var:
+            continue
+        want, vars_ = naive(pats)
+        from kgspark.bgp import bgp_match
+
+        try:
+            got_df = bgp_match(tdf, pats, allow_product=True)
+        except ValueError:
+            continue  # e.g. empty-variable corner the API rejects
+        got = {
+            tuple(r[v] for v in vars_) for r in got_df.collect()
+        } if vars_ else set()
+        assert got == want, f"trial {trial}: {pats}"

@@ -160,3 +160,28 @@ def test_graph_replace_keyed_on_doc_graph(spark, sf_dir, clean_run, tmp_path_fac
         "the edited doc's graph must have been replaced"
     )
     assert any(t[0] == g and t[3] == f"ex://{source}/customer" for t in after)
+
+
+def test_entity_media_stage_materialized_and_correct(spark, sf_dir, clean_run):
+    """run_all materializes the license/media index stage; content
+    equals a direct entity_media computation (O7 index parity)."""
+    from pyspark.sql import functions as F
+
+    from kgspark import cc, extract, fixtures, link
+    from kgspark import generate as gen
+
+    _, _, out = clean_run
+    assert "entity_media" in out
+    got = {tuple(r) for r in out["entity_media"]
+           .select("entity_id", "license", "best_media", "media_class").collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = fixtures.flat_spans(fixtures.with_spans(docs))
+    m = extract.mentions_df(flat).localCheckpoint()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = link.scored_edges(m, emb, n_embeddings=500)
+    labels = cc.connected_components(
+        edges, m.select(F.col("norm_text").alias("node")).distinct()
+    )
+    want = {tuple(r) for r in gen.entity_media(m, labels, flat).collect()}
+    assert got == want and got

@@ -102,3 +102,25 @@ def test_graph_diff_by_g_isolates_dirty_graphs(spark, sf_dir):
     added, removed, dirty = generate.graph_diff_by_g(quads(edited), quads(docs))
     assert {r["g"] for r in dirty.collect()} == {f"doc://{target}"}
     assert added.count() > 0 and removed.count() > 0
+
+
+def test_incremental_media_equals_full(spark, sf_dir):
+    """The license/media index regenerates under the same trigger
+    semantics as attrs/props (shared _incremental_index machinery)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    flat_old = fixtures.flat_spans(fixtures.with_spans(old))
+    flat_all = fixtures.flat_spans(fixtures.with_spans(docs))
+
+    m_old, l_old = _stage(spark, old)
+    media_old = gen.entity_media(m_old, l_old, flat_old).localCheckpoint()
+
+    m_all, l_all = _stage(spark, docs)
+    changed, new_media, final_media = gen.incremental_media(
+        m_old, l_old, media_old, m_all, l_all, flat_all
+    )
+
+    want = {tuple(r) for r in gen.entity_media(m_all, l_all, flat_all).collect()}
+    got = {tuple(r) for r in final_media.collect()}
+    assert got == want
+    assert 0 < changed.count() < l_all.select("label").distinct().count()
