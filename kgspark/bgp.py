@@ -191,6 +191,7 @@ def bgp_match(
     anti: list[list[tuple[str, str, str]]] | None = None,
     filters: list[Column | str] | None = None,
     values: list[tuple[list[str], list[tuple]]] | None = None,
+    binds: list[tuple[Column | str, str]] | None = None,
     select: list[str] | None = None,
     distinct: bool = False,
     allow_product: bool = False,
@@ -217,6 +218,10 @@ def bgp_match(
     ``values`` — SPARQL VALUES blocks: each entry is (variable names,
     literal rows); the inline table (query text, config-sized) is
     broadcast-joined on its shared variables.
+
+    ``binds`` — SPARQL BIND(expr AS ?v): each entry is (expression —
+    Column or SQL string over bound variables, new variable name);
+    applied before the filters, so filters may reference bound vars.
 
     ``filters`` — SPARQL FILTER expressions over bound variables:
     pyspark Columns or SQL strings (``"n > '5'"``, ``"l rlike 'a.*'"``),
@@ -257,6 +262,12 @@ def bgp_match(
             bound = bound.join(F.broadcast(vdf), shared)
         else:
             bound = bound.crossJoin(F.broadcast(vdf))
+    for expr, var in binds or []:
+        if var in bound.columns:
+            raise ValueError(f"BIND target ?{var} is already bound")
+        bound = bound.withColumn(
+            var, F.expr(expr) if isinstance(expr, str) else expr
+        )
     for f in filters or []:
         bound = bound.filter(F.expr(f) if isinstance(f, str) else f)
     for group in anti or []:

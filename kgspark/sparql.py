@@ -19,9 +19,14 @@ Supported subset::
     group := ( triple-pattern '.'
              | OPTIONAL { triple-patterns }
              | FILTER NOT EXISTS { triple-patterns }
+             | MINUS { triple-patterns }
              | FILTER ( expression )
+             | BIND ( expression AS ?v )
              | VALUES ?v { lit ... }
              | VALUES (?a ?b ...) { (lit lit ...) ... } )*
+
+    Functions: REGEX, STR, xsd:integer, CONTAINS, STRSTARTS, STRENDS,
+    STRLEN, UCASE, LCASE.
 
 Triple patterns may use property paths (``pred+``, ``(pred|^pred)+``).
 FILTER expressions support ?var references, comparison operators,
@@ -104,7 +109,7 @@ def _parse_patterns(p: _P) -> list[tuple[str, str, str]]:
     pats = []
     while p.peek() not in ("}", None):
         up = (p.peek() or "").upper()
-        if up in ("OPTIONAL", "FILTER", "UNION", "VALUES"):
+        if up in ("OPTIONAL", "FILTER", "UNION", "VALUES", "BIND", "MINUS"):
             break
         s = p.take()
         if p.peek() == "(":
@@ -136,12 +141,26 @@ def _term(tok: str) -> str:
 _VAR = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
 
 
-def _expr_to_sql(p: _P) -> str:
-    """Consume a parenthesized FILTER expression, translating SPARQL
-    operators to Spark SQL."""
+def _arg_sql(p: _P) -> str:
+    """One function argument: variable, string literal, or number."""
+    t = p.take()
+    if t.startswith("?"):
+        return _VAR.fullmatch(t).group(1)
+    if t.startswith('"'):
+        return "'" + _term(t).replace("'", "''") + "'"
+    return t
+
+
+def _expr_to_sql(p: _P, until_as: bool = False) -> str:
+    """Consume a parenthesized expression, translating SPARQL operators
+    and functions to Spark SQL.  With ``until_as``, stop (and consume)
+    at a top-level AS instead of the closing paren — the BIND form."""
     p.expect("(")
     depth, parts = 1, []
     while depth > 0:
+        if until_as and depth == 1 and (p.peek() or "").upper() == "AS":
+            p.take()
+            break
         t = p.take()
         if t == "(":
             depth += 1
@@ -176,6 +195,21 @@ def _expr_to_sql(p: _P) -> str:
             var = _VAR.fullmatch(p.take())
             p.expect(")")
             parts.append(f"CAST({var.group(1)} AS INT)")
+        elif up in ("CONTAINS", "STRSTARTS", "STRENDS"):
+            fn = {"CONTAINS": "contains", "STRSTARTS": "startswith",
+                  "STRENDS": "endswith"}[up]
+            p.expect("(")
+            a = _arg_sql(p)
+            p.expect(",")
+            b = _arg_sql(p)
+            p.expect(")")
+            parts.append(f"{fn}({a}, {b})")
+        elif up in ("STRLEN", "UCASE", "LCASE"):
+            fn = {"STRLEN": "length", "UCASE": "upper", "LCASE": "lower"}[up]
+            p.expect("(")
+            a = _arg_sql(p)
+            p.expect(")")
+            parts.append(f"{fn}({a})")
         elif t.startswith("?"):
             v = _VAR.fullmatch(t)
             if not v:
@@ -196,6 +230,7 @@ def _parse_group(p: _P) -> dict:
     optionals: list = []
     anti: list = []
     filters: list[str] = []
+    binds: list[tuple[str, str]] = []
     values: list[tuple[list[str], list[tuple]]] = []
     while True:
         t = p.peek()
@@ -231,6 +266,19 @@ def _parse_group(p: _P) -> dict:
                     rows.append((_term(p.take()),))
                 p.expect("}")
             values.append((varnames, rows))
+        elif up == "BIND":
+            p.take()
+            expr = _expr_to_sql(p, until_as=True)
+            var = _VAR.fullmatch(p.take()).group(1)
+            p.expect(")")
+            binds.append((expr, var))
+        elif up == "MINUS":
+            # SPARQL MINUS: for groups sharing (non-NULL) variables this
+            # subset is exactly the NOT-EXISTS anti-join
+            p.take()
+            p.expect("{")
+            anti.append(_parse_patterns(p))
+            p.expect("}")
         elif up == "OPTIONAL":
             p.take()
             p.expect("{")
@@ -258,6 +306,8 @@ def _parse_group(p: _P) -> dict:
         out["anti"] = anti
     if filters:
         out["filters"] = filters
+    if binds:
+        out["binds"] = binds
     if values:
         out["values"] = values
     return out

@@ -277,3 +277,38 @@ def test_avg_rejected(tri):
             tri,
             "SELECT (AVG(?n) AS ?a) WHERE { ?e ex:score ?n } GROUP BY ?e",
         )
+
+
+def test_bind_and_string_functions(tri):
+    out = sparql_select(
+        tri,
+        'SELECT ?x ?u WHERE { ?x rdfs:label ?l . '
+        "BIND(UCASE(?l) AS ?u) FILTER(STRSTARTS(?l, \"a\") || CONTAINS(?l, \"ob\")) }",
+    )
+    assert _rows(out) == {("ex:a", "ALICE"), ("ex:b", "BOB")}
+
+
+def test_bind_strlen_arithmetic(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?l ?n WHERE { ?x rdfs:label ?l . BIND(STRLEN(?l) AS ?n) "
+        "FILTER(?n > 4) }",
+    )
+    assert _rows(out) == {("alice", 5)}
+
+
+def test_minus_is_anti_join(tri):
+    # only ex:a has an outgoing knows edge in this fixture
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x rdf:type ?t . MINUS { ?x ex:knows ?y } }",
+    )
+    assert _rows(out) == {("ex:b",), ("ex:c",)}
+
+
+def test_bind_duplicate_target_raises(tri):
+    with pytest.raises(ValueError, match="already bound"):
+        sparql_select(
+            tri,
+            "SELECT ?l WHERE { ?x rdfs:label ?l . BIND(UCASE(?l) AS ?l) }",
+        )
