@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_filter": Q.kg_bgp_filter,           # SPARQL FILTER+SELECT DISTINCT (r4)
         "kg_bgp_union": Q.kg_bgp_union,             # SPARQL UNION (r4)
         "kg_sameas_closure": Q.kg_sameas_closure,   # property path (sameAs|^sameAs)+ (r4)
+        "kg_sameas_degree": Q.kg_sameas_degree,     # closure degree, linear form (r4)
         "kg_entity_media": Q.kg_entity_media,       # license/media selection rules (r4)
         "kg_media_triples": Q.kg_media_triples,     # D7→D3 license/media triples (r4)
         "kg_sparql_topk": Q.kg_sparql_topk,         # SPARQL text front-end (r4)
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_filter": OS.BGP_FILTER_SQL,
         "kg_bgp_union": OS.BGP_UNION_SQL,
         "kg_sameas_closure": OS.SAMEAS_CLOSURE_SQL,
+        "kg_sameas_degree": OS.SAMEAS_DEGREE_SQL,
         "kg_entity_media": OS.ENTITY_MEDIA_SQL,
         "kg_media_triples": OS.MEDIA_TRIPLES_SQL,
         "kg_sparql_topk": OS.SPARQL_TOPK_SQL,

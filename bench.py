@@ -157,7 +157,7 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True,
                          "text_quality", "event_sessions",
                          # round-4 store query surface (amortize the
                          # memoized pipeline chain across the three)
-                         "kg_sparql_topk", "kg_sameas_closure",
+                         "kg_sparql_topk", "kg_sameas_degree",
                          "kg_entity_media", "doc_pack_assign"]:
                 fn = getattr(Q, name)
                 t0 = time.time()

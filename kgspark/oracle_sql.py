@@ -516,6 +516,25 @@ sa_reach AS (
 SELECT a AS x, b AS y FROM sa_reach WHERE a < b
 """
 
+# Closure degree: count of reachable nodes (incl. self) per node —
+# the recursive closure feeding an aggregate instead of pair output.
+SAMEAS_DEGREE_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+sa_edges AS (
+  SELECT s AS a, o AS b FROM tri WHERE p = 'owl:sameAs'
+  UNION
+  SELECT o AS a, s AS b FROM tri WHERE p = 'owl:sameAs'
+),
+sa_reach AS (
+  SELECT a, b FROM sa_edges
+  UNION
+  SELECT r.a, e.b FROM sa_reach r JOIN sa_edges e ON e.a = r.b
+)
+SELECT a AS x, CAST(count(DISTINCT b) AS BIGINT) AS n_reach
+FROM sa_reach GROUP BY a
+"""
+
 ENTITY_COOCCURRENCE_SQL = f"""
 {_KG_CTES},
 doc_ents AS (

@@ -195,3 +195,36 @@ def test_nquads_store_partition_pruned_graph_fetch(spark, sf_dir, tmp_path):
         )
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_property_based_literal_roundtrips(spark):
+    """Randomized sweep: literals over the escape-relevant alphabet
+    (backslash, quotes, newlines, XML specials, multibyte unicode)
+    must survive every writer→parser cycle losslessly.  Examples are
+    pre-drawn with a fixed seed so the property runs as ONE Spark job
+    per format over the whole batch, not per-example jobs."""
+    import random
+
+    rng = random.Random(20260817)
+    chars = list("abc\\\"\n\t\r<>&'#{} .@^") + ["é", "∀", "𝄞"]
+    examples = [
+        "".join(rng.choice(chars) for _ in range(rng.randint(0, 12)))
+        for _ in range(120)
+    ]
+    rows = [
+        ("ex:s%d" % i, "rdfs:label", v, "literal",
+         ("en" if i % 3 == 0 else ""), ("" if i % 3 == 0 else
+                                        ("xsd:string" if i % 3 == 1 else "")))
+        for i, v in enumerate(examples)
+    ]
+    from kgspark import rdfio
+
+    t = spark.createDataFrame(rows, rdfio.PARSED_DDL)
+    want = {tuple(r) for r in t.collect()}
+    for to_fn, parse_fn in [
+        (rdfio.to_ntriples, rdfio.parse_ntriples),
+        (rdfio.to_turtle, rdfio.parse_turtle),
+        (rdfio.to_rdfxml, rdfio.parse_rdfxml),
+    ]:
+        got = {tuple(r) for r in parse_fn(to_fn(t)).collect()}
+        assert got == want, to_fn.__name__
