@@ -135,6 +135,12 @@ def _pattern_frame(triples: DataFrame, pat: tuple[str, str, str], idx: int) -> D
             else:
                 seen_in_pattern[var] = col
                 proj.append(F.col(col).alias(var))
+                if col == "o" and "o_lang" in t.columns:
+                    # full-term input: ride the language tag of an
+                    # OBJECT binding along as a hidden column so
+                    # FILTER(LANG(?v)) can see it (dropped from the
+                    # final output by bgp_match)
+                    proj.append(F.col("o_lang").alias(f"__lang_{var}"))
         else:
             t = t.filter(F.col(col) == term)
     if proj:
@@ -155,8 +161,17 @@ def _conjunction(
             continue
         shared = [
             c for c in t.columns
-            if c in bound.columns and not c.startswith("_exists_")
+            if c in bound.columns
+            and not c.startswith(("_exists_", "__lang_"))
         ]
+        # a re-binding of an object variable would duplicate its hidden
+        # lang column across the join — drop the newcomer's copy
+        dup_lang = [
+            c for c in t.columns
+            if c.startswith("__lang_") and c in bound.columns
+        ]
+        if dup_lang:
+            t = t.drop(*dup_lang)
         if shared:
             bound = bound.join(t, shared)
         elif t.columns[0].startswith("_exists_"):
@@ -289,6 +304,9 @@ def bgp_match(
         if not shared:
             raise ValueError("OPTIONAL group shares no variable with the BGP")
         bound = bound.join(g, shared, "left")
+    hidden = [c for c in bound.columns if c.startswith("__lang_")]
+    if hidden:
+        bound = bound.drop(*hidden)
     if select is not None:
         missing = [v for v in select if v not in bound.columns]
         if missing:

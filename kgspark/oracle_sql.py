@@ -481,6 +481,14 @@ WHERE t1.p = 'rdf:type'
 GROUP BY t1.o
 """
 
+# SPARQL LANG() over the full-term model.
+SPARQL_LANG_SQL = f"""
+{_KG_CTES},
+tfull AS (SELECT DISTINCT s, p, o, o_lang FROM {_QUADS_UNION})
+SELECT s AS e, o AS l FROM tfull
+WHERE p = 'rdfs:label' AND o_lang = 'en'
+"""
+
 # SPARQL UNION of BGP groups — disjoint variables NULL-padded (bag
 # semantics, matching bgp_union's unionByName).
 BGP_UNION_SQL = f"""

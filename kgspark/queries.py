@@ -1055,6 +1055,19 @@ def kg_sameas_degree(spark, sf_dir):
     )
 
 
+def kg_sparql_lang(spark, sf_dir):
+    """SPARQL LANG() filter over the full-term model: English-tagged
+    labels only — the language tag rides as a hidden column of the
+    object binding and never surfaces in the result."""
+    from .sparql import sparql_select
+
+    t = kg_triples_full(spark, sf_dir)
+    return sparql_select(
+        t,
+        'SELECT ?e ?l WHERE { ?e rdfs:label ?l . FILTER(LANG(?l) = "en") }',
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 

@@ -26,7 +26,8 @@ Supported subset::
              | VALUES (?a ?b ...) { (lit lit ...) ... } )*
 
     Functions: REGEX, STR, xsd:integer, CONTAINS, STRSTARTS, STRENDS,
-    STRLEN, UCASE, LCASE.
+    STRLEN, UCASE, LCASE, LANG (requires a full-term (s,p,o,o_kind,
+    o_lang,o_datatype) input frame — e.g. kg_triples_full).
 
 Triple patterns may use property paths (``pred+``, ``(pred|^pred)+``).
 FILTER expressions support ?var references, comparison operators,
@@ -190,6 +191,14 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
             var = _VAR.fullmatch(p.take())
             p.expect(")")
             parts.append(f"CAST({var.group(1)} AS STRING)")
+        elif up == "LANG":
+            # LANG(?v) → the hidden language column carried by
+            # full-term inputs (empty string for plain literals/IRIs,
+            # matching SPARQL's "" for no language tag)
+            p.expect("(")
+            var = _VAR.fullmatch(p.take())
+            p.expect(")")
+            parts.append(f"coalesce(__lang_{var.group(1)}, '')")
         elif up in ("XSD:INTEGER", "XSD:INT"):
             p.expect("(")
             var = _VAR.fullmatch(p.take())

@@ -312,3 +312,32 @@ def test_bind_duplicate_target_raises(tri):
             tri,
             "SELECT ?l WHERE { ?x rdfs:label ?l . BIND(UCASE(?l) AS ?l) }",
         )
+
+
+def test_lang_filter_over_full_term_model(spark):
+    """FILTER(LANG(?l)) rides the hidden o_lang column of a full-term
+    input; hidden columns never leak into results."""
+    from kgspark import rdfio
+
+    rows = [
+        ("ex:a", "rdfs:label", "alice", "literal", "en", ""),
+        ("ex:a", "rdfs:label", "alicia", "literal", "es", ""),
+        ("ex:b", "rdfs:label", "bob", "literal", "", ""),
+        ("ex:b", "rdf:type", "ex:Person", "iri", "", ""),
+    ]
+    t = spark.createDataFrame(rows, rdfio.PARSED_DDL)
+    out = sparql_select(
+        t,
+        'SELECT ?x ?l WHERE { ?x rdfs:label ?l . FILTER(LANG(?l) = "en") }',
+    )
+    assert out.columns == ["x", "l"]
+    assert _rows(out) == {("ex:a", "alice")}
+    # empty-string LANG for plain literals, per SPARQL
+    out2 = sparql_select(
+        t,
+        'SELECT ?l WHERE { ?x rdfs:label ?l . FILTER(LANG(?l) = "") }',
+    )
+    assert _rows(out2) == {("bob",)}
+    # no hidden columns even without an explicit SELECT
+    out3 = sparql_select(t, "SELECT * WHERE { ?x rdfs:label ?l }")
+    assert set(out3.columns) == {"x", "l"}
