@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": Q.kg_sparql_construct,  # SPARQL CONSTRUCT (r4)
         "kg_sparql_groupby": Q.kg_sparql_groupby,      # SPARQL GROUP BY agg (r4)
         "kg_sparql_lang": Q.kg_sparql_lang,            # SPARQL LANG() filter (r4)
+        "kg_sparql_graph": Q.kg_sparql_graph,          # SPARQL GRAPH clause (r4)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_construct": OS.SPARQL_CONSTRUCT_SQL,
         "kg_sparql_groupby": OS.SPARQL_GROUPBY_SQL,
         "kg_sparql_lang": OS.SPARQL_LANG_SQL,
+        "kg_sparql_graph": OS.SPARQL_GRAPH_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

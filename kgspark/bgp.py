@@ -96,14 +96,27 @@ def symmetric_closure_pairs(triples: DataFrame, pred: str) -> DataFrame:
     )
 
 
-def _pattern_frame(triples: DataFrame, pat: tuple[str, str, str], idx: int) -> DataFrame:
+def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
     """One triple pattern → filtered scan (or closure frame) projecting
     its variables.  A constant-only pattern yields a 1/0-row existence
     gate whose helper column is uniquely named and dropped by the
-    caller (never leaks into results — round-3 ADVICE)."""
-    if len(pat) != 3:
-        raise ValueError(f"triple pattern must have 3 terms: {pat!r}")
-    s_term, p_term, o_term = pat
+    caller (never leaks into results — round-3 ADVICE).
+
+    A 4-term pattern (g, s, p, o) matches against a QUAD frame's named
+    graph (SPARQL GRAPH clause); 3-term patterns over a quad frame
+    match the DEFAULT graph = the RDF merge (distinct s,p,o)."""
+    g_term = None
+    if len(pat) == 4:
+        if "g" not in triples.columns:
+            raise ValueError("4-term (GRAPH) pattern needs a quad frame with a g column")
+        g_term, s_term, p_term, o_term = pat
+    elif len(pat) == 3:
+        s_term, p_term, o_term = pat
+        if "g" in triples.columns:
+            # default graph = RDF merge of all named graphs (set union)
+            triples = triples.select("s", "p", "o").distinct()
+    else:
+        raise ValueError(f"triple pattern must have 3 or 4 terms: {pat!r}")
 
     sym = _SYM_PATH.match(p_term) if not p_term.startswith("?") else None
     if sym:
@@ -117,6 +130,10 @@ def _pattern_frame(triples: DataFrame, pat: tuple[str, str, str], idx: int) -> D
         t = transitive_pairs(e)
         cols = ["src", "dst"]
         terms = [s_term, o_term]
+    elif g_term is not None:
+        t = triples
+        cols = ["g", "s", "p", "o"]
+        terms = [g_term, s_term, p_term, o_term]
     else:
         t = triples
         cols = ["s", "p", "o"]
@@ -204,6 +221,7 @@ def bgp_match(
     patterns: list[tuple[str, str, str]],
     optionals: list[list[tuple[str, str, str]]] | None = None,
     anti: list[list[tuple[str, str, str]]] | None = None,
+    exists: list[list[tuple[str, str, str]]] | None = None,
     filters: list[Column | str] | None = None,
     values: list[tuple[list[str], list[tuple]]] | None = None,
     binds: list[tuple[Column | str, str]] | None = None,
@@ -229,6 +247,9 @@ def bgp_match(
     ``anti`` — list of FILTER-NOT-EXISTS groups: bindings for which the
     group matches are REMOVED (left-anti join on shared variables; a
     constant-only group empties the result iff its triple exists).
+
+    ``exists`` — list of FILTER-EXISTS groups: bindings are KEPT only
+    when the group matches (left-semi join on shared variables).
 
     ``values`` — SPARQL VALUES blocks: each entry is (variable names,
     literal rows); the inline table (query text, config-sized) is
@@ -285,6 +306,15 @@ def bgp_match(
         )
     for f in filters or []:
         bound = bound.filter(F.expr(f) if isinstance(f, str) else f)
+    for group in exists or []:
+        g = _conjunction(triples, group, allow_product=allow_product)
+        shared = [c for c in g.columns if c in bound.columns]
+        if shared:
+            bound = bound.join(g.select(*shared).distinct(), shared, "left_semi")
+        elif all(c.startswith("_exists_") for c in g.columns):
+            bound = bound.join(g, F.lit(True), "left_semi")
+        else:
+            raise ValueError("EXISTS group shares no variable with the BGP")
     for group in anti or []:
         g = _conjunction(triples, group, allow_product=allow_product)
         shared = [c for c in g.columns if c in bound.columns]

@@ -489,6 +489,14 @@ SELECT s AS e, o AS l FROM tfull
 WHERE p = 'rdfs:label' AND o_lang = 'en'
 """
 
+# SPARQL GRAPH clause: per-named-graph counts over the distinct quads.
+SPARQL_GRAPH_SQL = f"""
+{_KG_CTES},
+q AS (SELECT DISTINCT g, s, p, o FROM {_QUADS_UNION})
+SELECT g, CAST(count(*) AS BIGINT) AS n
+FROM q WHERE p = 'ex:mentions' GROUP BY g
+"""
+
 # SPARQL UNION of BGP groups — disjoint variables NULL-padded (bag
 # semantics, matching bgp_union's unionByName).
 BGP_UNION_SQL = f"""

@@ -1068,6 +1068,23 @@ def kg_sparql_lang(spark, sf_dir):
     )
 
 
+def kg_sparql_graph(spark, sf_dir):
+    """SPARQL GRAPH clause over the quad store (D4): per-named-graph
+    mention-edge counts — the graph name binds as a variable and the
+    count is a GROUP BY aggregate, all through the text front-end."""
+    from .sparql import sparql_select
+
+    q = kg_quads_full(spark, sf_dir)
+    return sparql_select(
+        q,
+        """
+        SELECT ?g (COUNT(*) AS ?n)
+        WHERE { GRAPH ?g { ?d ex:mentions ?m } }
+        GROUP BY ?g
+        """,
+    )
+
+
 def kg_predicate_counts(spark, sf_dir):
     from .pipeline import run_pipeline_cached
 

@@ -15,10 +15,12 @@ Supported subset::
 
     CONSTRUCT { template-patterns } WHERE { group }
     ASK [WHERE] { group }
+    DESCRIBE (<iri>... | ?v ... WHERE { group })
 
     group := ( triple-pattern '.'
+             | GRAPH (?g | iri) { triple-patterns }
              | OPTIONAL { triple-patterns }
-             | FILTER NOT EXISTS { triple-patterns }
+             | FILTER [NOT] EXISTS { triple-patterns }
              | MINUS { triple-patterns }
              | FILTER ( expression )
              | BIND ( expression AS ?v )
@@ -110,7 +112,8 @@ def _parse_patterns(p: _P) -> list[tuple[str, str, str]]:
     pats = []
     while p.peek() not in ("}", None):
         up = (p.peek() or "").upper()
-        if up in ("OPTIONAL", "FILTER", "UNION", "VALUES", "BIND", "MINUS"):
+        if up in ("OPTIONAL", "FILTER", "UNION", "VALUES", "BIND", "MINUS",
+                  "GRAPH"):
             break
         s = p.take()
         if p.peek() == "(":
@@ -238,6 +241,7 @@ def _parse_group(p: _P) -> dict:
     patterns: list = []
     optionals: list = []
     anti: list = []
+    exists: list = []
     filters: list[str] = []
     binds: list[tuple[str, str]] = []
     values: list[tuple[list[str], list[tuple]]] = []
@@ -275,6 +279,14 @@ def _parse_group(p: _P) -> dict:
                     rows.append((_term(p.take()),))
                 p.expect("}")
             values.append((varnames, rows))
+        elif up == "GRAPH":
+            # GRAPH (?g | iri) { patterns } → 4-term quad patterns
+            p.take()
+            gterm = _term(p.take())
+            p.expect("{")
+            inner = _parse_patterns(p)
+            p.expect("}")
+            patterns.extend([(gterm,) + pat for pat in inner])
         elif up == "BIND":
             p.take()
             expr = _expr_to_sql(p, until_as=True)
@@ -295,11 +307,17 @@ def _parse_group(p: _P) -> dict:
             p.expect("}")
         elif up == "FILTER":
             p.take()
-            if (p.peek() or "").upper() == "NOT":
+            nxt = (p.peek() or "").upper()
+            if nxt == "NOT":
                 p.take()
                 p.expect("EXISTS")
                 p.expect("{")
                 anti.append(_parse_patterns(p))
+                p.expect("}")
+            elif nxt == "EXISTS":
+                p.take()
+                p.expect("{")
+                exists.append(_parse_patterns(p))
                 p.expect("}")
             else:
                 filters.append(_expr_to_sql(p))
@@ -313,6 +331,8 @@ def _parse_group(p: _P) -> dict:
         out["optionals"] = optionals
     if anti:
         out["anti"] = anti
+    if exists:
+        out["exists"] = exists
     if filters:
         out["filters"] = filters
     if binds:
@@ -558,4 +578,50 @@ def store_sparql(
         return sparql_construct(triples, query, allow_product=allow_product)
     if verb == "ASK":
         return sparql_ask(triples, query, allow_product=allow_product)
+    if verb == "DESCRIBE":
+        return sparql_describe(triples, query, allow_product=allow_product)
     raise ValueError(f"unsupported SPARQL verb: {verb!r}")
+
+
+def sparql_describe(
+    triples: DataFrame, query: str, allow_product: bool = False
+) -> DataFrame:
+    """SPARQL DESCRIBE (subset — outgoing-edge description):
+    ``DESCRIBE iri ...`` or ``DESCRIBE ?v ... WHERE { group }``.
+    Returns every (s, p, o) whose subject is a described resource —
+    one semi-join against the (distinct) subject set, no collect."""
+    p = _P(_tokenize(query))
+    p.expect("DESCRIBE")
+    consts: list[str] = []
+    vars_: list[str] = []
+    while p.peek() is not None and (p.peek() or "").upper() != "WHERE":
+        t = p.take()
+        if t.startswith("?"):
+            vars_.append(_VAR.fullmatch(t).group(1))
+        else:
+            consts.append(_term(t))
+    if not consts and not vars_:
+        raise ValueError("DESCRIBE needs resources or variables")
+    spark = triples.sparkSession
+    t = triples
+    if "g" in t.columns:
+        t = t.select("s", "p", "o").distinct()
+    subjects = None
+    if consts:
+        subjects = spark.createDataFrame([(c,) for c in consts], "subj string")
+    if vars_:
+        if (p.peek() or "").upper() != "WHERE":
+            raise ValueError("DESCRIBE with variables needs a WHERE group")
+        p.expect("WHERE")
+        g = _parse_group(p)
+        sol = bgp_match(triples, allow_product=allow_product, **g)
+        for v in vars_:
+            if v not in sol.columns:
+                raise ValueError(f"DESCRIBE variable ?{v} not bound")
+            sv = sol.select(F.col(v).alias("subj"))
+            subjects = sv if subjects is None else subjects.unionByName(sv)
+    if p.peek() is not None:
+        raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
+    return t.join(
+        subjects.distinct(), t["s"] == F.col("subj"), "left_semi"
+    )

@@ -341,3 +341,66 @@ def test_lang_filter_over_full_term_model(spark):
     # no hidden columns even without an explicit SELECT
     out3 = sparql_select(t, "SELECT * WHERE { ?x rdfs:label ?l }")
     assert set(out3.columns) == {"x", "l"}
+
+
+QUADS = [
+    ("doc://1", "ex:a", "rdfs:label", "alice"),
+    ("doc://1", "ex:a", "rdf:type", "ex:Person"),
+    ("doc://2", "ex:b", "rdfs:label", "bob"),
+    ("doc://2", "ex:a", "rdfs:label", "alice"),  # dup stmt, 2nd graph
+]
+
+
+@pytest.fixture()
+def quadf(spark):
+    return spark.createDataFrame(QUADS, "g string, s string, p string, o string")
+
+
+def test_graph_clause_variable_and_constant(quadf):
+    out = sparql_select(
+        quadf, "SELECT ?g ?x WHERE { GRAPH ?g { ?x rdfs:label \"alice\" } }"
+    )
+    assert _rows(out) == {("doc://1", "ex:a"), ("doc://2", "ex:a")}
+    out2 = sparql_select(
+        quadf, "SELECT ?x WHERE { GRAPH doc://2 { ?x rdfs:label ?l } }"
+    )
+    assert _rows(out2) == {("ex:b",), ("ex:a",)}
+
+
+def test_default_graph_is_rdf_merge(quadf):
+    # the duplicate alice statement across graphs yields ONE solution
+    out = sparql_select(quadf, "SELECT ?x ?l WHERE { ?x rdfs:label ?l }")
+    got = [tuple(r) for r in out.collect()]
+    assert sorted(got) == [("ex:a", "alice"), ("ex:b", "bob")]
+
+
+def test_graph_joins_default_graph_pattern(quadf):
+    out = sparql_select(
+        quadf,
+        "SELECT ?g ?x WHERE { ?x rdf:type ex:Person . "
+        "GRAPH ?g { ?x rdfs:label ?l } }",
+    )
+    assert _rows(out) == {("doc://1", "ex:a"), ("doc://2", "ex:a")}
+
+
+def test_filter_exists(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x rdf:type ?t . FILTER EXISTS { ?x ex:knows ?y } }",
+    )
+    assert _rows(out) == {("ex:a",)}
+
+
+def test_describe_constant_and_variable(tri):
+    from kgspark.sparql import sparql_describe
+
+    out = sparql_describe(tri, "DESCRIBE ex:c")
+    assert _rows(out) == {
+        ("ex:c", "rdf:type", "ex:Robot"),
+        ("ex:c", "rdfs:label", "carl"),
+        ("ex:c", "ex:score", "11"),
+    }
+    out2 = sparql_describe(
+        tri, "DESCRIBE ?x WHERE { ?x rdf:type ex:Robot }"
+    )
+    assert _rows(out2) == _rows(out)
