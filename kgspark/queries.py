@@ -688,6 +688,14 @@ def rdf_turtle_roundtrip(spark, sf_dir):
     return rdfio.parse_turtle(rdfio.to_turtle(t)).select(*_TERM_COLS)
 
 
+def rdf_jsonld_roundtrip(spark, sf_dir):
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    return rdfio.parse_jsonld(rdfio.to_jsonld(t)).select(*_TERM_COLS)
+
+
 def xml_transform(spark, sf_dir):
     """O12 XSLT-analogue: deterministically render each document as a
     one-line XML payload (native exprs), then template-transform it to

@@ -606,3 +606,91 @@ def _parse_with_graph(raw: DataFrame) -> DataFrame:
             )
 
     return raw.mapInPandas(kernel, schema=QUADS_PARSED_DDL)
+
+
+# --- JSON-LD subset (NDJSON) -------------------------------------------------
+# Twine's librdf stack spoke multiple RDF serializations (`[U~]`); the
+# JSON-LD member of the family here is the flat NDJSON profile: one
+# node object per TRIPLE per line, expanded IRIs, literal objects as
+# {"@value": v[, "@language": l | "@type": dt]}.  Writer is pure native
+# exprs (JSON string escaping included); parser is an Arrow kernel over
+# json.loads.  Lossless against the full term model (tested).
+
+def _json_escape(col):
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    out = F.regexp_replace(out, "\t", "\\\\t")
+    out = F.regexp_replace(out, "\r", "\\\\r")
+    return out
+
+
+def to_jsonld(triples: DataFrame) -> DataFrame:
+    """(s,p,o[,term cols]) → one flat JSON-LD node object per line."""
+    if "o_kind" in triples.columns:
+        is_lit = F.col("o_kind") == "literal"
+        lang = F.col("o_lang") if "o_lang" in triples.columns else F.lit("")
+        dtype = F.col("o_datatype") if "o_datatype" in triples.columns else F.lit("")
+    else:
+        is_lit = F.col("p").isin(LITERAL_PREDICATES)
+        lang = F.lit("")
+        dtype = F.lit("")
+    lit_tail = (
+        F.when(lang != "", F.concat(F.lit('", "@language": "'), lang, F.lit('"}')))
+        .when(dtype != "", F.concat(F.lit('", "@type": "'), _json_escape(expand(dtype)), F.lit('"}')))
+        .otherwise(F.lit('"}'))
+    )
+    obj = F.when(
+        is_lit,
+        F.concat(F.lit('{"@value": "'), _json_escape(F.col("o")), lit_tail),
+    ).otherwise(
+        F.concat(F.lit('{"@id": "'), _json_escape(expand(F.col("o"))), F.lit('"}'))
+    )
+    line = F.concat(
+        F.lit('{"@id": "'), _json_escape(expand(F.col("s"))),
+        F.lit('", "'), _json_escape(expand(F.col("p"))), F.lit('": '),
+        obj, F.lit("}"),
+    )
+    return triples.select(line.alias("line"))
+
+
+def jsonld_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """JSON-LD NDJSON parser kernel: flat node objects, @id subjects,
+    one or more predicate keys per object, scalar or list values;
+    blank/comment lines skipped."""
+    import json
+
+    cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    for pdf in batches:
+        rows = []
+        for line in pdf["line"].astype("string"):
+            line = (line or "").strip()
+            if not line or line.startswith("#"):
+                continue
+            obj = json.loads(line, strict=False)
+            s = obj["@id"]
+            for pred, val in obj.items():
+                if pred == "@id":
+                    continue
+                for v in (val if isinstance(val, list) else [val]):
+                    if isinstance(v, dict) and "@id" in v:
+                        rows.append((s, pred, v["@id"], "iri", "", ""))
+                    elif isinstance(v, dict):
+                        rows.append((
+                            s, pred, v.get("@value", ""), "literal",
+                            v.get("@language", ""), v.get("@type", ""),
+                        ))
+                    else:
+                        rows.append((s, pred, str(v), "literal", "", ""))
+        out = pd.DataFrame(rows, columns=cols)
+        if len(out):
+            out["s"] = _compact(out["s"].astype("string"))
+            out["p"] = _compact(out["p"].astype("string"))
+            iri_mask = out["o_kind"] == "iri"
+            out.loc[iri_mask, "o"] = _compact(out.loc[iri_mask, "o"].astype("string"))
+            out["o_datatype"] = _compact(out["o_datatype"].astype("string"))
+        yield out
+
+
+def parse_jsonld(lines: DataFrame) -> DataFrame:
+    return lines.mapInPandas(jsonld_parse_kernel, schema=PARSED_DDL)

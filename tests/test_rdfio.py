@@ -228,3 +228,27 @@ def test_property_based_literal_roundtrips(spark):
     ]:
         got = {tuple(r) for r in parse_fn(to_fn(t)).collect()}
         assert got == want, to_fn.__name__
+
+
+def test_jsonld_roundtrip_full_term(spark, sf_dir):
+    """The NDJSON JSON-LD profile round-trips the full term model
+    (incl. @language / @type) losslessly."""
+    from kgspark.pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    want = {tuple(r) for r in t.collect()}
+    got = {tuple(r) for r in rdfio.parse_jsonld(rdfio.to_jsonld(t)).collect()}
+    assert got == want
+
+
+def test_jsonld_adversarial_literals(spark):
+    rows = [
+        ("ex:s1", "rdfs:label", 'quote " and \\ backslash', "literal", "", ""),
+        ("ex:s2", "rdfs:label", "tab\there\nnewline\rcr", "literal", "en", ""),
+        ("ex:s3", "ex:score", "42", "literal", "", "xsd:integer"),
+        ("ex:s4", "ex:knows", "ex:s1", "iri", "", ""),
+        ("ex:s5", "rdfs:label", '{"@id": "fake json"}', "literal", "", ""),
+    ]
+    t = spark.createDataFrame(rows, rdfio.PARSED_DDL)
+    got = {tuple(r) for r in rdfio.parse_jsonld(rdfio.to_jsonld(t)).collect()}
+    assert got == {tuple(r) for r in rows}
