@@ -176,11 +176,9 @@ def test_construct_drops_unbound_optional(tri):
         "CONSTRUCT { ?x ex:peer ?y } "
         "WHERE { ?x rdf:type ex:Person . OPTIONAL { ?x ex:knows ?y } }",
     )
-    # ex:b has no outgoing knows in this fixture subset? (b knows a) —
-    # both persons have a peer; Robot c is excluded by the type pattern
-    assert _rows(out) == {("ex:a", "ex:peer", "ex:b")} or True
-    rows = _rows(out)
-    assert all(None not in r for r in rows)
+    # only ex:a has an outgoing knows edge; ex:b's unbound OPTIONAL ?y
+    # must NOT produce a NULL-object template instance (spec semantics)
+    assert _rows(out) == {("ex:a", "ex:peer", "ex:b")}
 
 
 def test_ask(tri):
