@@ -402,3 +402,23 @@ def test_describe_constant_and_variable(tri):
         tri, "DESCRIBE ?x WHERE { ?x rdf:type ex:Robot }"
     )
     assert _rows(out2) == _rows(out)
+
+
+def test_parser_fuzz_never_crashes():
+    """Randomized junk queries must raise ValueError (or parse), never
+    any other exception type — the store's user-facing error contract."""
+    import random
+
+    rng = random.Random(20260817)
+    toks = ["SELECT", "WHERE", "{", "}", "(", ")", "?x", "?y", "FILTER",
+            "OPTIONAL", "UNION", "VALUES", "BIND", "MINUS", "GRAPH", "AS",
+            '"lit"', "rdf:type", "ex:a", ".", "*", "COUNT", "ORDER", "BY",
+            "LIMIT", "5", "&&", "=", "+"]
+    for _ in range(300):
+        q = " ".join(rng.choice(toks) for _ in range(rng.randint(1, 14)))
+        try:
+            parse_sparql(q)
+        except ValueError:
+            pass  # the allowed failure mode
+        except (KeyError, IndexError, AttributeError, TypeError) as e:
+            raise AssertionError(f"parser crashed on {q!r}: {type(e).__name__}: {e}")
