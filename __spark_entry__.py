@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
+        "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "top_terms_tfidf": Q.top_terms_tfidf,               # int-exact tf-idf top-k (r3)
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
             "distinct_kmv_sketch": OS.KMV_SKETCH_SQL,
             "doc_split_assign": OS.DOC_SPLIT_SQL,
             "doc_pack_assign": OS.DOC_PACK_SQL,
+            "training_export": OS.TRAINING_EXPORT_SQL,
             "top_terms_tfidf": OS.TOP_TERMS_TFIDF_SQL,
             "text_quality": OS.TEXT_QUALITY_SQL,
             "token_counts": OS.TOKEN_COUNTS_SQL,

@@ -1347,6 +1347,49 @@ SELECT doc_id, reason, CAST(reason = 'keep' AS INT) AS keep FROM (
 )
 """
 
+# Composed training export: the CURATE decision selects survivors,
+# split+pack assignment runs over them only (pack SQL restricted by a
+# semi-join on the kept set).
+TRAINING_EXPORT_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {_CLUSTERS_CTES}, {_LANGID_CTES}, {_QUAL_CTE},
+curated AS (
+  SELECT documents.doc_id,
+    CASE WHEN q.quality_e6 < {G.QUALITY_MIN_E6} THEN 'low_quality'
+         WHEN p.predicted_lang <> p.lang THEN 'lang_mismatch'
+         WHEN k.keep_doc_id IS NOT NULL AND k.keep_doc_id <> documents.doc_id
+              THEN 'near_duplicate'
+         ELSE 'keep' END AS reason
+  FROM documents
+  JOIN qual q USING (doc_id)
+  JOIN lpred p USING (doc_id)
+  LEFT JOIN ckeep k USING (doc_id)
+),
+kept AS (SELECT doc_id FROM curated WHERE reason = 'keep'),
+sized AS (
+  SELECT d.doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST((({G.hash_a(2)} * d.doc_id + {G.hash_b(2)}) % {G.HASH_P})
+                % {G.PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM (
+    SELECT doc_id, text,
+           (({G.hash_a(1)} * doc_id + {G.hash_b(1)}) % {G.HASH_P}) % 100 AS b
+    FROM documents
+  ) d
+  JOIN kept USING (doc_id)
+)
+SELECT doc_id, split, shard, n_tok,
+       CAST(start // {G.PACK_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(start % {G.PACK_CAPACITY} AS BIGINT) AS seq_off
+FROM (
+  SELECT doc_id, split, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+  FROM sized
+)
+"""
+
 PREDICATE_COUNTS_SQL = f"""
 {_KG_CTES}
 SELECT p, count(*) AS n FROM (

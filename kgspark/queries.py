@@ -590,7 +590,12 @@ def doc_pack_assign(spark, sf_dir):
     across shards, one shuffle, deterministic at any parallelism
     (doc_id is unique ⇒ the window order is total).  Sequence identity
     is (split, shard, seq_id)."""
-    docs = _t(spark, sf_dir, "documents")
+    return _pack_assign(_t(spark, sf_dir, "documents"))
+
+
+def _pack_assign(docs):
+    """Shared packing kernel over any (doc_id, text) frame — used by
+    doc_pack_assign (whole corpus) and training_export (survivors)."""
     h_split = (
         F.lit(G.hash_a(1)) * F.col("doc_id") + F.lit(G.hash_b(1))
     ) % F.lit(G.HASH_P) % 100
@@ -618,6 +623,23 @@ def doc_pack_assign(spark, sf_dir):
         F.expr(f"start DIV {G.PACK_CAPACITY}").cast("bigint").alias("seq_id"),
         (F.col("start") % G.PACK_CAPACITY).cast("bigint").alias("seq_off"),
     )
+
+
+def training_export(spark, sf_dir):
+    """The composed END of the training-data pipeline: corpus curation
+    (quality → langid → near-dup keeper) selects the survivors, then
+    the deterministic split + sequence packing runs over the SURVIVING
+    documents only — the actual export a 100 TB pretraining run
+    consumes.  Composes three already-oracle-exact operator families
+    into one decision + assignment with ONE composed DuckDB oracle
+    (same pattern as curate_corpus).  Scale shape: the curation joins
+    are per-doc, the packing cumsum is per-(split, shard) — dropping a
+    document re-packs only its shard's tail, never the corpus."""
+    from .curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(spark, docs).filter(F.col("keep") == 1).select("doc_id")
+    return _pack_assign(docs.join(kept, "doc_id"))
 
 
 def top_terms_tfidf(spark, sf_dir, k: int = 3):
