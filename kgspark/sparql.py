@@ -10,14 +10,17 @@ Supported subset::
     [GROUP BY ?v ...] [HAVING ( expr )]
     [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
 
-    AGG := COUNT | SUM | MIN | MAX   (SUM casts to BIGINT — exact on
-    every engine; AVG rejected: float aggregate)
+    AGG := COUNT | SUM | MIN | MAX | AVG   (SUM casts to BIGINT —
+    exact on every engine; AVG = exact-BIGINT SUM / COUNT divided in
+    DOUBLE, so its bits are engine-deterministic)
 
     CONSTRUCT { template-patterns } WHERE { group }
     ASK [WHERE] { group }
     DESCRIBE (<iri>... | ?v ... WHERE { group })
 
     group := ( triple-pattern '.'
+             | { group } [ UNION { group } ... ]      (nested groups)
+             | { SELECT ... }                         (subquery)
              | GRAPH (?g | iri) { triple-patterns }
              | OPTIONAL { triple-patterns }
              | FILTER [NOT] EXISTS { triple-patterns }
@@ -31,7 +34,11 @@ Supported subset::
     STRLEN, UCASE, LCASE, LANG (requires a full-term (s,p,o,o_kind,
     o_lang,o_datatype) input frame — e.g. kg_triples_full).
 
-Triple patterns may use property paths (``pred+``, ``(pred|^pred)+``).
+IRIs may be written bracketed (``<doc://1>``) or as prefixed-name-style
+bare tokens; both match on the bare IRI text.  Triple patterns may use
+property paths: ``pred+``, ``pred*``, ``pred?``, ``^pred``, sequences
+``p1/p2``, alternatives ``(a|^b)`` with optional closure, and the
+symmetric-closure coref idiom ``(pred|^pred)+`` (see bgp._parse_path).
 FILTER expressions support ?var references, comparison operators,
 ``&&``/``||``/``!``, ``REGEX(?v, "pat")``, ``STR(?v)``,
 ``xsd:integer(?v)`` casts, and string/number literals — translated to
@@ -49,11 +56,10 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bgp import bgp_match, bgp_union
-
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<iri><[^<>\s]*>)
       | (?P<punct><=|>=|!=|&&|\|\||[{}().,<>=!*])
       | (?P<word>[^\s{}().,<>=!"]+)
     )""",
@@ -70,7 +76,10 @@ def _tokenize(q: str) -> list[str]:
             raise ValueError(f"SPARQL tokenizer stuck at: {q[i:i+30]!r}")
         if m.end() == m.start():
             break
-        toks.append(m.group("str") or m.group("punct") or m.group("word"))
+        toks.append(
+            m.group("str") or m.group("iri") or m.group("punct")
+            or m.group("word")
+        )
         i = m.end()
     return toks
 
@@ -107,29 +116,46 @@ class _P:
         return t
 
 
+def _take_path_term(p: _P) -> str:
+    """Reassemble a predicate-position term that the tokenizer may have
+    split: ``*`` is a punct token (SELECT *), parens are punct, and a
+    sequence continuation after them rides as a ``/…`` word — so e.g.
+    ``ex:a*/ex:b`` arrives as ``ex:a`` ``*`` ``/ex:b`` and
+    ``(ex:a|^ex:a)+`` as ``(`` ``ex:a|^ex:a`` ``)`` ``+``.  Path
+    VALIDATION happens in bgp._parse_path (ValueError on junk)."""
+
+    def group() -> str:
+        inner = p.take()
+        p.expect(")")
+        return f"({inner})"
+
+    t = p.take()
+    out = group() if t == "(" else t
+    while True:
+        nxt = p.peek()
+        if nxt in ("*", "+", "?"):
+            out += p.take()
+        elif nxt == "(" and out.endswith("/"):
+            p.take()
+            out += group()
+        elif nxt is not None and nxt.startswith("/"):
+            out += p.take()
+        else:
+            return out
+
+
 def _parse_patterns(p: _P) -> list[tuple[str, str, str]]:
     """Triple patterns up to the closing '}' (not consumed)."""
     pats = []
-    while p.peek() not in ("}", None):
+    while p.peek() not in ("}", "{", None):
         up = (p.peek() or "").upper()
         if up in ("OPTIONAL", "FILTER", "UNION", "VALUES", "BIND", "MINUS",
                   "GRAPH"):
             break
         s = p.take()
-        if p.peek() == "(":
-            # symmetric path (pred|^pred)+ — the tokenizer splits the
-            # parens off; reassemble the path term
-            p.take()
-            inner = p.take()
-            p.expect(")")
-            plus = p.take()
-            if plus != "+":
-                raise ValueError("path group must be followed by '+'")
-            pred = f"({inner})+"
-        else:
-            pred = p.take()
-            if pred == "a":  # SPARQL rdf:type shorthand
-                pred = "rdf:type"
+        pred = _take_path_term(p)
+        if pred == "a":  # SPARQL rdf:type shorthand
+            pred = "rdf:type"
         o = p.take()
         p.kw(".")  # trailing dot optional before }
         pats.append((_term(s), _term(pred), _term(o)))
@@ -139,17 +165,30 @@ def _parse_patterns(p: _P) -> list[tuple[str, str, str]]:
 def _term(tok: str) -> str:
     if tok.startswith('"') and tok.endswith('"'):
         return tok[1:-1]
+    if tok.startswith("<") and tok.endswith(">") and len(tok) >= 2:
+        return tok[1:-1]  # bracketed IRI — match on the bare IRI text
     return tok
 
 
 _VAR = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
 
 
+def _var(tok: str | None, what: str = "variable") -> str:
+    """Variable token → bare name, ValueError otherwise — the parser's
+    single error surface for variable positions (round-4 ADVICE: a bare
+    ``_VAR.fullmatch(...).group(1)`` crashes with AttributeError on
+    e.g. ``COUNT(5)`` / ``ORDER BY DESC(ex:a)``)."""
+    m = _VAR.fullmatch(tok) if tok is not None else None
+    if not m:
+        raise ValueError(f"SPARQL parse error: expected {what}, got {tok!r}")
+    return m.group(1)
+
+
 def _arg_sql(p: _P) -> str:
     """One function argument: variable, string literal, or number."""
     t = p.take()
     if t.startswith("?"):
-        return _VAR.fullmatch(t).group(1)
+        return _var(t)
     if t.startswith('"'):
         return "'" + _term(t).replace("'", "''") + "'"
     return t
@@ -180,33 +219,34 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
         elif t == "!" and p.peek() != "=":
             parts.append("NOT")
         elif up == "REGEX":
-            # REGEX(?v, "pat") → v rlike 'pat'
+            # REGEX(?v, "pat") → v rlike 'pat'; the pattern literal is
+            # quote-escaped like every other literal (round-4 ADVICE:
+            # an unescaped ' broke the generated SQL and let query text
+            # inject into the filter expression)
             p.expect("(")
-            var = _VAR.fullmatch(p.take())
-            if not var:
-                raise ValueError("REGEX first argument must be a variable")
+            var = _var(p.take(), "REGEX first argument (a variable)")
             p.expect(",")
             pat = p.take()
             p.expect(")")
-            parts.append(f"{var.group(1)} rlike '{_term(pat)}'")
+            parts.append(f"{var} rlike '" + _term(pat).replace("'", "''") + "'")
         elif up == "STR":
             p.expect("(")
-            var = _VAR.fullmatch(p.take())
+            var = _var(p.take(), "STR argument (a variable)")
             p.expect(")")
-            parts.append(f"CAST({var.group(1)} AS STRING)")
+            parts.append(f"CAST({var} AS STRING)")
         elif up == "LANG":
             # LANG(?v) → the hidden language column carried by
             # full-term inputs (empty string for plain literals/IRIs,
             # matching SPARQL's "" for no language tag)
             p.expect("(")
-            var = _VAR.fullmatch(p.take())
+            var = _var(p.take(), "LANG argument (a variable)")
             p.expect(")")
-            parts.append(f"coalesce(__lang_{var.group(1)}, '')")
+            parts.append(f"coalesce(__lang_{var}, '')")
         elif up in ("XSD:INTEGER", "XSD:INT"):
             p.expect("(")
-            var = _VAR.fullmatch(p.take())
+            var = _var(p.take(), f"{up.lower()} argument (a variable)")
             p.expect(")")
-            parts.append(f"CAST({var.group(1)} AS INT)")
+            parts.append(f"CAST({var} AS INT)")
         elif up in ("CONTAINS", "STRSTARTS", "STRENDS"):
             fn = {"CONTAINS": "contains", "STRSTARTS": "startswith",
                   "STRENDS": "endswith"}[up]
@@ -223,10 +263,7 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
             p.expect(")")
             parts.append(f"{fn}({a})")
         elif t.startswith("?"):
-            v = _VAR.fullmatch(t)
-            if not v:
-                raise ValueError(f"bad variable {t!r}")
-            parts.append(v.group(1))
+            parts.append(_var(t))
         elif t.startswith('"'):
             parts.append("'" + _term(t).replace("'", "''") + "'")
         else:
@@ -235,16 +272,24 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
 
 
 def _parse_group(p: _P) -> dict:
-    """One { ... } group body → bgp_match kwargs (brace not consumed
-    at entry; closing brace consumed)."""
+    """One { ... } group body → a group spec dict (brace not consumed
+    at entry; closing brace consumed).  Beyond the flat bgp_match
+    kwargs, a group may contain NESTED group graph patterns —
+    ``{ {A} UNION {B} ... }`` under ``subgroups`` (a list of
+    union-branch lists) — and ``{ SELECT … }`` subqueries under
+    ``subselects``; both are evaluated recursively by _eval_group and
+    joined on their shared variables."""
     p.expect("{")
     patterns: list = []
     optionals: list = []
     anti: list = []
+    minus: list = []
     exists: list = []
     filters: list[str] = []
     binds: list[tuple[str, str]] = []
     values: list[tuple[list[str], list[tuple]]] = []
+    subgroups: list[list[dict]] = []
+    subselects: list[dict] = []
     while True:
         t = p.peek()
         if t is None:
@@ -253,29 +298,42 @@ def _parse_group(p: _P) -> dict:
             p.take()
             break
         up = t.upper()
-        if up == "VALUES":
+        if t == ".":
+            p.take()  # stray dot after a nested group / subquery
+        elif t == "{":
+            if (p.peek(1) or "").upper() == "SELECT":
+                p.take()
+                subselects.append(_parse_select_body(p, subquery=True))
+                p.expect("}")
+            else:
+                branches = [_parse_group(p)]
+                while (p.peek() or "").upper() == "UNION":
+                    p.take()
+                    branches.append(_parse_group(p))
+                subgroups.append(branches)
+        elif up == "VALUES":
             p.take()
             if p.peek() == "(":
                 p.take()
                 varnames = []
-                while p.peek() != ")":
-                    varnames.append(_VAR.fullmatch(p.take()).group(1))
+                while p.peek() not in (")", None):
+                    varnames.append(_var(p.take(), "VALUES variable"))
                 p.expect(")")
                 p.expect("{")
                 rows = []
                 while p.peek() == "(":
                     p.take()
                     row = []
-                    while p.peek() != ")":
+                    while p.peek() not in (")", None):
                         row.append(_term(p.take()))
                     p.expect(")")
                     rows.append(tuple(row))
                 p.expect("}")
             else:
-                varnames = [_VAR.fullmatch(p.take()).group(1)]
+                varnames = [_var(p.take(), "VALUES variable")]
                 p.expect("{")
                 rows = []
-                while p.peek() != "}":
+                while p.peek() not in ("}", None):
                     rows.append((_term(p.take()),))
                 p.expect("}")
             values.append((varnames, rows))
@@ -290,15 +348,16 @@ def _parse_group(p: _P) -> dict:
         elif up == "BIND":
             p.take()
             expr = _expr_to_sql(p, until_as=True)
-            var = _VAR.fullmatch(p.take()).group(1)
+            var = _var(p.take(), "BIND target variable")
             p.expect(")")
             binds.append((expr, var))
         elif up == "MINUS":
-            # SPARQL MINUS: for groups sharing (non-NULL) variables this
-            # subset is exactly the NOT-EXISTS anti-join
+            # tracked apart from FILTER NOT EXISTS: a MINUS group whose
+            # domain is disjoint from the outer bindings removes
+            # NOTHING (spec 8.3), where NOT EXISTS would anti-gate
             p.take()
             p.expect("{")
-            anti.append(_parse_patterns(p))
+            minus.append(_parse_patterns(p))
             p.expect("}")
         elif up == "OPTIONAL":
             p.take()
@@ -331,6 +390,8 @@ def _parse_group(p: _P) -> dict:
         out["optionals"] = optionals
     if anti:
         out["anti"] = anti
+    if minus:
+        out["minus"] = minus
     if exists:
         out["exists"] = exists
     if filters:
@@ -339,12 +400,18 @@ def _parse_group(p: _P) -> dict:
         out["binds"] = binds
     if values:
         out["values"] = values
+    if subgroups:
+        out["subgroups"] = subgroups
+    if subselects:
+        out["subselects"] = subselects
     return out
 
 
-def parse_sparql(q: str) -> dict:
-    """Parse the SELECT subset → a spec dict (inspectable, testable)."""
-    p = _P(_tokenize(q))
+def _parse_select_body(p: _P, subquery: bool = False) -> dict:
+    """SELECT query starting at the SELECT keyword → spec dict.  With
+    ``subquery`` (a ``{ SELECT … }`` nested inside a group) parsing
+    stops at the group's closing ``}`` (not consumed) instead of
+    requiring end-of-input."""
     p.expect("SELECT")
     distinct = p.kw("DISTINCT")
     select: list[str] | None = []
@@ -355,7 +422,7 @@ def parse_sparql(q: str) -> dict:
         while True:
             t = p.peek() or ""
             if t.startswith("?"):
-                select.append(_VAR.fullmatch(p.take()).group(1))
+                select.append(_var(p.take()))
             elif t == "(":
                 # (AGG([DISTINCT] ?v | *) AS ?alias)
                 p.take()
@@ -364,10 +431,13 @@ def parse_sparql(q: str) -> dict:
                     raise ValueError(f"unsupported aggregate {fn!r}")
                 p.expect("(")
                 agg_distinct = p.kw("DISTINCT")
-                arg = None if p.kw("*") else _VAR.fullmatch(p.take()).group(1)
+                arg = (
+                    None if p.kw("*")
+                    else _var(p.take(), f"{fn} argument (a variable)")
+                )
                 p.expect(")")
                 p.expect("AS")
-                alias = _VAR.fullmatch(p.take()).group(1)
+                alias = _var(p.take(), "aggregate alias (a variable)")
                 p.expect(")")
                 if arg is None and fn != "COUNT":
                     raise ValueError(f"{fn}(*) is not valid SPARQL")
@@ -388,7 +458,7 @@ def parse_sparql(q: str) -> dict:
         p.take()
         p.expect("BY")
         while (p.peek() or "").startswith("?"):
-            group_by.append(_VAR.fullmatch(p.take()).group(1))
+            group_by.append(_var(p.take(), "GROUP BY variable"))
         if not group_by:
             raise ValueError("GROUP BY needs variables")
     if (p.peek() or "").upper() == "HAVING":
@@ -407,11 +477,11 @@ def parse_sparql(q: str) -> dict:
             if up in ("ASC", "DESC"):
                 p.take()
                 p.expect("(")
-                v = _VAR.fullmatch(p.take()).group(1)
+                v = _var(p.take(), f"{up}() argument (a variable)")
                 p.expect(")")
                 order.append((v, up == "DESC"))
             elif t.startswith("?"):
-                order.append((_VAR.fullmatch(p.take()).group(1), False))
+                order.append((_var(p.take()), False))
             else:
                 break
     limit = offset = None
@@ -421,7 +491,12 @@ def parse_sparql(q: str) -> dict:
     if (p.peek() or "").upper() == "OFFSET":
         p.take()
         offset = int(p.take())
-    if p.peek() is not None:
+    if subquery:
+        if p.peek() != "}":
+            raise ValueError(
+                f"SPARQL parse error: trailing {p.peek()!r} in subquery"
+            )
+    elif p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
     return {
         "distinct": distinct,
@@ -436,39 +511,95 @@ def parse_sparql(q: str) -> dict:
     }
 
 
-def sparql_select(
-    triples: DataFrame, query: str, allow_product: bool = False
-) -> DataFrame:
-    """Execute a SPARQL SELECT (subset) against a (s,p,o) DataFrame.
+def parse_sparql(q: str) -> dict:
+    """Parse the SELECT subset → a spec dict (inspectable, testable)."""
+    return _parse_select_body(_P(_tokenize(q)))
 
-    ORDER BY + LIMIT compile to orderBy().limit() — Spark plans that as
-    TakeOrdered (per-partition top-k, no global sort).  Without ORDER
-    BY the solution sequence is unordered, as in SPARQL."""
-    spec = parse_sparql(query)
-    if len(spec["groups"]) == 1:
-        g = dict(spec["groups"][0])
-        g["allow_product"] = allow_product
-        out = bgp_match(triples, **g)
-    else:
-        gs = [dict(g, allow_product=allow_product) for g in spec["groups"]]
-        out = bgp_union(triples, gs)
+
+def _eval_group(
+    triples: DataFrame, g: dict, allow_product: bool = False
+) -> DataFrame:
+    """Evaluate one group spec (from _parse_group) — the recursive
+    heart of the front-end: the flat pattern conjunction, nested
+    subgroup/UNION frames and ``{ SELECT … }`` subquery frames are
+    joined on their shared variables, then the group-level operators
+    (VALUES/BIND/FILTER/EXISTS/NOT-EXISTS/MINUS/OPTIONAL) apply via
+    the same machinery bgp_match uses (bgp._apply_group_ops)."""
+    from .bgp import _apply_group_ops, _conjunction, union_pad_frames
+
+    patterns = g.get("patterns") or []
+    bound = (
+        _conjunction(triples, patterns, allow_product=allow_product)
+        if patterns
+        else None
+    )
+    subs: list[DataFrame] = []
+    for branches in g.get("subgroups") or []:
+        frames = [_eval_group(triples, b, allow_product) for b in branches]
+        subs.append(frames[0] if len(frames) == 1 else union_pad_frames(frames))
+    for sq in g.get("subselects") or []:
+        subs.append(_exec_select(triples, sq, allow_product=allow_product))
+    for sf in subs:
+        if bound is None:
+            bound = sf
+            continue
+        if all(c.startswith("_exists_") for c in bound.columns):
+            # constant-only flat part gates the subgroup frame
+            bound = sf.join(bound, F.lit(True), "left_semi")
+            continue
+        shared = [
+            c for c in sf.columns
+            if c in bound.columns and not c.startswith("__lang_")
+        ]
+        if shared:
+            bound = bound.join(sf, shared)
+        elif allow_product:
+            bound = bound.crossJoin(sf)
+        else:
+            raise ValueError(
+                "nested group shares no variable with the outer group; "
+                "a cross product at store scale is corpus-quadratic — "
+                "pass allow_product=True to opt in"
+            )
+    if bound is None:
+        raise ValueError("empty SPARQL group")
+    if all(c.startswith("_exists_") for c in bound.columns):
+        bound = bound.select(F.lit(True).alias("matched"))
+    bound = _apply_group_ops(
+        triples, bound,
+        optionals=g.get("optionals"), anti=g.get("anti"),
+        minus=g.get("minus"), exists=g.get("exists"),
+        filters=g.get("filters"), values=g.get("values"),
+        binds=g.get("binds"), allow_product=allow_product,
+    )
+    hidden = [c for c in bound.columns if c.startswith("__lang_")]
+    return bound.drop(*hidden) if hidden else bound
+
+
+def _exec_select(
+    triples: DataFrame, spec: dict, allow_product: bool = False
+) -> DataFrame:
+    """Execute a parsed SELECT spec — shared by sparql_select and
+    ``{ SELECT … }`` subquery evaluation."""
+    from .bgp import union_pad_frames
+
+    frames = [_eval_group(triples, g, allow_product) for g in spec["groups"]]
+    out = frames[0] if len(frames) == 1 else union_pad_frames(frames)
     if spec["aggregates"]:
         # SPARQL aggregation: GROUP BY keys must cover every bare
         # SELECT variable.  SUM casts its argument to BIGINT (the
         # store's literals ride as strings; an integer sum is exact on
-        # every engine, a float sum is not — AVG is rejected for the
-        # same reason).  Aggregates are map-side-combinable, so this
-        # plans as partial + final hash aggregate around one shuffle.
+        # every engine).  AVG is defined as exact-BIGINT SUM / COUNT
+        # divided in DOUBLE — deterministic IEEE-754 bits on any
+        # engine, unlike a running mean (oracle-bridged through
+        # floor(1e6·x), see kg_sparql_avg).  Aggregates are
+        # map-side-combinable: partial + final hash aggregate around
+        # one shuffle.
         stray = [v for v in (spec["select"] or []) if v not in spec["group_by"]]
         if stray:
             raise ValueError(f"SELECT variables not in GROUP BY: {stray}")
         aggs = []
         for fn, agg_distinct, arg, alias in spec["aggregates"]:
-            if fn == "AVG":
-                raise ValueError(
-                    "AVG is not supported (float aggregate — use "
-                    "SUM and COUNT and divide downstream)"
-                )
             if fn == "COUNT" and arg is None:
                 c = F.count(F.lit(1))
             elif fn == "COUNT":
@@ -480,6 +611,14 @@ def sparql_select(
             elif fn == "SUM":
                 col = F.col(arg).cast("bigint")
                 c = F.sum_distinct(col) if agg_distinct else F.sum(col)
+            elif fn == "AVG":
+                col = F.col(arg).cast("bigint")
+                s = F.sum_distinct(col) if agg_distinct else F.sum(col)
+                n = (
+                    F.count_distinct(col) if agg_distinct
+                    else F.count(col)
+                )
+                c = s.cast("double") / n.cast("double")
             else:  # MIN / MAX — distinct is a no-op
                 c = getattr(F, fn.lower())(F.col(arg))
             aggs.append(c.alias(alias))
@@ -491,6 +630,21 @@ def sparql_select(
             )
         for h in spec["having"]:
             out = out.filter(F.expr(h))
+    elif spec["group_by"]:
+        # GROUP BY without aggregates: one solution per group — the
+        # grouped projection (round-4 ADVICE: this used to be parsed
+        # then silently ignored).  Non-grouped SELECT variables are a
+        # spec violation, as in the aggregate branch.
+        proj = spec["select"] if spec["select"] is not None else spec["group_by"]
+        stray = [v for v in proj if v not in spec["group_by"]]
+        if stray:
+            raise ValueError(f"SELECT variables not in GROUP BY: {stray}")
+        out = out.select(*spec["group_by"]).distinct()
+        for h in spec["having"]:
+            out = out.filter(F.expr(h))
+        out = out.select(*proj)
+    elif spec["having"]:
+        raise ValueError("HAVING requires GROUP BY or aggregates")
     elif spec["select"] is not None:
         missing = [v for v in spec["select"] if v not in out.columns]
         if missing:
@@ -509,6 +663,17 @@ def sparql_select(
     return out
 
 
+def sparql_select(
+    triples: DataFrame, query: str, allow_product: bool = False
+) -> DataFrame:
+    """Execute a SPARQL SELECT (subset) against a (s,p,o) DataFrame.
+
+    ORDER BY + LIMIT compile to orderBy().limit() — Spark plans that as
+    TakeOrdered (per-partition top-k, no global sort).  Without ORDER
+    BY the solution sequence is unordered, as in SPARQL."""
+    return _exec_select(triples, parse_sparql(query), allow_product)
+
+
 def sparql_construct(
     triples: DataFrame, query: str, allow_product: bool = False
 ) -> DataFrame:
@@ -518,7 +683,7 @@ def sparql_construct(
 
     Returns the constructed GRAPH — distinct (s, p, o); template
     instances with an unbound variable are dropped (spec semantics)."""
-    from .bgp import bgp_construct
+    from .bgp import construct_from_solutions
 
     p = _P(_tokenize(query))
     p.expect("CONSTRUCT")
@@ -529,9 +694,8 @@ def sparql_construct(
     g = _parse_group(p)
     if p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
-    return bgp_construct(
-        triples, template, allow_product=allow_product, **g
-    )
+    sol = _eval_group(triples, g, allow_product=allow_product)
+    return construct_from_solutions(sol, template)
 
 
 def sparql_ask(
@@ -539,7 +703,7 @@ def sparql_ask(
 ) -> DataFrame:
     """Execute a SPARQL ASK (subset): ``ASK [WHERE] { group }`` →
     one row ``(ask: boolean)``."""
-    from .bgp import bgp_ask
+    from .bgp import ask_from_solutions
 
     p = _P(_tokenize(query))
     p.expect("ASK")
@@ -547,7 +711,7 @@ def sparql_ask(
     g = _parse_group(p)
     if p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
-    return bgp_ask(triples, allow_product=allow_product, **g)
+    return ask_from_solutions(_eval_group(triples, g, allow_product=allow_product))
 
 
 def store_sparql(
@@ -566,12 +730,20 @@ def store_sparql(
     prunes to the requested graphs' directories BEFORE the parse kernel
     runs (filters do not push through MapInPandas; plan-gated in
     tests).  The queried default graph is the RDF MERGE of the selected
-    graphs (set semantics — distinct before matching)."""
+    graphs (set semantics — distinct before matching); a query using
+    GRAPH clauses instead keeps the quad frame's ``g`` column so the
+    4-term patterns can see the named graphs (round-4 ADVICE: the
+    unconditional merge made the documented GRAPH support fail on the
+    store surface)."""
     from .rdfio import read_nquads_store
 
+    toks = _tokenize(query)
     quads = read_nquads_store(spark, path, graph=graph)
-    triples = quads.select("s", "p", "o").distinct()
-    verb = (_tokenize(query) or [""])[0].upper()
+    if any(t.upper() == "GRAPH" for t in toks):
+        triples = quads.select("g", "s", "p", "o")
+    else:
+        triples = quads.select("s", "p", "o").distinct()
+    verb = (toks or [""])[0].upper()
     if verb == "SELECT":
         return sparql_select(triples, query, allow_product=allow_product)
     if verb == "CONSTRUCT":
@@ -597,7 +769,7 @@ def sparql_describe(
     while p.peek() is not None and (p.peek() or "").upper() != "WHERE":
         t = p.take()
         if t.startswith("?"):
-            vars_.append(_VAR.fullmatch(t).group(1))
+            vars_.append(_var(t))
         else:
             consts.append(_term(t))
     if not consts and not vars_:
@@ -614,7 +786,7 @@ def sparql_describe(
             raise ValueError("DESCRIBE with variables needs a WHERE group")
         p.expect("WHERE")
         g = _parse_group(p)
-        sol = bgp_match(triples, allow_product=allow_product, **g)
+        sol = _eval_group(triples, g, allow_product=allow_product)
         for v in vars_:
             if v not in sol.columns:
                 raise ValueError(f"DESCRIBE variable ?{v} not bound")

@@ -345,3 +345,97 @@ def test_bgp_differential_vs_naive_pandas(spark):
             tuple(r[v] for v in vars_) for r in got_df.collect()
         } if vars_ else set()
         assert got == want, f"trial {trial}: {pats}"
+
+
+# ---- round-5: property-path algebra (*, ?, /, ^, alternatives) ----
+
+def test_path_star_constant_subject(ptri):
+    # zero-or-more from a chain head: identity plus the closure
+    out = bgp_match(ptri, [("n1", "ex:next*", "?b")])
+    assert _rows(out.select("b")) == {("n1",), ("n2",), ("n3",), ("n4",)}
+
+
+def test_path_star_constant_not_in_graph(ptri):
+    # SPARQL ZeroLengthPath yields a bound constant even when it does
+    # not occur in the graph
+    out = bgp_match(ptri, [("nz", "ex:next*", "?b")])
+    assert _rows(out.select("b")) == {("nz",)}
+
+
+def test_path_zero_or_one(ptri):
+    out = bgp_match(ptri, [("n1", "ex:next?", "?b")])
+    assert _rows(out.select("b")) == {("n1",), ("n2",)}
+
+
+def test_path_inverse_step(ptri):
+    out = bgp_match(ptri, [("?a", "^ex:next", "?b")])
+    rows = _rows(out.select("a", "b"))
+    assert ("n2", "n1") in rows and ("n1", "n2") not in rows
+
+
+def test_path_sequence(ptri):
+    # two hops along the chain in one pattern
+    out = bgp_match(ptri, [("?a", "ex:next/ex:next", "?b")])
+    rows = _rows(out.select("a", "b"))
+    assert rows >= {("n1", "n3"), ("n2", "n4"), ("c1", "c1"), ("c2", "c2")}
+    assert ("n1", "n2") not in rows
+
+
+def test_path_sequence_with_closure_element(ptri):
+    out = bgp_match(ptri, [("n1", "ex:next+/ex:next?", "?b")])
+    assert _rows(out.select("b")) == {("n2",), ("n3",), ("n4",)}
+
+
+def test_path_alternative(ptri):
+    out = bgp_match(ptri, [("?a", "(ex:next|ex:other)", "?b")])
+    rows = _rows(out.select("a", "b"))
+    assert ("x1", "x2") in rows and ("n1", "n2") in rows
+    assert len(rows) == 7
+
+
+def test_path_symmetric_star_includes_all_graph_terms(ptri):
+    out = bgp_match(ptri, [("x1", "(ex:next|^ex:next)*", "?b")])
+    # x1 has no ex:next edge — only the zero-length path binds
+    assert _rows(out.select("b")) == {("x1",)}
+
+
+def test_path_malformed_raises_value_error(ptri):
+    for bad in ("ex:a//ex:b", "(ex:a", "ex:a/", "(|)+"):
+        with pytest.raises(ValueError):
+            bgp_match(ptri, [("?a", bad, "?b")]).collect()
+
+
+# ---- round-5: closure-size guard (verdict #3) ----
+
+def test_transitive_closure_guard_trips(spark):
+    from kgspark.bgp import transitive_pairs
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(60)], "s string, o string"
+    )
+    with pytest.raises(ValueError, match="closure"):
+        transitive_pairs(edges, max_pairs=100).count()
+    # and succeeds with the bound lifted
+    assert transitive_pairs(edges, max_pairs=10_000).count() == 61 * 60 // 2
+
+
+def test_symmetric_closure_guard_trips(spark):
+    from kgspark.bgp import symmetric_closure_pairs
+
+    tri = spark.createDataFrame(
+        [(f"v{i}", "owl:sameAs", f"v{i+1}") for i in range(40)],
+        "s string, p string, o string",
+    )
+    with pytest.raises(ValueError, match="degree"):
+        symmetric_closure_pairs(tri, "owl:sameAs", max_pairs=100)
+    assert (
+        symmetric_closure_pairs(tri, "owl:sameAs", max_pairs=10_000).count()
+        == 41 * 41
+    )
+
+
+def test_bgp_match_threads_closure_bound(ptri):
+    with pytest.raises(ValueError, match="closure|degree"):
+        bgp_match(
+            ptri, [("?a", "ex:next+", "?b")], max_closure_pairs=2
+        ).collect()

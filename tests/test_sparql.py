@@ -269,12 +269,15 @@ def test_select_var_not_in_group_by_raises(tri):
         )
 
 
-def test_avg_rejected(tri):
-    with pytest.raises(ValueError, match="AVG"):
-        sparql_select(
-            tri,
-            "SELECT (AVG(?n) AS ?a) WHERE { ?e ex:score ?n } GROUP BY ?e",
-        )
+def test_avg_supported_as_exact_sum_over_count(tri):
+    # AVG = exact-BIGINT SUM / COUNT divided in DOUBLE (round-5: was
+    # rejected; now supported with engine-deterministic bits)
+    out = sparql_select(
+        tri,
+        "SELECT ?t (AVG(?n) AS ?a) WHERE { ?e rdf:type ?t . "
+        "?e ex:score ?n } GROUP BY ?t",
+    )
+    assert _rows(out) == {("ex:Person", 4.5), ("ex:Robot", 11.0)}
 
 
 def test_bind_and_string_functions(tri):
@@ -410,11 +413,20 @@ def test_parser_fuzz_never_crashes():
     import random
 
     rng = random.Random(20260817)
+    # pool includes NON-variable tokens that land in variable positions
+    # (COUNT(5), DESC(ex:a), VALUES ex:a, BIND(... AS ex:y)...) — the
+    # round-4 ADVICE crash shapes — plus the round-5 syntax surface
+    # (paths, nested groups, subqueries, IRIs, AVG, HAVING)
     toks = ["SELECT", "WHERE", "{", "}", "(", ")", "?x", "?y", "FILTER",
             "OPTIONAL", "UNION", "VALUES", "BIND", "MINUS", "GRAPH", "AS",
             '"lit"', "rdf:type", "ex:a", ".", "*", "COUNT", "ORDER", "BY",
-            "LIMIT", "5", "&&", "=", "+"]
-    for _ in range(300):
+            "LIMIT", "5", "&&", "=", "+",
+            "DESC", "ASC", "STR", "LANG", "REGEX", "xsd:integer", ",",
+            "SUM", "AVG", "GROUP", "HAVING", "DISTINCT", "<ex:iri>",
+            "ex:a+", "ex:a*", "^ex:a", "ex:a/ex:b", "(ex:a|^ex:a)",
+            "?", "/", "|", "^", "EXISTS", "NOT", "ASK", "DESCRIBE",
+            "CONSTRUCT", "OFFSET"]
+    for _ in range(600):
         q = " ".join(rng.choice(toks) for _ in range(rng.randint(1, 14)))
         try:
             parse_sparql(q)
@@ -422,3 +434,194 @@ def test_parser_fuzz_never_crashes():
             pass  # the allowed failure mode
         except (KeyError, IndexError, AttributeError, TypeError) as e:
             raise AssertionError(f"parser crashed on {q!r}: {type(e).__name__}: {e}")
+
+
+# ---- round-5: ADVICE regressions — ValueError at every variable
+# position, REGEX escaping, MINUS spec semantics, GROUP BY w/o aggs ----
+
+def test_non_variable_in_variable_positions_raises_value_error():
+    bad = [
+        'SELECT (COUNT(5) AS ?n) WHERE { ?s ?p ?o }',
+        'SELECT (COUNT(?s) AS ex:n) WHERE { ?s ?p ?o }',
+        'SELECT ?x WHERE { ?x ?p ?o . VALUES ex:a { "1" } }',
+        'SELECT ?x WHERE { ?x ?p ?o . BIND(STRLEN(?x) AS ex:y) }',
+        'SELECT ?x WHERE { ?x ?p ?o . FILTER(STR(ex:a) = "z") }',
+        'SELECT ?x WHERE { ?x ?p ?o . FILTER(LANG(ex:a) = "en") }',
+        'SELECT ?x WHERE { ?x ?p ?o . FILTER(xsd:integer(ex:a) > 1) }',
+        'SELECT ?x WHERE { ?x ?p ?o . FILTER(REGEX(ex:a, "z")) }',
+        'SELECT ?x WHERE { ?x ?p ?o } ORDER BY DESC(ex:a)',
+        'SELECT ?x WHERE { ?x ?p ?o } ORDER BY ASC(5)',
+        'SELECT ?9bad WHERE { ?9bad ?p ?o }',
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            parse_sparql(q)
+
+
+def test_describe_non_variable_junk_raises():
+    from kgspark.sparql import sparql_describe
+
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o } GROUP BY ex:a HAVING(?x)")
+
+
+def test_regex_pattern_quote_escaped(tri):
+    # a single quote inside the REGEX literal must not break (or
+    # inject into) the generated Spark SQL filter string
+    out = sparql_select(
+        tri, "SELECT ?x WHERE { ?x rdfs:label ?l . FILTER(REGEX(?l, \"a'b\")) }"
+    )
+    assert _rows(out) == set()
+    out2 = sparql_select(
+        tri, "SELECT ?x WHERE { ?x rdfs:label ?l . FILTER(REGEX(?l, \"^ali\")) }"
+    )
+    assert _rows(out2) == {("ex:a",)}
+
+
+def test_minus_disjoint_domain_is_noop(tri):
+    # MINUS group sharing no variable removes NOTHING (spec 8.3) —
+    # unlike FILTER NOT EXISTS which gates on the group matching
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x rdf:type ex:Robot . MINUS { ?z ex:knows ?w } }",
+    )
+    assert _rows(out) == {("ex:c",)}
+    # constant-only MINUS group: also a no-op even though the triple exists
+    out2 = sparql_select(
+        tri,
+        'SELECT ?x WHERE { ?x rdf:type ex:Robot . MINUS { ex:a ex:knows ex:b } }',
+    )
+    assert _rows(out2) == {("ex:c",)}
+    # ... whereas NOT EXISTS with the same constant group empties
+    out3 = sparql_select(
+        tri,
+        'SELECT ?x WHERE { ?x rdf:type ex:Robot . '
+        'FILTER NOT EXISTS { ex:a ex:knows ex:b } }',
+    )
+    assert _rows(out3) == set()
+
+
+def test_group_by_without_aggregates_is_grouped_projection(tri):
+    out = sparql_select(tri, "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p")
+    assert _rows(out) == {
+        ("rdf:type",), ("rdfs:label",), ("ex:score",), ("ex:knows",),
+        ("ex:next",),
+    }
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sparql_select(tri, "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?p")
+
+
+def test_having_without_group_by_raises(tri):
+    with pytest.raises(ValueError, match="HAVING"):
+        sparql_select(
+            tri, 'SELECT ?s WHERE { ?s ?p ?o } HAVING(?s = "x")'
+        )
+
+
+# ---- round-5: property paths in the text front-end ----
+
+def test_text_path_star_and_sequence(tri):
+    out = sparql_select(tri, "SELECT ?y WHERE { n1 ex:next* ?y }")
+    assert _rows(out) == {("n1",), ("n2",), ("n3",)}
+    out2 = sparql_select(
+        tri, "SELECT ?x ?y WHERE { ?x ex:knows/rdfs:label ?y }"
+    )
+    assert _rows(out2) == {("ex:a", "bob")}
+    out3 = sparql_select(tri, "SELECT ?y WHERE { n1 ex:next+/ex:next? ?y }")
+    assert _rows(out3) == {("n2",), ("n3",)}
+
+
+def test_text_path_inverse_and_alternative(tri):
+    out = sparql_select(tri, "SELECT ?x WHERE { ?x ^ex:knows ex:a }")
+    assert _rows(out) == {("ex:b",)}
+    out2 = sparql_select(
+        tri, "SELECT ?x WHERE { ?x (ex:score|rdfs:label) \"7\" }"
+    )
+    assert _rows(out2) == {("ex:a",)}
+
+
+def test_text_path_cotyped_via_sequence(tri):
+    out = sparql_select(
+        tri, "SELECT ?y WHERE { ex:a rdf:type/^rdf:type ?y }"
+    )
+    assert _rows(out) == {("ex:a",), ("ex:b",)}
+
+
+# ---- round-5: nested groups and subqueries ----
+
+def test_nested_union_inside_group(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { { ?x rdf:type ex:Person } UNION "
+        "{ ?x rdf:type ex:Robot } . ?x ex:score ?n "
+        "FILTER(xsd:integer(?n) > 5) }",
+    )
+    assert _rows(out) == {("ex:a",), ("ex:c",)}
+
+
+def test_nested_group_plain_join(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?l WHERE { { ?x rdf:type ex:Person } "
+        "{ ?x rdfs:label ?l } }",
+    )
+    assert _rows(out) == {("ex:a", "alice"), ("ex:b", "bob")}
+
+
+def test_subquery_joined_on_shared_variable(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?n WHERE { ?x ex:score ?n "
+        "{ SELECT ?x WHERE { ?x rdf:type ex:Person } } }",
+    )
+    assert _rows(out) == {("ex:a", "7"), ("ex:b", "2")}
+
+
+def test_subquery_with_aggregate(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?t ?cnt WHERE { ?x rdf:type ?t "
+        "{ SELECT ?t (COUNT(*) AS ?cnt) WHERE { ?e rdf:type ?t } "
+        "GROUP BY ?t } }",
+    )
+    assert _rows(out) == {
+        ("ex:Person", 2), ("ex:Person", 2), ("ex:Robot", 1),
+    } or _rows(out) == {("ex:Person", 2), ("ex:Robot", 1)}
+
+
+def test_bracketed_iri_tokens(tri):
+    from kgspark.sparql import sparql_describe
+
+    out = sparql_select(tri, "SELECT ?l WHERE { <ex:a> <rdfs:label> ?l }")
+    assert _rows(out) == {("alice",)}
+    d = sparql_describe(tri, "DESCRIBE <ex:c>")
+    assert ("ex:c", "rdf:type", "ex:Robot") in _rows(d)
+
+
+def test_store_sparql_graph_clause_on_store_surface(spark, tmp_path):
+    """Round-4 ADVICE: a GRAPH clause in the query must keep the quad
+    frame's g column on the store surface instead of failing against
+    the pre-merged default graph."""
+    from kgspark import rdfio
+    from kgspark.sparql import store_sparql
+
+    rows = [
+        ("doc://1", "ex:a", "rdfs:label", "alice", "literal", "", ""),
+        ("doc://2", "ex:b", "rdfs:label", "bob", "literal", "", ""),
+        ("doc://2", "ex:a", "rdfs:label", "alice", "literal", "", ""),
+    ]
+    quads = spark.createDataFrame(rows, "g string, " + rdfio.PARSED_DDL)
+    path = str(tmp_path / "store")
+    rdfio.write_nquads_store(quads, path)
+
+    out = store_sparql(
+        spark, path,
+        'SELECT ?g ?x WHERE { GRAPH ?g { ?x rdfs:label "alice" } }',
+    )
+    assert _rows(out) == {("doc://1", "ex:a"), ("doc://2", "ex:a")}
+    # constant-graph form, bracketed IRI
+    out2 = store_sparql(
+        spark, path,
+        "SELECT ?x WHERE { GRAPH <doc://2> { ?x rdfs:label ?l } }",
+    )
+    assert _rows(out2) == {("ex:a",), ("ex:b",)}
