@@ -64,6 +64,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_groupby": Q.kg_sparql_groupby,      # SPARQL GROUP BY agg (r4)
         "kg_sparql_lang": Q.kg_sparql_lang,            # SPARQL LANG() filter (r4)
         "kg_sparql_graph": Q.kg_sparql_graph,          # SPARQL GRAPH clause (r4)
+        "kg_sparql_path_seq": Q.kg_sparql_path_seq,    # sequence path p1/p2 (r5)
+        "kg_sparql_path_star": Q.kg_sparql_path_star,  # zero-or-more path (r5)
+        "kg_sparql_subquery": Q.kg_sparql_subquery,    # { SELECT … } subquery (r5)
+        "kg_sparql_union_nested": Q.kg_sparql_union_nested,  # nested-group UNION (r5)
+        "kg_sparql_avg": Q.kg_sparql_avg,              # AVG sum/count e6 bridge (r5)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -158,6 +163,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_groupby": OS.SPARQL_GROUPBY_SQL,
         "kg_sparql_lang": OS.SPARQL_LANG_SQL,
         "kg_sparql_graph": OS.SPARQL_GRAPH_SQL,
+        "kg_sparql_path_seq": OS.SPARQL_PATH_SEQ_SQL,
+        "kg_sparql_path_star": OS.SPARQL_PATH_STAR_SQL,
+        "kg_sparql_subquery": OS.SPARQL_SUBQUERY_SQL,
+        "kg_sparql_union_nested": OS.SPARQL_UNION_NESTED_SQL,
+        "kg_sparql_avg": OS.SPARQL_AVG_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

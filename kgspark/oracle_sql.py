@@ -1528,3 +1528,80 @@ FROM (
               THEN 1 ELSE 0 END AS new_sess
   FROM events)
 """
+
+
+# r5: SPARQL sequence path ?d ex:mentions/^owl:sameAs/rdfs:label ?l —
+# the path's fresh-variable translation as an explicit join chain; the
+# inverse step joins on the sameAs OBJECT.
+SPARQL_PATH_SEQ_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT DISTINCT m.s AS d, l.o AS l
+FROM tri m
+JOIN tri sa ON sa.o = m.o AND sa.p = 'owl:sameAs'
+JOIN tri l ON l.s = sa.s AND l.p = 'rdfs:label'
+WHERE m.p = 'ex:mentions'
+"""
+
+# r5: SPARQL zero-or-more path ?x owl:sameAs* ?y = directed recursive
+# closure ∪ the zero-length identity over every graph term.
+SPARQL_PATH_STAR_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+sa_dir AS (SELECT s AS a, o AS b FROM tri WHERE p = 'owl:sameAs'),
+sa_reach AS (
+  SELECT a, b FROM sa_dir
+  UNION
+  SELECT r.a, e.b FROM sa_reach r JOIN sa_dir e ON e.a = r.b
+),
+terms AS (SELECT s AS t FROM tri UNION SELECT o FROM tri),
+star AS (
+  SELECT a, b FROM sa_reach
+  UNION
+  SELECT t AS a, t AS b FROM terms
+)
+SELECT DISTINCT c.s AS x, st.b AS y
+FROM tri c
+JOIN star st ON st.a = c.s
+JOIN tri sc ON sc.s = st.b AND sc.p = 'ex:score'
+WHERE c.p = 'rdf:type' AND c.o = 'ex:Commerce'
+"""
+
+# r5: SPARQL subquery — the aggregate computed once, joined back on
+# the shared variable, outer FILTER over the subquery-bound count.
+SPARQL_SUBQUERY_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+cls_counts AS (
+  SELECT o AS t, COUNT(*) AS n FROM tri WHERE p = 'rdf:type' GROUP BY o
+)
+SELECT DISTINCT t1.s AS e, t1.o AS t
+FROM tri t1 JOIN cls_counts c ON c.t = t1.o
+WHERE t1.p = 'rdf:type' AND c.n >= 100
+"""
+
+# r5: nested-group UNION joined with a further pattern.
+SPARQL_UNION_NESTED_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT DISTINCT ty.s AS e, ty.o AS t, u.v
+FROM (
+  SELECT s, o AS v FROM tri WHERE p = 'rdfs:label'
+  UNION ALL
+  SELECT s, o AS v FROM tri WHERE p = 'dc:language'
+) u JOIN tri ty ON ty.s = u.s AND ty.p = 'rdf:type'
+"""
+
+# r5: SPARQL AVG = exact-BIGINT SUM / COUNT divided in DOUBLE — the
+# same two exact integers divide on both engines (IEEE-identical
+# quotient), then the standard floor(1e6·x) BIGINT bridge.
+SPARQL_AVG_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.o AS t,
+       CAST(floor(1e6 * (CAST(SUM(CAST(t2.o AS BIGINT)) AS DOUBLE)
+                         / COUNT(t2.o))) AS BIGINT) AS avg_e6
+FROM tri t1 JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+WHERE t1.p = 'rdf:type'
+GROUP BY t1.o
+"""

@@ -1370,3 +1370,112 @@ def event_sessions(spark, sf_dir):
         )
         .select("user_id", "event_id", "session_id")
     )
+
+
+def kg_sparql_path_seq(spark, sf_dir):
+    """SPARQL sequence property path through the text front-end (r5):
+    ``?d ex:mentions/^owl:sameAs/rdfs:label ?l`` — doc → mentioned
+    source proxy → (INVERSE sameAs) canonical entity → label, in ONE
+    pattern.  The sequence compiles to a chain of equi-joins on the
+    intermediate nodes (the spec's fresh-variable translation,
+    bgp._path_frame) with the inverse step a free column swap;
+    constants stay pushed down, no closure materialization involved."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        "SELECT DISTINCT ?d ?l WHERE "
+        "{ ?d ex:mentions/^owl:sameAs/rdfs:label ?l }",
+    )
+
+
+def kg_sparql_path_star(spark, sf_dir):
+    """SPARQL zero-or-more path (r5): ``?x owl:sameAs* ?y`` — each
+    Commerce entity with every scored node reachable over DIRECTED
+    sameAs edges, incl. itself (ZeroLengthPath).  The star frame is the
+    doubling closure ∪ the identity over all graph terms
+    (bgp._step_frame); the DuckDB oracle re-derives it with a recursive
+    CTE ∪ identity.  Closure materialization rides under the
+    MAX_CLOSURE_PAIRS guard."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT DISTINCT ?x ?y WHERE {
+          ?x rdf:type ex:Commerce .
+          ?x owl:sameAs* ?y .
+          ?y ex:score ?n
+        }
+        """,
+    )
+
+
+def kg_sparql_subquery(spark, sf_dir):
+    """SPARQL subquery (r5): ``{ SELECT … GROUP BY … }`` nested inside
+    the WHERE group — entities whose class has at least 100 instances.
+    The subquery aggregates once (partial+final hash aggregate), joins
+    back on the shared ?t variable, and the outer FILTER references the
+    subquery-bound count."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT DISTINCT ?e ?t WHERE {
+          ?e rdf:type ?t
+          { SELECT ?t (COUNT(*) AS ?n) WHERE { ?x rdf:type ?t } GROUP BY ?t }
+          FILTER(?n >= 100)
+        }
+        """,
+    )
+
+
+def kg_sparql_union_nested(spark, sf_dir):
+    """SPARQL nested-group UNION (r5): ``{ {A} UNION {B} . pattern }``
+    — the union INSIDE a group, joined against a further pattern on the
+    shared variable (round-4 parser only allowed top-level UNION)."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT DISTINCT ?e ?t ?v WHERE {
+          { ?e rdfs:label ?v } UNION { ?e dc:language ?v } .
+          ?e rdf:type ?t
+        }
+        """,
+    )
+
+
+def kg_sparql_avg(spark, sf_dir):
+    """SPARQL AVG through the text front-end (r5; round-4 verdict #6):
+    per-class mean score.  AVG is defined as exact-BIGINT SUM / COUNT
+    divided in DOUBLE — the same two exact integers divide on both
+    engines, so the IEEE-754 quotient is bit-identical; the registry
+    surface bridges it to floor(1e6·x) BIGINT like every float
+    output."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    out = sparql_select(
+        t,
+        """
+        SELECT ?t (AVG(?s) AS ?avg_score)
+        WHERE { ?e rdf:type ?t . ?e ex:score ?s }
+        GROUP BY ?t
+        """,
+    )
+    return out.select(
+        "t",
+        F.floor(F.lit(1e6) * F.col("avg_score")).cast("bigint").alias("avg_e6"),
+    )
