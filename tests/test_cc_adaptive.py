@@ -3,6 +3,7 @@ min-label loop must produce identical labels."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgspark import cc, extract, fixtures, link
@@ -68,3 +69,47 @@ def test_threshold_routing(spark):
         for r in cc.connected_components(edges, nodes, driver_threshold=0).collect()
     }
     assert small == forced == {("a", "a"), ("b", "a"), ("c", "c")}
+
+
+def test_driver_threshold_default_and_env(monkeypatch, spark):
+    """Round-5 (verdict #7): the adaptive switchover defaults to 500k
+    edges (50 MB collected, safe on a shared driver) and the
+    distributed path engages past it — proven by making the driver
+    path explode."""
+    from kgspark import cc as cc_mod
+
+    assert cc_mod.DEFAULT_DRIVER_THRESHOLD == 500_000
+    monkeypatch.setenv("KGSPARK_CC_DRIVER_THRESHOLD", "10")
+    assert cc_mod._driver_threshold_default() == 10
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(20)],
+        "norm_a string, norm_b string",
+    )
+    nodes = (
+        edges.selectExpr("norm_a as node")
+        .union(edges.selectExpr("norm_b as node"))
+        .distinct()
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("driver path used above threshold")
+
+    monkeypatch.setattr(cc_mod, "_driver_union_find", boom)
+    # 20 edges > threshold 10 → distributed path, identical labels
+    labels = {
+        (r["node"], r["label"])
+        for r in cc_mod.connected_components(edges, nodes).collect()
+    }
+    assert all(lab == "v0" for _, lab in labels) and len(labels) == 21
+
+    # ≤ threshold → the driver path IS used (make distributed explode)
+    monkeypatch.setattr(cc_mod, "_driver_union_find", boom)
+    small = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "norm_a string, norm_b string"
+    )
+    small_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "node string"
+    )
+    with pytest.raises(AssertionError, match="driver path"):
+        cc_mod.connected_components(small, small_nodes)

@@ -252,3 +252,87 @@ def test_jsonld_adversarial_literals(spark):
     t = spark.createDataFrame(rows, rdfio.PARSED_DDL)
     got = {tuple(r) for r in rdfio.parse_jsonld(rdfio.to_jsonld(t)).collect()}
     assert got == {tuple(r) for r in rows}
+
+
+def test_replace_graphs_subset_and_concurrent_writers(spark, tmp_path):
+    """Round-5 (verdict #4): graph-replace through the store must (a)
+    replace ONLY the graphs present in the write, and (b) serialize
+    concurrent overlapping writers (writerd semantics) — after
+    interleaved replaces a reader sees exactly one writer's payload per
+    graph, never a torn mix."""
+    import threading
+
+    from kgspark import rdfio
+
+    path = str(tmp_path / "store")
+
+    def quads(rows):
+        return spark.createDataFrame(
+            [(g, s, "rdfs:label", o, "literal", "", "") for g, s, o in rows],
+            "g string, " + rdfio.PARSED_DDL,
+        )
+
+    # seed: three graphs
+    rdfio.write_nquads_store(
+        quads([("doc://1", "ex:a", "seed1"), ("doc://2", "ex:b", "seed2"),
+               ("doc://3", "ex:c", "keep3")]),
+        path,
+    )
+    # subset replace: doc://1 only — doc://2 and doc://3 untouched
+    rdfio.replace_graphs(quads([("doc://1", "ex:a", "v2")]), path)
+    got = {
+        (r["g"], r["o"])
+        for r in rdfio.read_nquads_store(spark, path).collect()
+    }
+    assert got == {("doc://1", "v2"), ("doc://2", "seed2"),
+                   ("doc://3", "keep3")}
+
+    # concurrent overlapping replaces: writer A and B both rewrite
+    # doc://1 and doc://2 with 3-statement payloads, several rounds
+    errs: list[Exception] = []
+
+    def writer(tag: str):
+        try:
+            for i in range(4):
+                payload = quads([
+                    ("doc://1", f"ex:{tag}{i}s{k}", f"{tag}{i}")
+                    for k in range(3)
+                ] + [
+                    ("doc://2", f"ex:{tag}{i}s{k}", f"{tag}{i}")
+                    for k in range(3)
+                ])
+                rdfio.replace_graphs(payload, path)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ta = threading.Thread(target=writer, args=("A",))
+    tb = threading.Thread(target=writer, args=("B",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+
+    final = rdfio.read_nquads_store(spark, path).collect()
+    by_graph: dict[str, set[str]] = {}
+    for r in final:
+        by_graph.setdefault(r["g"], set()).add(r["o"])
+    # untouched graph survives every replace
+    assert by_graph["doc://3"] == {"keep3"}
+    # each rewritten graph holds EXACTLY one writer-round's payload:
+    # 3 statements, all carrying the same tag — no torn mix
+    for g in ("doc://1", "doc://2"):
+        vals = by_graph[g]
+        assert len(vals) == 1, (g, vals)
+        assert next(iter(vals)) in {f"{t}{i}" for t in "AB" for i in range(4)}
+    # the lock file never leaks into the parsed output
+    assert all(r["s"] for r in final)
+
+
+def test_store_write_lock_times_out(tmp_path):
+    from kgspark.rdfio import _StoreWriteLock
+
+    path = str(tmp_path / "store")
+    with _StoreWriteLock(path):
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError):
+            with _StoreWriteLock(path, timeout=0.2):
+                pass
