@@ -123,8 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RDF serialization round-trips (O9-O11 reference parity)
         "rdf_ntriples_roundtrip": Q.rdf_ntriples_roundtrip,
         "rdf_turtle_roundtrip": Q.rdf_turtle_roundtrip,
+        "rdf_turtle_doc_roundtrip": Q.rdf_turtle_doc_roundtrip,  # @prefix doc grammar (r5)
         "rdf_xml_roundtrip": Q.rdf_xml_roundtrip,
         "rdf_jsonld_roundtrip": Q.rdf_jsonld_roundtrip,
+        "rdf_jsonld_expanded_roundtrip": Q.rdf_jsonld_expanded_roundtrip,  # expanded profile (r5)
         "xml_transform": Q.xml_transform,           # O12 XSLT-analogue
         "kg_predicate_counts": Q.kg_predicate_counts,
         # graph-carrying quad round-trips (O11 N-Quads/TriG, r3)
@@ -199,8 +201,10 @@ def oracle_sql() -> dict[str, str]:
             # (lossless including @lang tags and ^^datatypes)
             "rdf_ntriples_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_turtle_roundtrip": OS.TRIPLES_FULL_SQL,
+            "rdf_turtle_doc_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_xml_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_jsonld_roundtrip": OS.TRIPLES_FULL_SQL,
+            "rdf_jsonld_expanded_roundtrip": OS.TRIPLES_FULL_SQL,
             "xml_transform": OS.XML_TRANSFORM_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
             # quad round-trips reproduce the independent QUAD oracle

@@ -1479,3 +1479,54 @@ def kg_sparql_avg(spark, sf_dir):
         "t",
         F.floor(F.lit(1e6) * F.col("avg_score")).cast("bigint").alias("avg_e6"),
     )
+
+
+def rdf_turtle_doc_roundtrip(spark, sf_dir):
+    """Round-5: the DOCUMENT-level Turtle grammar end-to-end — the full
+    triple set serialized by to_turtle, sharded into 16 multi-statement
+    documents each carrying an explicit @prefix header, then re-parsed
+    by the document parser (mapInPandas; @prefix expansion → canonical
+    compaction).  Lossless ⇒ equals the independent triple oracle.
+    Grouping is collect_list per shard — bounded by shard count, all
+    distributed."""
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    header = "".join(
+        f"@prefix {p} <{full}> .\n" for p, full in sorted(rdfio.PREFIXES.items())
+    )
+    docs = (
+        rdfio.to_turtle(t)
+        .withColumn("shard", F.pmod(F.xxhash64("line"), F.lit(16)))
+        .groupBy("shard")
+        .agg(
+            F.concat(
+                F.lit(header), F.concat_ws("\n", F.collect_list("line"))
+            ).alias("text")
+        )
+    )
+    return rdfio.parse_turtle_docs(docs).select(*_TERM_COLS).distinct()
+
+
+def rdf_jsonld_expanded_roundtrip(spark, sf_dir):
+    """Round-5: the JSON-LD EXPANDED-document profile — the NDJSON
+    writer's node objects wrapped into 16 array documents, re-parsed by
+    the expanded-document parser.  Lossless ⇒ equals the triple
+    oracle."""
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    docs = (
+        rdfio.to_jsonld(t)
+        .withColumn("shard", F.pmod(F.xxhash64("line"), F.lit(16)))
+        .groupBy("shard")
+        .agg(
+            F.concat(
+                F.lit("["), F.concat_ws(",\n", F.collect_list("line")),
+                F.lit("]"),
+            ).alias("text")
+        )
+    )
+    return rdfio.parse_jsonld_expanded(docs).select(*_TERM_COLS).distinct()

@@ -343,10 +343,16 @@ def parse_trig(lines: DataFrame) -> DataFrame:
 
 # --- Turtle subset -----------------------------------------------------------
 def _ttl_term(col):
-    """Prefixed name when the value starts with a known prefix, else <iri>."""
+    """Prefixed name when the value starts with a known prefix AND the
+    local part is PN_LOCAL-safe, else <iri>.  Turtle forbids '#', '/',
+    '.' etc. unescaped in a prefixed-name local part — a bare
+    ``ex://entity/x#id`` is illegal Turtle ('#' even starts a comment),
+    so such terms serialize bracketed (round-5 fix; the document parser
+    depends on it)."""
     out = F.concat(F.lit("<"), expand(col), F.lit(">"))
+    safe = col.rlike("^[A-Za-z][A-Za-z0-9]*:[A-Za-z0-9_-]*$")
     for pref in sorted(PREFIXES):
-        out = F.when(col.startswith(pref), col).otherwise(out)
+        out = F.when(col.startswith(pref) & safe, col).otherwise(out)
     return out
 
 
@@ -766,3 +772,338 @@ def jsonld_parse_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def parse_jsonld(lines: DataFrame) -> DataFrame:
     return lines.mapInPandas(jsonld_parse_kernel, schema=PARSED_DDL)
+
+
+# --- document-level Turtle (round-5: real-world grammar subset) --------------
+# The line kernels above cover the fixture grammar (one triple per
+# line, implicit prefix table).  Real-world Turtle is DOCUMENT-shaped:
+# @prefix/@base headers, statements spanning lines, ';' predicate lists
+# and ',' object lists, comments, numeric/boolean shorthand literals.
+# _turtle_doc_triples is the pure per-document parser (raises
+# ValueError on malformed input — fuzz-gated like the SPARQL parser);
+# parse_turtle_docs wraps it in a mapInPandas kernel, one document per
+# row, dropping malformed documents (the quarantine filter runs
+# upstream at scale, same policy as the line kernels).
+#
+# Documented subset exclusions: collections "( )", anonymous bnode
+# property lists "[ ]", triple-quoted strings, and PN_LOCAL dots.
+
+_TTL_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<dt>\^\^)
+    | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<punct>[.;,\[\]()])
+    | (?P<word>[^\s<>"\#.;,\[\]()^]+)
+    """,
+    re.VERBOSE,
+)
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _unescape_str(s: str) -> str:
+    return _UNESCAPE_RE.sub(
+        lambda m: _UNESCAPE_MAP.get(m.group(1), m.group(1)), s
+    )
+
+
+def _compact_iri(iri: str) -> str:
+    for p, full in PREFIXES.items():
+        if iri.startswith(full):
+            return p + iri[len(full):]
+    return iri
+
+
+def _ttl_tokenize(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    i = 0
+    while i < len(text):
+        m = _TTL_TOKEN.match(text, i)
+        if not m or m.end() == m.start():
+            raise ValueError(f"Turtle tokenizer stuck at: {text[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            toks.append((kind, m.group()))
+    return toks
+
+
+def _turtle_doc_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
+    """One Turtle document → [(s, p, o, o_kind, o_lang, o_datatype)].
+    Doc-local @prefix/@base declarations are expanded to full IRIs,
+    then compacted through the fixed PREFIXES table (the repo's
+    canonical compact-IRI convention).  Raises ValueError on any
+    malformed input — never another exception type."""
+    toks = _ttl_tokenize(text)
+    prefixes: dict[str, str] = {}
+    base = ""
+    out: list[tuple[str, str, str, str, str, str]] = []
+    i = 0
+
+    def peek(k: int = 0):
+        j = i + k
+        return toks[j] if j < len(toks) else (None, None)
+
+    def take(expect_kind: str | None = None):
+        nonlocal i
+        if i >= len(toks):
+            raise ValueError("Turtle parse error: unexpected end of document")
+        kind, tok = toks[i]
+        if expect_kind is not None and kind != expect_kind:
+            raise ValueError(
+                f"Turtle parse error: expected {expect_kind}, got {tok!r}"
+            )
+        i += 1
+        return kind, tok
+
+    def resolve_iriref(tok: str) -> str:
+        ref = tok[1:-1]
+        if not _SCHEME_RE.match(ref):
+            ref = base + ref
+        return _compact_iri(ref)
+
+    def resolve_pname(tok: str) -> str:
+        if tok.startswith("_:"):
+            return tok  # blank node label, document-scoped
+        if ":" not in tok:
+            raise ValueError(f"Turtle parse error: bad name {tok!r}")
+        pref, local = tok.split(":", 1)
+        pref += ":"
+        if pref in prefixes:
+            return _compact_iri(prefixes[pref] + local)
+        if pref in PREFIXES:
+            return tok  # already in the canonical compact form
+        raise ValueError(f"Turtle parse error: undeclared prefix {pref!r}")
+
+    def parse_subject() -> str:
+        kind, tok = take()
+        if kind == "iri":
+            return resolve_iriref(tok)
+        if kind == "word":
+            return resolve_pname(tok)
+        raise ValueError(f"Turtle parse error: bad subject {tok!r}")
+
+    def parse_predicate() -> str:
+        kind, tok = take()
+        if kind == "iri":
+            return resolve_iriref(tok)
+        if kind == "word":
+            if tok == "a":
+                return "rdf:type"
+            return resolve_pname(tok)
+        raise ValueError(f"Turtle parse error: bad predicate {tok!r}")
+
+    def parse_object() -> tuple[str, str, str, str]:
+        kind, tok = take()
+        if kind == "iri":
+            return resolve_iriref(tok), "iri", "", ""
+        if kind == "str":
+            val = _unescape_str(tok[1:-1])
+            lang, dtype = "", ""
+            nkind, ntok = peek()
+            if nkind == "word" and ntok.startswith("@"):
+                take()
+                lang = ntok[1:]
+                if not re.fullmatch(r"[A-Za-z][A-Za-z0-9-]*", lang):
+                    raise ValueError(f"Turtle parse error: bad langtag {ntok!r}")
+            elif nkind == "dt":
+                take()
+                dkind, dtok = take()
+                if dkind == "iri":
+                    dtype = resolve_iriref(dtok)
+                elif dkind == "word":
+                    dtype = resolve_pname(dtok)
+                else:
+                    raise ValueError(f"Turtle parse error: bad datatype {dtok!r}")
+            return val, "literal", lang, dtype
+        if kind == "num":
+            dtype = (
+                "xsd:integer" if re.fullmatch(r"[+-]?\d+", tok)
+                else "xsd:double" if "e" in tok.lower()
+                else "xsd:decimal"
+            )
+            return tok, "literal", "", dtype
+        if kind == "word":
+            if tok in ("true", "false"):
+                return tok, "literal", "", "xsd:boolean"
+            return resolve_pname(tok), "iri", "", ""
+        raise ValueError(f"Turtle parse error: bad object {tok!r}")
+
+    while i < len(toks):
+        kind, tok = peek()
+        low = (tok or "").lower()
+        if kind == "word" and low in ("@prefix", "prefix"):
+            take()
+            _, label = take("word")
+            if not label.endswith(":"):
+                raise ValueError(f"Turtle parse error: bad prefix label {label!r}")
+            _, iri = take("iri")
+            prefixes[label] = iri[1:-1]
+            if low == "@prefix":
+                k2, t2 = take()
+                if (k2, t2) != ("punct", "."):
+                    raise ValueError("Turtle parse error: @prefix needs '.'")
+            elif peek() == ("punct", "."):
+                take()
+            continue
+        if kind == "word" and low in ("@base", "base"):
+            take()
+            _, iri = take("iri")
+            base = iri[1:-1]
+            if low == "@base":
+                k2, t2 = take()
+                if (k2, t2) != ("punct", "."):
+                    raise ValueError("Turtle parse error: @base needs '.'")
+            elif peek() == ("punct", "."):
+                take()
+            continue
+        s = parse_subject()
+        while True:  # predicate-object list (';'-separated)
+            p = parse_predicate()
+            while True:  # object list (','-separated)
+                o, okind, lang, dtype = parse_object()
+                out.append((s, p, o, okind, lang, dtype))
+                if peek() == ("punct", ","):
+                    take()
+                    continue
+                break
+            nk, nt = peek()
+            if (nk, nt) == ("punct", ";"):
+                take()
+                # trailing ';' before '.' is legal Turtle
+                if peek() == ("punct", "."):
+                    take()
+                    break
+                continue
+            if (nk, nt) == ("punct", "."):
+                take()
+                break
+            raise ValueError(
+                f"Turtle parse error: expected ';' ',' or '.', got {nt!r}"
+            )
+    return out
+
+
+def parse_turtle_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document-level Turtle parser over one-document-per-row input
+    (e.g. spark.read.text(..., wholetext=True) or a (doc_id, text)
+    frame).  Runs _turtle_doc_triples inside a mapInPandas kernel —
+    Arrow-batched, no driver involvement; malformed documents are
+    DROPPED (quarantine policy, matching the line kernels)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf[text_col].astype("string"):
+                try:
+                    rows.extend(_turtle_doc_triples(text or ""))
+                except ValueError:
+                    continue
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(kernel, schema=PARSED_DDL)
+
+
+# --- JSON-LD expanded-document profile (round-5) -----------------------------
+
+def _jsonld_expanded_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
+    """One JSON-LD document in EXPANDED form (array of node objects;
+    values are arrays of {"@value"|"@id", "@language", "@type"} value
+    objects; nested node objects allowed) → statement list.  Nodes
+    without @id mint document-scoped blank ids.  Raises ValueError on
+    malformed input."""
+    import json
+
+    try:
+        doc = json.loads(text, strict=False)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"JSON-LD parse error: {e}") from e
+    if isinstance(doc, dict):
+        doc = [doc]
+    if not isinstance(doc, list):
+        raise ValueError("JSON-LD expanded document must be an object or array")
+    out: list[tuple[str, str, str, str, str, str]] = []
+    counter = [0]
+
+    def node_id(obj: dict) -> str:
+        nid = obj.get("@id")
+        if nid is None:
+            counter[0] += 1
+            return f"_:b{counter[0]}"
+        if not isinstance(nid, str):
+            raise ValueError(f"JSON-LD parse error: bad @id {nid!r}")
+        return _compact_iri(nid)
+
+    def walk(obj) -> str:
+        if not isinstance(obj, dict):
+            raise ValueError(f"JSON-LD parse error: node must be an object, got {obj!r}")
+        s = node_id(obj)
+        for key, val in obj.items():
+            if key == "@id":
+                continue
+            if key == "@type":
+                types = val if isinstance(val, list) else [val]
+                for t in types:
+                    if not isinstance(t, str):
+                        raise ValueError(f"JSON-LD parse error: bad @type {t!r}")
+                    out.append((s, "rdf:type", _compact_iri(t), "iri", "", ""))
+                continue
+            if key.startswith("@"):
+                raise ValueError(f"JSON-LD parse error: unsupported keyword {key!r}")
+            p = _compact_iri(key)
+            vals = val if isinstance(val, list) else [val]
+            for v in vals:
+                if not isinstance(v, dict):
+                    raise ValueError(
+                        "JSON-LD parse error: expanded form requires value "
+                        f"objects, got {v!r}"
+                    )
+                if "@value" in v:
+                    value = v["@value"]
+                    lang = v.get("@language", "") or ""
+                    dtype = _compact_iri(v.get("@type", "") or "")
+                    if isinstance(value, bool):
+                        value, dtype = ("true" if value else "false"), dtype or "xsd:boolean"
+                    elif isinstance(value, int):
+                        value, dtype = str(value), dtype or "xsd:integer"
+                    elif isinstance(value, float):
+                        value, dtype = repr(value), dtype or "xsd:double"
+                    elif not isinstance(value, str):
+                        raise ValueError(f"JSON-LD parse error: bad @value {value!r}")
+                    out.append((s, p, value, "literal", lang, dtype))
+                elif set(v.keys()) <= {"@id"}:
+                    out.append((s, p, _compact_iri(v["@id"]), "iri", "", ""))
+                else:
+                    # nested node object: link to it, then recurse
+                    child = walk(v)
+                    out.append((s, p, child, "iri", "", ""))
+        return s
+
+    for node in doc:
+        walk(node)
+    return out
+
+
+def parse_jsonld_expanded(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """JSON-LD EXPANDED-document parser (beyond the NDJSON line
+    profile): one whole document per input row, mapInPandas kernel,
+    malformed documents dropped (quarantine policy)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf[text_col].astype("string"):
+                try:
+                    rows.extend(_jsonld_expanded_triples(text or ""))
+                except ValueError:
+                    continue
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(kernel, schema=PARSED_DDL)

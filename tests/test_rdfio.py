@@ -336,3 +336,139 @@ def test_store_write_lock_times_out(tmp_path):
         with _pytest.raises(TimeoutError):
             with _StoreWriteLock(path, timeout=0.2):
                 pass
+
+
+def test_turtle_document_parser_real_world(spark):
+    """Round-5 (verdict #5): @prefix/@base, multiline statements,
+    ';'/',' lists, comments, typed/lang literals, numeric and boolean
+    shorthand — the document-level grammar the line kernel lacks."""
+    from kgspark import rdfio
+
+    doc = """
+    @prefix ex: <http://example.org/kg#> .
+    @prefix dc: <http://purl.org/dc/terms/> .
+    @base <http://example.org/kg#> .
+
+    # a real-world-shaped document
+    ex:a a ex:Person ;
+         <http://www.w3.org/2000/01/rdf-schema#label> "alice"@en ,
+                                                      "alicia"@es ;
+         dc:language "en" ;
+         ex:score 7 ;
+         ex:knows <rel-b> .
+    <http://example.org/kg#b>
+        ex:note "multi\\nline \\"quoted\\""^^ex:Note ;
+        ex:active true .
+    """
+    docs = spark.createDataFrame([(doc,)], "text string")
+    got = {
+        tuple(r)
+        for r in rdfio.parse_turtle_docs(docs).collect()
+    }
+    assert got == {
+        ("ex:a", "rdf:type", "ex:Person", "iri", "", ""),
+        ("ex:a", "rdfs:label", "alice", "literal", "en", ""),
+        ("ex:a", "rdfs:label", "alicia", "literal", "es", ""),
+        ("ex:a", "dc:language", "en", "literal", "", ""),
+        ("ex:a", "ex:score", "7", "literal", "", "xsd:integer"),
+        ("ex:a", "ex:knows", "ex:rel-b", "iri", "", ""),
+        ("ex:b", "ex:note", 'multi\nline "quoted"', "literal", "", "ex:Note"),
+        ("ex:b", "ex:active", "true", "literal", "", "xsd:boolean"),
+    }
+
+
+def test_turtle_document_roundtrip_via_writer(spark, sf_dir):
+    """to_turtle output + an explicit @prefix header parses back to the
+    exact source statement set through the DOCUMENT parser."""
+    from kgspark import pipeline, rdfio
+
+    t = pipeline.run_pipeline_cached(spark, sf_dir).triples.limit(200)
+    lines = [r["line"] for r in rdfio.to_turtle(t).collect()]
+    header = "".join(
+        f"@prefix {p} <{full}> .\n" for p, full in rdfio.PREFIXES.items()
+    )
+    doc = header + "\n".join(lines)
+    docs = spark.createDataFrame([(doc,)], "text string")
+    got = {
+        (r["s"], r["p"], r["o"])
+        for r in rdfio.parse_turtle_docs(docs).collect()
+    }
+    want = {tuple(r) for r in t.select("s", "p", "o").collect()}
+    assert got == want
+
+
+def test_turtle_document_fuzz_value_error_only():
+    """Junk documents raise ValueError (or parse) — never any other
+    exception type (mirrors the SPARQL fuzz gate)."""
+    import random
+
+    from kgspark.rdfio import _turtle_doc_triples
+
+    rng = random.Random(20260817)
+    frags = ["@prefix", "@base", "ex:", "ex:a", "<http://x/y>", "<rel>",
+             '"lit"', '"l\\"it"', "@en", "^^", "xsd:int", "a", ";", ",",
+             ".", "42", "3.14", "true", "_:b1", "#c", "(", ")", "[", "]",
+             "PREFIX", "<", ">", '"open', "\\", "|"]
+    for _ in range(500):
+        doc = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        try:
+            _turtle_doc_triples(doc)
+        except ValueError:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(
+                f"turtle parser crashed on {doc!r}: {type(e).__name__}: {e}"
+            )
+
+
+def test_turtle_docs_kernel_quarantines_malformed(spark):
+    from kgspark import rdfio
+
+    docs = spark.createDataFrame(
+        [("ex:a ex:knows ex:b .",),      # valid (fixed-prefix compact)
+         ("totally not turtle <<<",),    # dropped
+         ("@prefix q: <http://q/> . q:x q:y q:z .",)],
+        "text string",
+    )
+    got = {tuple(r) for r in rdfio.parse_turtle_docs(docs).collect()}
+    assert got == {
+        ("ex:a", "ex:knows", "ex:b", "iri", "", ""),
+        ("http://q/x", "http://q/y", "http://q/z", "iri", "", ""),
+    }
+
+
+def test_jsonld_expanded_documents(spark):
+    """Round-5 (verdict #5): the expanded-document profile — arrays of
+    node objects, value objects, @type lists, typed scalars, nested
+    node objects minting blank ids."""
+    from kgspark import rdfio
+
+    doc = """
+    [
+      {"@id": "http://example.org/kg#a",
+       "@type": ["http://example.org/kg#Person"],
+       "http://www.w3.org/2000/01/rdf-schema#label":
+           [{"@value": "alice", "@language": "en"}],
+       "http://example.org/kg#score": [{"@value": 7}],
+       "http://example.org/kg#knows": [{"@id": "http://example.org/kg#b"}],
+       "http://example.org/kg#address":
+           [{"http://example.org/kg#city": [{"@value": "york"}]}]}
+    ]
+    """
+    docs = spark.createDataFrame([(doc,)], "text string")
+    got = {tuple(r) for r in rdfio.parse_jsonld_expanded(docs).collect()}
+    assert got == {
+        ("ex:a", "rdf:type", "ex:Person", "iri", "", ""),
+        ("ex:a", "rdfs:label", "alice", "literal", "en", ""),
+        ("ex:a", "ex:score", "7", "literal", "", "xsd:integer"),
+        ("ex:a", "ex:knows", "ex:b", "iri", "", ""),
+        ("ex:a", "ex:address", "_:b1", "iri", "", ""),
+        ("_:b1", "ex:city", "york", "literal", "", ""),
+    }
+    # malformed documents quarantine, valid NDJSON-expanded mix still parses
+    bad = spark.createDataFrame(
+        [("{not json",), ('[{"@id": "ex:x", "ex:p": [{"@value": "v"}]}]',)],
+        "text string",
+    )
+    got2 = {tuple(r) for r in rdfio.parse_jsonld_expanded(bad).collect()}
+    assert got2 == {("ex:x", "ex:p", "v", "literal", "", "")}
