@@ -58,6 +58,34 @@ def _scaled_documents(spark, sf_dir: str, rep: int):
     )
 
 
+def _varied_documents(spark, sf_dir: str, rep: int):
+    """documents × rep with DISTINCT content per replica: every token
+    gets a replica-salt prefix, so similarity structure WITHIN a
+    replica is preserved while cross-replica pairs vanish — modeling
+    rep× independent corpus growth.  (Replicating identical bytes —
+    _scaled_documents — is right for the per-document extract pipeline
+    but pathological for similarity joins: an all-duplicates corpus's
+    pair output grows ×rep², a different workload than scale-up.)"""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if rep <= 1:
+        return docs
+    r = F.col("_r").cast("string")
+    salted = F.concat(
+        F.lit("q"), r, F.lit("_"),
+        F.regexp_replace(
+            F.col("text"), F.lit(" "), F.concat(F.lit(" q"), r, F.lit("_"))
+        ),
+    )
+    return (
+        docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r").cast("long") * 1_000_000_000)
+        .withColumn("text", F.when(F.col("_r") == 0, F.col("text")).otherwise(salted))
+        .drop("_r")
+    )
+
+
 def _staged_pipeline(spark, docs_df, emb_df, timings, stages):
     from pyspark.sql import functions as F
 
@@ -252,6 +280,10 @@ def main() -> None:
         print(json.dumps(_scale_child(sf_dir, cpus, rep)))
         return
 
+    if "--stress" in sys.argv:
+        print(json.dumps(_stress(sf_dir, cpus)))
+        return
+
     res = _run_bench(sf_dir, cpus, rep=1)
     # Full detail (per-stage rows/sec dicts) on an EARLIER line; the
     # LAST line is a compact summary the driver's stdout tail window is
@@ -304,6 +336,71 @@ def _scale_child(sf_dir: str, cpus: int, rep: int) -> dict:
         "replication": rep,
         "n_triples": n,
         "triples_per_sec": round(n / dt, 1),
+    }
+
+
+def _stress(sf_dir: str, cpus: int) -> dict:
+    """Scale-stress one notch up (round-4 verdict #8): the headline
+    extract pipeline at ×1 vs ×REP identical-content replication
+    (per-document work — the 100 TB-dominant term), and the dedup/text
+    family at ×1 vs ×REP content-VARIED replication (independent-corpus
+    growth; see _varied_documents).  REP defaults to 10 — sf0.1×10 ≈
+    sf1-equivalent.  Reports per-stage times at both levels and the
+    time ratio; on a fixed-size machine linear data scaling is ratio ≈
+    REP, so a stage is flagged when ratio > 2·REP (a skew/memory cliff
+    the sf0.1 numbers hide)."""
+    from kgspark.session import get_spark
+    from kgspark import dedup as D
+    from kgspark import textstats as TS
+
+    rep = int(os.environ.get("SPARK_GRAFT_STRESS_REP", "10"))
+    spark = get_spark(app_name="kgspark-stress", master=f"local[{cpus}]")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # JVM/codegen warm-up: one untimed ×1 pass so the ×1 sample is not
+    # paying first-job compilation that the ×rep sample amortizes
+    _staged_pipeline(spark, _scaled_documents(spark, sf_dir, 1), emb, {}, {})
+    levels: dict[str, dict] = {}
+    for r in (1, rep):
+        timings: dict[str, float] = {}
+        stages: dict[str, dict] = {}
+        docs = _scaled_documents(spark, sf_dir, r)
+        _staged_pipeline(spark, docs, emb, timings, stages)
+
+        vd = _varied_documents(spark, sf_dir, r).localCheckpoint(eager=True)
+
+        def timed(name, fn):
+            t0 = time.time()
+            n = fn()
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            stages[name] = {"rows": n, "sec": dt}
+
+        timed("dedup_minhash_pairs", lambda: D.minhash_lsh_pairs(vd).count())
+        timed("dedup_simhash_pairs", lambda: D.simhash_pairs(vd).count())
+        timed("ngram_jaccard_pairs", lambda: D.ngram_jaccard_pairs(vd).count())
+        timed("langid", lambda: TS.langid(spark, vd).count())
+        levels[f"x{r}"] = {"timings": timings, "stages": stages}
+    t1 = levels["x1"]["timings"]
+    t10 = levels[f"x{rep}"]["timings"]
+    ratios = {
+        k: round(t10[k] / t1[k], 2)
+        for k in t1
+        if k in t10 and t1[k] > 0 and k not in ("doc_parallel_sec",)
+    }
+    flagged = [k for k, v in ratios.items() if v > 2 * rep]
+    return {
+        "metric": f"stress_x{rep}",
+        "value": t10["kg_pipeline_e2e"],
+        "unit": "sec",
+        "sf": sf_dir,
+        "cpus": cpus,
+        "replication": rep,
+        "ratios_vs_x1": ratios,
+        "linear_ratio": rep,
+        "flagged_over_2x_linear": flagged,
+        "x1": t1,
+        f"x{rep}": t10,
+        "stages": levels[f"x{rep}"]["stages"],
     }
 
 

@@ -4,7 +4,12 @@ DuckDB at a given sf_dir; compare row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified).
 
-Usage:  python tests/compare.py [sf_dir] [query ...]
+Usage:  python tests/compare.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the per-query results are also written in the driver's
+CORRECTNESS_r{N}.json schema ({rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}) — the committed full-replica artifact
+(round-4 verdict #2).
 """
 
 from __future__ import annotations
@@ -33,8 +38,14 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as E
     from kgspark.session import get_spark
@@ -57,6 +68,14 @@ def main() -> int:
             t_spark = time.time() - t0
             t0 = time.time()
             if name not in osql:
+                results[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(sdf),
+                    "oracle_rows": None,
+                    "err": None,
+                }
                 print(f"{name:35s} rows-only: {len(sdf)} rows  spark={t_spark:.1f}s")
                 continue
             odf = con.execute(osql[name]).df()
@@ -64,6 +83,14 @@ def main() -> int:
             sn, sc, sh = canon(sdf)
             on, oc, oh = canon(odf)
             ok = (sn, sc, sh) == (on, oc, oh)
+            results[name] = {
+                "rows_match": sn == on,
+                "schema_match": sc == oc,
+                "hash_match": sh == oh,
+                "spark_rows": sn,
+                "oracle_rows": on,
+                "err": None,
+            }
             status = "OK " if ok else "FAIL"
             print(
                 f"{name:35s} {status} rows {sn}/{on} spark={t_spark:.1f}s "
@@ -81,8 +108,22 @@ def main() -> int:
                         print("   duck :", b)
         except Exception as e:  # noqa: BLE001
             failures += 1
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:200]}",
+            }
             print(f"{name:35s} ERROR {type(e).__name__}: {str(e)[:200]}")
     print("failures:", failures)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
