@@ -354,6 +354,12 @@ def _stress(sf_dir: str, cpus: int) -> dict:
     from kgspark import textstats as TS
 
     rep = int(os.environ.get("SPARK_GRAFT_STRESS_REP", "10"))
+    # local mode runs everything in ONE JVM: the ×REP working set
+    # (replicated spans + lazy localCheckpoint blocks) needs a heap
+    # sized for it — the default 8g GCLocker-thrashes at ×10/32 threads
+    # (measured; the first stress finding).  On a real cluster this is
+    # ordinary per-executor memory, not driver memory.
+    os.environ.setdefault("KGSPARK_DRIVER_MEM", "48g")
     spark = get_spark(app_name="kgspark-stress", master=f"local[{cpus}]")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # JVM/codegen warm-up: one untimed ×1 pass so the ×1 sample is not

@@ -154,11 +154,16 @@ def _parse_path(p_term: str):
     ValueError on malformed path syntax."""
     if p_term.startswith("?") or "://" in p_term:
         return None
-    if not any(ch in p_term for ch in "/^|()*+?"):
+    if not any(ch in p_term for ch in "/^|()*+?!"):
         return None
-    steps: list[tuple[list[tuple[str, bool]], str]] = []
+    steps: list[tuple[list[tuple[str, bool]], str, bool]] = []
     i, n = 0, len(p_term)
     while i < n:
+        neg = p_term[i] == "!"
+        if neg:
+            i += 1
+            if i >= n:
+                raise ValueError(f"dangling '!' in property path {p_term!r}")
         if p_term[i] == "(":
             j = p_term.find(")", i)
             if j < 0:
@@ -167,7 +172,7 @@ def _parse_path(p_term: str):
             i = j + 1
         else:
             j = i
-            while j < n and p_term[j] not in "/+*?()":
+            while j < n and p_term[j] not in "/+*?()!":
                 j += 1
             alts = [p_term[i:j]]
             i = j
@@ -175,16 +180,20 @@ def _parse_path(p_term: str):
         if i < n and p_term[i] in "+*?":
             mod = p_term[i]
             i += 1
+        if neg and mod:
+            raise ValueError(
+                f"closure over a negated property set is not supported: {p_term!r}"
+            )
         atoms: list[tuple[str, bool]] = []
         for a in alts:
             a = a.strip()
             inv = a.startswith("^")
             if inv:
                 a = a[1:]
-            if not a or any(ch in a for ch in "/^|()*+?"):
+            if not a or any(ch in a for ch in "/^|()*+?!"):
                 raise ValueError(f"bad property-path atom in {p_term!r}")
             atoms.append((a, inv))
-        steps.append((atoms, mod))
+        steps.append((atoms, mod, neg))
         if i < n:
             if p_term[i] != "/":
                 raise ValueError(f"bad property path {p_term!r}")
@@ -231,7 +240,39 @@ def _step_edges(triples: DataFrame, atoms) -> DataFrame:
     return out.distinct() if len(frames) > 1 else out
 
 
-def _step_frame(triples, atoms, mod, consts, max_pairs) -> DataFrame:
+def _neg_step_edges(triples: DataFrame, atoms) -> DataFrame:
+    """Negated property set !(p1|…|^q1|…): forward edges whose predicate
+    is outside the forward exclusion set (present iff the set names any
+    forward atom), unioned with inverse edges outside the inverse
+    exclusion set (iff any ^atom) — SPARQL 1.1 NPS semantics.  The
+    NOT-IN predicate still prunes at the scan (an isin filter)."""
+    fwd = [a for a, inv in atoms if not inv]
+    rev = [a for a, inv in atoms if inv]
+    frames = []
+    if fwd:
+        frames.append(
+            triples.filter(~F.col("p").isin(fwd)).select(
+                F.col("s").alias("src"), F.col("o").alias("dst")
+            )
+        )
+    if rev:
+        frames.append(
+            triples.filter(~F.col("p").isin(rev)).select(
+                F.col("o").alias("src"), F.col("s").alias("dst")
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct() if len(frames) > 1 else out
+
+
+def _step_frame(triples, atoms, mod, consts, max_pairs, neg=False) -> DataFrame:
+    if neg:
+        edges = _neg_step_edges(triples, atoms)
+        if mod == "?":
+            return edges.unionByName(_identity_pairs(triples, consts)).distinct()
+        return edges
     if mod in ("+", "*"):
         preds = {a for a, _ in atoms}
         if (
@@ -265,8 +306,8 @@ def _path_frame(triples, steps, consts, max_pairs) -> DataFrame:
     fresh-variable translation); closures are set-semantics per SPARQL
     ArbitraryLengthPath."""
     out = None
-    for atoms, mod in steps:
-        f = _step_frame(triples, atoms, mod, consts, max_pairs)
+    for atoms, mod, neg in steps:
+        f = _step_frame(triples, atoms, mod, consts, max_pairs, neg=neg)
         if out is None:
             out = f
         else:
@@ -430,6 +471,19 @@ def _apply_group_ops(
             bound = bound.join(F.broadcast(vdf), shared)
         else:
             bound = bound.crossJoin(F.broadcast(vdf))
+    # OPTIONAL before BIND/FILTER: SPARQL applies group FILTERs over the
+    # WHOLE group, so BOUND(?y)/COALESCE(?y, …) must see OPTIONAL-bound
+    # variables (NULL when unmatched) — round-5 ordering fix.
+    for group in optionals or []:
+        g = _conjunction(
+            triples, group, allow_product=allow_product, max_pairs=max_pairs
+        )
+        if all(c.startswith("_exists_") for c in g.columns):
+            continue  # OPTIONAL {constant-only} binds nothing — no-op
+        shared = [c for c in g.columns if c in bound.columns]
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable with the BGP")
+        bound = bound.join(g, shared, "left")
     for expr, var in binds or []:
         if var in bound.columns:
             raise ValueError(f"BIND target ?{var} is already bound")
@@ -480,16 +534,6 @@ def _apply_group_ops(
         if shared:
             bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
         # else: disjoint-domain MINUS is a no-op by spec
-    for group in optionals or []:
-        g = _conjunction(
-            triples, group, allow_product=allow_product, max_pairs=max_pairs
-        )
-        if all(c.startswith("_exists_") for c in g.columns):
-            continue  # OPTIONAL {constant-only} binds nothing — no-op
-        shared = [c for c in g.columns if c in bound.columns]
-        if not shared:
-            raise ValueError("OPTIONAL group shares no variable with the BGP")
-        bound = bound.join(g, shared, "left")
     return bound
 
 

@@ -130,7 +130,11 @@ def _take_path_term(p: _P) -> str:
         return f"({inner})"
 
     t = p.take()
-    out = group() if t == "(" else t
+    neg = ""
+    if t == "!":  # negated property set !p / !(p|^q)
+        neg = "!"
+        t = p.take()
+    out = neg + (group() if t == "(" else t)
     while True:
         nxt = p.peek()
         if nxt in ("*", "+", "?"):
@@ -262,6 +266,49 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
             a = _arg_sql(p)
             p.expect(")")
             parts.append(f"{fn}({a})")
+        elif up == "BOUND":
+            # BOUND(?v): true iff the OPTIONAL-bound variable is non-NULL
+            p.expect("(")
+            var = _var(p.take(), "BOUND argument (a variable)")
+            p.expect(")")
+            parts.append(f"({var} IS NOT NULL)")
+        elif up == "COALESCE":
+            p.expect("(")
+            args = [_arg_sql(p)]
+            while p.peek() == ",":
+                p.take()
+                args.append(_arg_sql(p))
+            p.expect(")")
+            parts.append(f"coalesce({', '.join(args)})")
+        elif up == "REPLACE":
+            # REPLACE(?v, "pat", "rep") — regex replace, quote-escaped
+            p.expect("(")
+            a = _arg_sql(p)
+            p.expect(",")
+            pat = _term(p.take()).replace("'", "''")
+            p.expect(",")
+            rep = _term(p.take()).replace("'", "''")
+            p.expect(")")
+            parts.append(f"regexp_replace({a}, '{pat}', '{rep}')")
+        elif up in ("STRBEFORE", "STRAFTER"):
+            # SPARQL returns "" (not the whole string) when the
+            # delimiter is absent — hence the instr() guard
+            p.expect("(")
+            a = _arg_sql(p)
+            p.expect(",")
+            b = _arg_sql(p)
+            p.expect(")")
+            if up == "STRBEFORE":
+                parts.append(
+                    f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, 1, instr({a}, {b}) - 1) ELSE '' END)"
+                )
+            else:
+                parts.append(
+                    f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, instr({a}, {b}) + length({b})) "
+                    f"ELSE '' END)"
+                )
         elif t.startswith("?"):
             parts.append(_var(t))
         elif t.startswith('"'):

@@ -625,3 +625,66 @@ def test_store_sparql_graph_clause_on_store_surface(spark, tmp_path):
         "SELECT ?x WHERE { GRAPH <doc://2> { ?x rdfs:label ?l } }",
     )
     assert _rows(out2) == {("ex:a",), ("ex:b",)}
+
+
+# ---- round-5: extra FILTER functions + negated property sets ----
+
+def test_bound_with_optional(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } FILTER(!BOUND(?y)) }",
+    )
+    assert _rows(out) == {("ex:b",)}
+    out2 = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } FILTER(BOUND(?y)) }",
+    )
+    assert _rows(out2) == {("ex:a",)}
+
+
+def test_coalesce_and_replace(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?v WHERE { ?x rdf:type ex:Person . "
+        'OPTIONAL { ?x ex:knows ?y } BIND(COALESCE(?y, "none") AS ?v) }',
+    )
+    assert _rows(out) == {("ex:a", "ex:b"), ("ex:b", "none")}
+    out2 = sparql_select(
+        tri,
+        "SELECT ?r WHERE { ?x rdfs:label ?l . "
+        'BIND(REPLACE(?l, "a", "o") AS ?r) FILTER(?l = "carl") }',
+    )
+    assert _rows(out2) == {("corl",)}
+
+
+def test_strbefore_strafter(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?b ?a WHERE { ex:a rdfs:label ?l . "
+        'BIND(STRBEFORE(?l, "li") AS ?b) BIND(STRAFTER(?l, "li") AS ?a) }',
+    )
+    assert _rows(out) == {("a", "ce")}
+    # absent delimiter → "" on both (SPARQL), not the whole string
+    out2 = sparql_select(
+        tri,
+        "SELECT ?b ?a WHERE { ex:a rdfs:label ?l . "
+        'BIND(STRBEFORE(?l, "zz") AS ?b) BIND(STRAFTER(?l, "zz") AS ?a) }',
+    )
+    assert _rows(out2) == {("", "")}
+
+
+def test_negated_property_set(tri):
+    # everything about ex:a except its label
+    out = sparql_select(tri, "SELECT ?o WHERE { ex:a !rdfs:label ?o }")
+    assert _rows(out) == {("ex:Person",), ("7",), ("ex:b",)}
+    # negated set with an inverse member: forward non-knows edges plus
+    # inverse non-score edges reaching ex:b
+    out2 = sparql_select(
+        tri, "SELECT ?o WHERE { ex:b !(ex:score|^ex:knows) ?o }"
+    )
+    assert _rows(out2) == {("ex:Person",), ("bob",)}
+    # closure over a negated set is rejected
+    with pytest.raises(ValueError, match="negated"):
+        sparql_select(tri, "SELECT ?o WHERE { ex:a !rdfs:label+ ?o }").collect()
