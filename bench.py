@@ -68,20 +68,30 @@ def _varied_documents(spark, sf_dir: str, rep: int):
     pair output grows ×rep², a different workload than scale-up.)"""
     from pyspark.sql import functions as F
 
+    import string
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if rep <= 1:
         return docs
-    r = F.col("_r").cast("string")
-    salted = F.concat(
-        F.lit("q"), r, F.lit("_"),
-        F.regexp_replace(
-            F.col("text"), F.lit(" "), F.concat(F.lit(" q"), r, F.lit("_"))
-        ),
-    )
+    # Per-replica CAESAR ROTATION of the alphabet — a bijection on
+    # characters, so every replica has exactly the original's token
+    # diversity, length structure, and within-replica similarity graph,
+    # while token codes are disjoint across replicas.  (A constant
+    # multi-char token prefix instead COLLAPSES the engine's
+    # first-two-chars tokcode space per replica and turns the
+    # similarity joins into an artificial near-all-pairs corpus —
+    # measured ×80 wall before this fix.)
+    alpha = string.ascii_lowercase
+    salted = F.col("text")
+    for r in range(1, min(rep, 26)):
+        rot = alpha[r:] + alpha[:r]
+        salted = F.when(
+            F.col("_r") % 26 == r, F.translate(F.col("text"), alpha, rot)
+        ).otherwise(salted)
     return (
         docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
         .withColumn("doc_id", F.col("doc_id") + F.col("_r").cast("long") * 1_000_000_000)
-        .withColumn("text", F.when(F.col("_r") == 0, F.col("text")).otherwise(salted))
+        .withColumn("text", salted)
         .drop("_r")
     )
 

@@ -329,11 +329,18 @@ def setsim_pairs(
        a set, so one joined row per shared code; the groupBy gets
        map-side partial aggregation, collapsing pair multiplicity
        before the shuffle;
-    5. double-sided deterministic salting spreads a hot code's
-       pair-space over salt² tasks (per-KEY output skew is invisible
-       to AQE); ``block_cap`` drops codes hotter than the cap (exact
-       on fixtures — the cap never triggers — and the standard
-       web-scale guard when it does).
+    5. HYBRID skew handling (round-5): double-sided deterministic
+       salting spreads a hot code's pair-space over salt² tasks
+       (per-KEY output skew is invisible to AQE) — but salting every
+       row taxes the shuffle ×salt on both sides, which turned
+       superlinear at the ×10 stress level (spill).  So only codes
+       with df > ``hot_threshold`` take the salt² path; the cold tail
+       (virtually all codes) joins unsalted, and both paths union
+       BEFORE the per-pair count aggregate, so a pair sharing hot and
+       cold codes still counts every shared code exactly once.
+       ``block_cap`` drops codes hotter than the cap (exact on
+       fixtures — the cap never triggers — and the standard web-scale
+       guard when it does).
     """
     coded = items.select(
         F.col(id_col).alias("_id"), F.array_sort(set_col).alias("codes")
@@ -357,39 +364,56 @@ def setsim_pairs(
 
     # (B) cross-group pairs via the slim count join
     inv = groups.select("gid", "len", F.explode("codes").alias("tok"))
+    w_cnt = F.count("*").over(Window.partitionBy("tok"))
+    inv = inv.withColumn("_df", w_cnt)
     if block_cap is not None:
-        w_cnt = F.count("*").over(Window.partitionBy("tok"))
-        inv = inv.withColumn("_bc", w_cnt).filter(F.col("_bc") <= block_cap).drop("_bc")
+        inv = inv.filter(F.col("_df") <= block_cap)
+    hot_threshold = salt * 64
 
-    skey = F.pmod(F.xxhash64("gid"), F.lit(salt))
-    a = (
-        inv.withColumn("sa", skey)
-        .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        .alias("a")
+    pair_filter = (F.col("a.gid") < F.col("b.gid")) & (
+        F.least(F.col("a.len"), F.col("b.len")).cast("double")
+        >= F.lit(tau) * F.greatest(F.col("a.len"), F.col("b.len"))
     )
-    b = (
-        inv.withColumn("sb", skey)
-        .withColumn("sa", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        .alias("b")
-    )
-    joined = a.join(
-        b,
-        (F.col("a.tok") == F.col("b.tok"))
-        & (F.col("a.sa") == F.col("b.sa"))
-        & (F.col("a.sb") == F.col("b.sb"))
-        & (F.col("a.gid") < F.col("b.gid"))
-        & (
-            F.least(F.col("a.len"), F.col("b.len")).cast("double")
-            >= F.lit(tau) * F.greatest(F.col("a.len"), F.col("b.len"))
-        ),
-    )
-    gid_pairs = (
-        joined.groupBy(
+
+    def project(joined):
+        return joined.select(
             F.col("a.gid").alias("gid_a"),
             F.col("b.gid").alias("gid_b"),
             F.col("a.len").alias("len_a"),
             F.col("b.len").alias("len_b"),
         )
+
+    cold = inv.filter(F.col("_df") <= hot_threshold).drop("_df")
+    joined = project(
+        cold.alias("a").join(
+            cold.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & pair_filter,
+        )
+    )
+    hot = inv.filter(F.col("_df") > hot_threshold).drop("_df")
+    skey = F.pmod(F.xxhash64("gid"), F.lit(salt))
+    a = (
+        hot.withColumn("sa", skey)
+        .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .alias("a")
+    )
+    b = (
+        hot.withColumn("sb", skey)
+        .withColumn("sa", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .alias("b")
+    )
+    joined_hot = project(
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sa") == F.col("b.sa"))
+            & (F.col("a.sb") == F.col("b.sb"))
+            & pair_filter,
+        )
+    )
+    gid_pairs = (
+        joined.unionByName(joined_hot)
+        .groupBy("gid_a", "gid_b", "len_a", "len_b")
         .agg(F.count("*").alias("shared"))
         .withColumn(
             "jaccard",
