@@ -401,30 +401,24 @@ def _parse_group(p: _P) -> dict:
         elif up == "MINUS":
             # tracked apart from FILTER NOT EXISTS: a MINUS group whose
             # domain is disjoint from the outer bindings removes
-            # NOTHING (spec 8.3), where NOT EXISTS would anti-gate
+            # NOTHING (spec 8.3), where NOT EXISTS would anti-gate.
+            # The body is a FULL group graph pattern (may itself carry
+            # FILTER/OPTIONAL/nested groups — round-5).
             p.take()
-            p.expect("{")
-            minus.append(_parse_patterns(p))
-            p.expect("}")
+            minus.append(_parse_group(p))
         elif up == "OPTIONAL":
             p.take()
-            p.expect("{")
-            optionals.append(_parse_patterns(p))
-            p.expect("}")
+            optionals.append(_parse_group(p))
         elif up == "FILTER":
             p.take()
             nxt = (p.peek() or "").upper()
             if nxt == "NOT":
                 p.take()
                 p.expect("EXISTS")
-                p.expect("{")
-                anti.append(_parse_patterns(p))
-                p.expect("}")
+                anti.append(_parse_group(p))
             elif nxt == "EXISTS":
                 p.take()
-                p.expect("{")
-                exists.append(_parse_patterns(p))
-                p.expect("}")
+                exists.append(_parse_group(p))
             else:
                 filters.append(_expr_to_sql(p))
         else:
@@ -563,16 +557,34 @@ def parse_sparql(q: str) -> dict:
     return _parse_select_body(_P(_tokenize(q)))
 
 
+def _is_gate_frame(df: DataFrame) -> bool:
+    """A frame carrying no variables — a constant-only group reduced to
+    its 0/1-row existence gate (column ``matched``)."""
+    return all(
+        c == "matched" or c.startswith("_exists_") for c in df.columns
+    )
+
+
+def _shared_vars(bound: DataFrame, g: DataFrame) -> list[str]:
+    return [
+        c for c in g.columns
+        if c in bound.columns
+        and c != "matched"
+        and not c.startswith(("_exists_", "__lang_"))
+    ]
+
+
 def _eval_group(
     triples: DataFrame, g: dict, allow_product: bool = False
 ) -> DataFrame:
     """Evaluate one group spec (from _parse_group) — the recursive
     heart of the front-end: the flat pattern conjunction, nested
     subgroup/UNION frames and ``{ SELECT … }`` subquery frames are
-    joined on their shared variables, then the group-level operators
-    (VALUES/BIND/FILTER/EXISTS/NOT-EXISTS/MINUS/OPTIONAL) apply via
-    the same machinery bgp_match uses (bgp._apply_group_ops)."""
-    from .bgp import _apply_group_ops, _conjunction, union_pad_frames
+    joined on their shared variables; then the group-level operators
+    apply in SPARQL order — VALUES, OPTIONAL (whose bodies are FULL
+    group specs, so they may carry their own FILTER/OPTIONAL/nested
+    groups — round-5), BIND, FILTER, EXISTS, NOT EXISTS, MINUS."""
+    from .bgp import _conjunction, union_pad_frames
 
     patterns = g.get("patterns") or []
     bound = (
@@ -612,13 +624,58 @@ def _eval_group(
         raise ValueError("empty SPARQL group")
     if all(c.startswith("_exists_") for c in bound.columns):
         bound = bound.select(F.lit(True).alias("matched"))
-    bound = _apply_group_ops(
-        triples, bound,
-        optionals=g.get("optionals"), anti=g.get("anti"),
-        minus=g.get("minus"), exists=g.get("exists"),
-        filters=g.get("filters"), values=g.get("values"),
-        binds=g.get("binds"), allow_product=allow_product,
-    )
+
+    spark = triples.sparkSession
+    for varnames, rows in g.get("values") or []:
+        # inline solution-mapping table: query TEXT, config-sized —
+        # broadcast join (product when no variable is shared, per spec)
+        vdf = spark.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in varnames)
+        ).distinct()
+        shared = [c for c in vdf.columns if c in bound.columns]
+        if shared:
+            bound = bound.join(F.broadcast(vdf), shared)
+        else:
+            bound = bound.crossJoin(F.broadcast(vdf))
+    for og in g.get("optionals") or []:
+        gdf = _eval_group(triples, og, allow_product)
+        if _is_gate_frame(gdf):
+            continue  # OPTIONAL {constant-only} binds nothing — no-op
+        shared = _shared_vars(bound, gdf)
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable with the BGP")
+        bound = bound.join(gdf, shared, "left")
+    for expr, var in g.get("binds") or []:
+        if var in bound.columns:
+            raise ValueError(f"BIND target ?{var} is already bound")
+        bound = bound.withColumn(var, F.expr(expr))
+    for f in g.get("filters") or []:
+        bound = bound.filter(F.expr(f))
+    for eg in g.get("exists") or []:
+        gdf = _eval_group(triples, eg, allow_product)
+        shared = _shared_vars(bound, gdf)
+        if shared:
+            bound = bound.join(gdf.select(*shared).distinct(), shared, "left_semi")
+        elif _is_gate_frame(gdf):
+            bound = bound.join(gdf, F.lit(True), "left_semi")
+        else:
+            raise ValueError("EXISTS group shares no variable with the BGP")
+    for ag in g.get("anti") or []:
+        gdf = _eval_group(triples, ag, allow_product)
+        shared = _shared_vars(bound, gdf)
+        if shared:
+            bound = bound.join(gdf.select(*shared).distinct(), shared, "left_anti")
+        elif _is_gate_frame(gdf):
+            # constant-only NOT EXISTS: empties iff the gate matched
+            bound = bound.join(gdf, F.lit(True), "left_anti")
+        else:
+            raise ValueError("NOT-EXISTS group shares no variable with the BGP")
+    for mg in g.get("minus") or []:
+        gdf = _eval_group(triples, mg, allow_product)
+        shared = _shared_vars(bound, gdf)
+        if shared:
+            bound = bound.join(gdf.select(*shared).distinct(), shared, "left_anti")
+        # else: disjoint-domain MINUS removes nothing (spec 8.3)
     hidden = [c for c in bound.columns if c.startswith("__lang_")]
     return bound.drop(*hidden) if hidden else bound
 

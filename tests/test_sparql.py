@@ -688,3 +688,43 @@ def test_negated_property_set(tri):
     # closure over a negated set is rejected
     with pytest.raises(ValueError, match="negated"):
         sparql_select(tri, "SELECT ?o WHERE { ex:a !rdfs:label+ ?o }").collect()
+
+
+# ---- round-5: FULL group bodies inside OPTIONAL / EXISTS / MINUS ----
+
+def test_optional_body_with_filter(tri):
+    # the FILTER belongs to the OPTIONAL group: non-matching rows stay
+    # (with NULL), they are not removed from the outer solution
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?n WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:score ?n FILTER(xsd:integer(?n) > 5) } }",
+    )
+    assert _rows(out) == {("ex:a", "7"), ("ex:b", None)}
+
+
+def test_not_exists_body_with_filter(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x rdf:type ?t . "
+        "FILTER NOT EXISTS { ?x ex:score ?n FILTER(xsd:integer(?n) > 10) } }",
+    )
+    assert _rows(out) == {("ex:a",), ("ex:b",)}
+
+
+def test_minus_body_with_filter(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x ex:score ?n . "
+        "MINUS { ?x rdfs:label ?l FILTER(STRSTARTS(?l, \"a\")) } }",
+    )
+    assert _rows(out) == {("ex:b",), ("ex:c",)}
+
+
+def test_optional_body_with_nested_union(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?v WHERE { ?x ex:score ?n . "
+        "OPTIONAL { { ?x ex:knows ?v } UNION { ?x ex:missing ?v } } }",
+    )
+    assert _rows(out) == {("ex:a", "ex:b"), ("ex:b", None), ("ex:c", None)}
