@@ -375,11 +375,15 @@ def _pattern_frame(
                 seen_in_pattern[var] = col
                 proj.append(F.col(col).alias(var))
                 if col == "o" and "o_lang" in t.columns:
-                    # full-term input: ride the language tag of an
-                    # OBJECT binding along as a hidden column so
-                    # FILTER(LANG(?v)) can see it (dropped from the
-                    # final output by bgp_match)
+                    # full-term input: ride the language tag and
+                    # datatype of an OBJECT binding along as hidden
+                    # columns so FILTER(LANG(?v)) / DATATYPE(?v) can
+                    # see them (dropped from the final output)
                     proj.append(F.col("o_lang").alias(f"__lang_{var}"))
+                    if "o_datatype" in t.columns:
+                        proj.append(
+                            F.col("o_datatype").alias(f"__dt_{var}")
+                        )
         else:
             t = t.filter(F.col(col) == term)
     if proj:
@@ -404,13 +408,13 @@ def _conjunction(
         shared = [
             c for c in t.columns
             if c in bound.columns
-            and not c.startswith(("_exists_", "__lang_"))
+            and not c.startswith(("_exists_", "__lang_", "__dt_"))
         ]
         # a re-binding of an object variable would duplicate its hidden
         # lang column across the join — drop the newcomer's copy
         dup_lang = [
             c for c in t.columns
-            if c.startswith("__lang_") and c in bound.columns
+            if c.startswith(("__lang_", "__dt_")) and c in bound.columns
         ]
         if dup_lang:
             t = t.drop(*dup_lang)
@@ -529,7 +533,7 @@ def _apply_group_ops(
         shared = [
             c for c in g.columns
             if c in bound.columns
-            and not c.startswith(("_exists_", "__lang_"))
+            and not c.startswith(("_exists_", "__lang_", "__dt_"))
         ]
         if shared:
             bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
@@ -625,7 +629,7 @@ def bgp_match(
         filters=filters, values=values, binds=binds,
         allow_product=allow_product, max_pairs=max_closure_pairs,
     )
-    hidden = [c for c in bound.columns if c.startswith("__lang_")]
+    hidden = [c for c in bound.columns if c.startswith(("__lang_", "__dt_"))]
     if hidden:
         bound = bound.drop(*hidden)
     if select is not None:

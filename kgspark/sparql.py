@@ -246,6 +246,15 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
             var = _var(p.take(), "LANG argument (a variable)")
             p.expect(")")
             parts.append(f"coalesce(__lang_{var}, '')")
+        elif up == "DATATYPE":
+            # DATATYPE(?v) → the hidden datatype column of a full-term
+            # OBJECT binding ('' when untyped — subset semantics: the
+            # implicit xsd:string/rdf:langString of the spec is not
+            # materialized)
+            p.expect("(")
+            var = _var(p.take(), "DATATYPE argument (a variable)")
+            p.expect(")")
+            parts.append(f"coalesce(__dt_{var}, '')")
         elif up in ("XSD:INTEGER", "XSD:INT"):
             p.expect("(")
             var = _var(p.take(), f"{up.lower()} argument (a variable)")
@@ -570,7 +579,7 @@ def _shared_vars(bound: DataFrame, g: DataFrame) -> list[str]:
         c for c in g.columns
         if c in bound.columns
         and c != "matched"
-        and not c.startswith(("_exists_", "__lang_"))
+        and not c.startswith(("_exists_", "__lang_", "__dt_"))
     ]
 
 
@@ -608,7 +617,7 @@ def _eval_group(
             continue
         shared = [
             c for c in sf.columns
-            if c in bound.columns and not c.startswith("__lang_")
+            if c in bound.columns and not c.startswith(("__lang_", "__dt_"))
         ]
         if shared:
             bound = bound.join(sf, shared)
@@ -676,7 +685,7 @@ def _eval_group(
         if shared:
             bound = bound.join(gdf.select(*shared).distinct(), shared, "left_anti")
         # else: disjoint-domain MINUS removes nothing (spec 8.3)
-    hidden = [c for c in bound.columns if c.startswith("__lang_")]
+    hidden = [c for c in bound.columns if c.startswith(("__lang_", "__dt_"))]
     return bound.drop(*hidden) if hidden else bound
 
 

@@ -728,3 +728,27 @@ def test_optional_body_with_nested_union(tri):
         "OPTIONAL { { ?x ex:knows ?v } UNION { ?x ex:missing ?v } } }",
     )
     assert _rows(out) == {("ex:a", "ex:b"), ("ex:b", None), ("ex:c", None)}
+
+
+def test_datatype_and_in_filters(spark):
+    rows = [
+        ("ex:a", "ex:score", "7", "literal", "", "xsd:integer"),
+        ("ex:a", "rdfs:label", "alice", "literal", "en", ""),
+        ("ex:b", "ex:score", "x", "literal", "", ""),
+    ]
+    full = spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, o_lang string, "
+        "o_datatype string",
+    )
+    out = sparql_select(
+        full,
+        'SELECT ?s WHERE { ?s ?p ?v . FILTER(DATATYPE(?v) = "xsd:integer") }',
+    )
+    assert _rows(out) == {("ex:a",)}
+    assert set(out.columns) == {"s"}  # hidden __dt_/__lang_ never leak
+    out2 = sparql_select(
+        full,
+        'SELECT ?s ?v WHERE { ?s ex:score ?v . FILTER(?v IN ("7", "9")) }',
+    )
+    assert _rows(out2) == {("ex:a", "7")}
