@@ -1605,3 +1605,17 @@ FROM tri t1 JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
 WHERE t1.p = 'rdf:type'
 GROUP BY t1.o
 """
+
+
+# r5: OPTIONAL body FILTER + COALESCE — the filter applies INSIDE the
+# left join's right side (SPARQL), not over the joined result.
+SPARQL_OPTIONAL_FILTER_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT DISTINCT t1.s AS e, COALESCE(sc.o, 'none') AS sc
+FROM tri t1
+LEFT JOIN (
+  SELECT s, o FROM tri WHERE p = 'ex:score' AND CAST(o AS INT) >= 3
+) sc ON sc.s = t1.s
+WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+"""

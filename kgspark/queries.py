@@ -1530,3 +1530,25 @@ def rdf_jsonld_expanded_roundtrip(spark, sf_dir):
         )
     )
     return rdfio.parse_jsonld_expanded(docs).select(*_TERM_COLS).distinct()
+
+
+def kg_sparql_optional_filter(spark, sf_dir):
+    """Round-5: the OPTIONAL-with-body-FILTER idiom — the FILTER
+    belongs to the OPTIONAL group (non-matching rows KEEP their outer
+    binding with NULL, they are not removed), then COALESCE defaults
+    the unbound variable.  Exercises full group bodies inside OPTIONAL
+    plus BOUND/COALESCE at the driver gate."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT DISTINCT ?e ?sc WHERE {
+          ?e rdf:type ex:Commerce .
+          OPTIONAL { ?e ex:score ?n FILTER(xsd:integer(?n) >= 3) }
+          BIND(COALESCE(?n, "none") AS ?sc)
+        }
+        """,
+    )

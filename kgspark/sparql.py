@@ -22,17 +22,19 @@ Supported subset::
              | { group } [ UNION { group } ... ]      (nested groups)
              | { SELECT ... }                         (subquery)
              | GRAPH (?g | iri) { triple-patterns }
-             | OPTIONAL { triple-patterns }
-             | FILTER [NOT] EXISTS { triple-patterns }
-             | MINUS { triple-patterns }
+             | OPTIONAL { group }                     (FULL group body)
+             | FILTER [NOT] EXISTS { group }
+             | MINUS { group }
              | FILTER ( expression )
              | BIND ( expression AS ?v )
              | VALUES ?v { lit ... }
              | VALUES (?a ?b ...) { (lit lit ...) ... } )*
 
     Functions: REGEX, STR, xsd:integer, CONTAINS, STRSTARTS, STRENDS,
-    STRLEN, UCASE, LCASE, LANG (requires a full-term (s,p,o,o_kind,
-    o_lang,o_datatype) input frame — e.g. kg_triples_full).
+    STRLEN, UCASE, LCASE, BOUND, COALESCE, REPLACE, STRBEFORE,
+    STRAFTER, IN, LANG and DATATYPE (the last two require a full-term
+    (s,p,o,o_kind,o_lang,o_datatype) input frame — e.g.
+    kg_triples_full).
 
 IRIs may be written bracketed (``<doc://1>``) or as prefixed-name-style
 bare tokens; both match on the bare IRI text.  Triple patterns may use
