@@ -345,9 +345,15 @@ def _pattern_frame(
     path = _parse_path(p_term)
     if path is not None:
         if g_term is not None:
-            raise ValueError(
-                "property paths inside a GRAPH pattern are not supported"
-            )
+            # GRAPH <const> { … path … }: evaluate the path over that
+            # ONE graph's triples (partition-pruned scan).  A VARIABLE
+            # graph would need a per-graph closure — unsupported.
+            if g_term.startswith("?"):
+                raise ValueError(
+                    "property paths need a CONSTANT graph inside GRAPH "
+                    "(per-variable-graph closure is unsupported)"
+                )
+            triples = triples.filter(F.col("g") == g_term).select("s", "p", "o")
         consts = [t for t in (s_term, o_term) if not t.startswith("?")]
         t = _path_frame(triples, path, consts, max_pairs)
         cols = ["src", "dst"]

@@ -800,11 +800,19 @@ def sparql_construct(
     instances with an unbound variable are dropped (spec semantics)."""
     from .bgp import construct_from_solutions
 
+    from .bgp import _parse_path
+
     p = _P(_tokenize(query))
     p.expect("CONSTRUCT")
     p.expect("{")
     template = _parse_patterns(p)
     p.expect("}")
+    for _s, _p, _o in template:
+        if not _p.startswith("?") and _parse_path(_p) is not None:
+            raise ValueError(
+                f"CONSTRUCT template predicate cannot be a property "
+                f"path: {_p!r}"
+            )
     p.expect("WHERE")
     g = _parse_group(p)
     if p.peek() is not None:

@@ -752,3 +752,26 @@ def test_datatype_and_in_filters(spark):
         'SELECT ?s ?v WHERE { ?s ex:score ?v . FILTER(?v IN ("7", "9")) }',
     )
     assert _rows(out2) == {("ex:a", "7")}
+
+
+def test_path_inside_constant_graph(quadf):
+    # property path inside GRAPH <const>: evaluated over that one graph
+    out = sparql_select(
+        quadf,
+        "SELECT ?x WHERE { GRAPH doc://1 { ?x rdf:type/^rdf:type ?x } }",
+    )
+    assert _rows(out) == {("ex:a",)}
+    with pytest.raises(ValueError, match="CONSTANT graph"):
+        sparql_select(
+            quadf, "SELECT ?g ?x WHERE { GRAPH ?g { ?x rdf:type+ ?x } }"
+        ).collect()
+
+
+def test_construct_template_rejects_paths(tri):
+    from kgspark.sparql import sparql_construct
+
+    with pytest.raises(ValueError, match="template predicate"):
+        sparql_construct(
+            tri,
+            "CONSTRUCT { ?x ex:knows+ ?y } WHERE { ?x ex:knows ?y }",
+        )
