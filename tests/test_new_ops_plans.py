@@ -109,3 +109,31 @@ def test_entity_media_rule_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2, p[:2000]
+
+
+def test_setsim_hybrid_union_feeds_pair_count(spark, sf_dir):
+    """Round-5 hybrid skew handling: the cold (unsalted) and hot
+    (salt²) candidate joins UNION before the per-pair count aggregate
+    — one Union node above the pair-count HashAggregate pair, no
+    cartesian/BNLJ anywhere, and the aggregate is partial+final
+    (map-side combine)."""
+    from kgspark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(D.ngram_jaccard_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_path_seq_no_cartesian(spark, sf_dir):
+    p = _plan(Q.kg_sparql_path_seq(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_subquery_aggregate_partial_final(spark, sf_dir):
+    p = _plan(Q.kg_sparql_subquery(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final around one shuffle
