@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union_nested": Q.kg_sparql_union_nested,  # nested-group UNION (r5)
         "kg_sparql_avg": Q.kg_sparql_avg,              # AVG sum/count e6 bridge (r5)
         "kg_sparql_optional_filter": Q.kg_sparql_optional_filter,  # OPTIONAL{FILTER}+COALESCE (r5)
+        "kg_sparql_group_concat": Q.kg_sparql_group_concat,  # GROUP_CONCAT/SAMPLE (r5)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_union_nested": OS.SPARQL_UNION_NESTED_SQL,
         "kg_sparql_avg": OS.SPARQL_AVG_SQL,
         "kg_sparql_optional_filter": OS.SPARQL_OPTIONAL_FILTER_SQL,
+        "kg_sparql_group_concat": OS.SPARQL_GROUP_CONCAT_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -1619,3 +1619,16 @@ LEFT JOIN (
 ) sc ON sc.s = t1.s
 WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
 """
+
+
+# r5: GROUP_CONCAT (sorted, '|' separator) + SAMPLE (= MIN).
+SPARQL_GROUP_CONCAT_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS e,
+       string_agg(t2.o, '|' ORDER BY t2.o) AS scores,
+       min(t2.o) AS one
+FROM tri t1 JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+GROUP BY t1.s
+"""

@@ -1552,3 +1552,25 @@ def kg_sparql_optional_filter(spark, sf_dir):
         }
         """,
     )
+
+
+def kg_sparql_group_concat(spark, sf_dir):
+    """Round-5: GROUP_CONCAT with explicit separator + SAMPLE — per
+    Commerce entity, the sorted '|'-joined list of its scores and one
+    deterministic sample.  GROUP_CONCAT sorts the collected values
+    before joining (the spec leaves order open; sorting makes it
+    engine-deterministic, matched by the oracle's ORDER BY inside
+    string_agg); SAMPLE = MIN, a valid arbitrary-value choice."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?e (GROUP_CONCAT(?n ; SEPARATOR "|") AS ?scores)
+               (SAMPLE(?n) AS ?one)
+        WHERE { ?e rdf:type ex:Commerce . ?e ex:score ?n }
+        GROUP BY ?e
+        """,
+    )

@@ -467,7 +467,7 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
     p.expect("SELECT")
     distinct = p.kw("DISTINCT")
     select: list[str] | None = []
-    aggregates: list[tuple[str, bool, str | None, str]] = []
+    aggregates: list[tuple[str, bool, str | None, str, str | None]] = []
     if p.kw("*"):
         select = None
     else:
@@ -476,10 +476,12 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
             if t.startswith("?"):
                 select.append(_var(p.take()))
             elif t == "(":
-                # (AGG([DISTINCT] ?v | *) AS ?alias)
+                # (AGG([DISTINCT] ?v | *) AS ?alias); GROUP_CONCAT may
+                # carry `; SEPARATOR[=]"sep"` before its closing paren
                 p.take()
                 fn = p.take().upper()
-                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG",
+                              "GROUP_CONCAT", "SAMPLE"):
                     raise ValueError(f"unsupported aggregate {fn!r}")
                 p.expect("(")
                 agg_distinct = p.kw("DISTINCT")
@@ -487,13 +489,24 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
                     None if p.kw("*")
                     else _var(p.take(), f"{fn} argument (a variable)")
                 )
+                extra = None
+                if fn == "GROUP_CONCAT" and p.peek() == ";":
+                    p.take()
+                    p.expect("SEPARATOR")
+                    p.kw("=")
+                    sep = p.take()
+                    if not sep.startswith('"'):
+                        raise ValueError(
+                            f"SEPARATOR needs a string literal, got {sep!r}"
+                        )
+                    extra = _term(sep)
                 p.expect(")")
                 p.expect("AS")
                 alias = _var(p.take(), "aggregate alias (a variable)")
                 p.expect(")")
                 if arg is None and fn != "COUNT":
                     raise ValueError(f"{fn}(*) is not valid SPARQL")
-                aggregates.append((fn, agg_distinct, arg, alias))
+                aggregates.append((fn, agg_distinct, arg, alias, extra))
             else:
                 break
         if not select and not aggregates:
@@ -714,7 +727,7 @@ def _exec_select(
         if stray:
             raise ValueError(f"SELECT variables not in GROUP BY: {stray}")
         aggs = []
-        for fn, agg_distinct, arg, alias in spec["aggregates"]:
+        for fn, agg_distinct, arg, alias, extra in spec["aggregates"]:
             if fn == "COUNT" and arg is None:
                 c = F.count(F.lit(1))
             elif fn == "COUNT":
@@ -734,14 +747,28 @@ def _exec_select(
                     else F.count(col)
                 )
                 c = s.cast("double") / n.cast("double")
+            elif fn == "SAMPLE":
+                # SAMPLE returns an arbitrary value per group; the
+                # deterministic MIN is a valid (and oracle-able) choice
+                c = F.min(F.col(arg))
+            elif fn == "GROUP_CONCAT":
+                vals = (
+                    F.collect_set(F.col(arg)) if agg_distinct
+                    else F.collect_list(F.col(arg))
+                )
+                # sorted before joining — deterministic on every
+                # engine (the SPARQL spec leaves the order open)
+                c = F.array_join(F.array_sort(vals), extra if extra is not None else " ")
             else:  # MIN / MAX — distinct is a no-op
                 c = getattr(F, fn.lower())(F.col(arg))
             aggs.append(c.alias(alias))
         out = out.groupBy(*spec["group_by"]).agg(*aggs)
-        if spec["select"]:
+        if spec["select"] is not None:
+            # aggregate-only SELECT lists still project ONLY the listed
+            # aliases — the GROUP BY keys don't leak (SELECT * keeps all)
             out = out.select(
                 *spec["select"],
-                *[a for _, _, _, a in spec["aggregates"]],
+                *[a for _, _, _, a, _x in spec["aggregates"]],
             )
         for h in spec["having"]:
             out = out.filter(F.expr(h))

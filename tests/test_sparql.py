@@ -775,3 +775,23 @@ def test_construct_template_rejects_paths(tri):
             tri,
             "CONSTRUCT { ?x ex:knows+ ?y } WHERE { ?x ex:knows ?y }",
         )
+
+
+def test_group_concat_and_sample(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?t (GROUP_CONCAT(?l ; SEPARATOR \"|\") AS ?labels) "
+        "(SAMPLE(?l) AS ?one) WHERE { ?e rdf:type ?t . ?e rdfs:label ?l } "
+        "GROUP BY ?t",
+    )
+    assert _rows(out) == {
+        ("ex:Person", "alice|bob", "alice"),
+        ("ex:Robot", "carl", "carl"),
+    }
+    # default separator is a single space; DISTINCT collapses dups
+    out2 = sparql_select(
+        tri,
+        "SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts) WHERE { ?e rdf:type ?t } "
+        "GROUP BY ?e",
+    )
+    assert _rows(out2) == {("ex:Person",), ("ex:Robot",)}
