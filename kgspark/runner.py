@@ -222,11 +222,28 @@ def main() -> None:  # pragma: no cover — cluster entry point
     from .session import get_spark
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="dir containing documents.parquet + embeddings.parquet")
+    ap.add_argument("--input", help="dir containing documents.parquet + embeddings.parquet")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument(
+        "--sparql",
+        help="run a SPARQL query (SELECT/CONSTRUCT/ASK/DESCRIBE) against "
+        "an EXISTING warehouse's triples table and print the rows — no "
+        "pipeline run (the store's consumer surface from the CLI)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="kgspark-runner")
+    if args.sparql:
+        import os
+
+        from .sparql import sparql_query
+
+        t = spark.read.parquet(os.path.join(args.warehouse, "triples"))
+        out_df = sparql_query(t.select("s", "p", "o"), args.sparql)
+        out_df.show(100, truncate=False)
+        return
+    if not args.input:
+        ap.error("--input is required unless --sparql is given")
     out = run_all(spark, args.input, args.warehouse, n_buckets=args.buckets)
     print({k: v.count() for k, v in out.items()})
 

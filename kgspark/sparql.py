@@ -893,6 +893,16 @@ def store_sparql(
         triples = quads.select("g", "s", "p", "o")
     else:
         triples = quads.select("s", "p", "o").distinct()
+    return sparql_query(triples, query, allow_product=allow_product)
+
+
+def sparql_query(
+    triples: DataFrame, query: str, allow_product: bool = False
+) -> DataFrame:
+    """Verb dispatch: run any supported SPARQL form (SELECT /
+    CONSTRUCT / ASK / DESCRIBE) against a (s,p,o[,g]) frame — the
+    single entry point the runner CLI and store surface share."""
+    toks = _tokenize(query)
     verb = (toks or [""])[0].upper()
     if verb == "SELECT":
         return sparql_select(triples, query, allow_product=allow_product)

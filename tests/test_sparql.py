@@ -795,3 +795,12 @@ def test_group_concat_and_sample(tri):
         "GROUP BY ?e",
     )
     assert _rows(out2) == {("ex:Person",), ("ex:Robot",)}
+
+
+def test_sparql_query_dispatch(tri):
+    from kgspark.sparql import sparql_query
+
+    assert _rows(sparql_query(tri, "SELECT ?x WHERE { ?x a ex:Robot }")) == {("ex:c",)}
+    assert sparql_query(tri, "ASK { ex:a ex:knows ex:b }").collect()[0]["ask"]
+    with pytest.raises(ValueError, match="verb"):
+        sparql_query(tri, "DELETE WHERE { ?s ?p ?o }")
