@@ -804,3 +804,39 @@ def test_sparql_query_dispatch(tri):
     assert sparql_query(tri, "ASK { ex:a ex:knows ex:b }").collect()[0]["ask"]
     with pytest.raises(ValueError, match="verb"):
         sparql_query(tri, "DELETE WHERE { ?s ?p ?o }")
+
+
+def test_text_vs_api_differential(tri):
+    """Differential gate: random BGPs rendered as query TEXT must give
+    exactly the rows of the equivalent direct bgp_match call — the
+    parser→exec path can't drift from the API path."""
+    import random
+
+    rng = random.Random(20260817)
+    nodes = ["ex:a", "ex:b", "ex:c", "n1", "n2"]
+    preds = ["rdf:type", "rdfs:label", "ex:score", "ex:knows", "ex:next"]
+    var_pool = ["?a", "?b", "?c"]
+    for trial in range(10):
+        k = rng.randint(1, 3)
+        pats = []
+        for _ in range(k):
+            pats.append((
+                rng.choice(var_pool + nodes),
+                rng.choice(var_pool[:2] + preds),
+                rng.choice(var_pool + nodes),
+            ))
+        if not any(t.startswith("?") for pat in pats for t in pat):
+            continue
+        text = "SELECT * WHERE { " + " . ".join(
+            " ".join(f'"{t}"' if False else t for t in pat) for pat in pats
+        ) + " }"
+        try:
+            got = sparql_select(tri, text, allow_product=True)
+        except ValueError:
+            continue
+        want = bgp_match(tri, pats, allow_product=True)
+        assert set(got.columns) == set(want.columns), (trial, text)
+        cols = sorted(got.columns)
+        g = {tuple(r[c] for c in cols) for r in got.collect()}
+        w = {tuple(r[c] for c in cols) for r in want.collect()}
+        assert g == w, (trial, text)
