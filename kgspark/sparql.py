@@ -957,3 +957,27 @@ def sparql_describe(
     return t.join(
         subjects.distinct(), t["s"] == F.col("subj"), "left_semi"
     )
+
+
+def construct_into_store(
+    spark,
+    path: str,
+    query: str,
+    graph: str,
+    source: DataFrame | None = None,
+    allow_product: bool = False,
+) -> None:
+    """Twine's process-and-put loop on the store surface: run a
+    CONSTRUCT query (over the store's merged default graph, or over an
+    explicit ``source`` frame) and REPLACE named graph ``graph`` with
+    the constructed result — a serialized per-graph overwrite
+    (rdfio.replace_graphs, writerd semantics), other graphs untouched."""
+    from .rdfio import read_nquads_store, replace_graphs
+
+    if source is None:
+        quads = read_nquads_store(spark, path)
+        source = quads.select("s", "p", "o").distinct()
+    g = sparql_construct(source, query, allow_product=allow_product)
+    replace_graphs(
+        g.select(F.lit(graph).alias("g"), "s", "p", "o"), path
+    )

@@ -840,3 +840,45 @@ def test_text_vs_api_differential(tri):
         g = {tuple(r[c] for c in cols) for r in got.collect()}
         w = {tuple(r[c] for c in cols) for r in want.collect()}
         assert g == w, (trial, text)
+
+
+def test_construct_into_store_replaces_one_graph(spark, tmp_path):
+    """CONSTRUCT → graph-replace PUT: the constructed graph lands as a
+    named graph replace; other graphs untouched; re-running replaces."""
+    from kgspark import rdfio
+    from kgspark.sparql import construct_into_store, store_sparql
+
+    rows = [
+        ("doc://1", "ex:a", "rdfs:label", "alice", "literal", "", ""),
+        ("doc://1", "ex:a", "rdf:type", "ex:Person", "iri", "", ""),
+        ("doc://2", "ex:b", "rdfs:label", "bob", "literal", "", ""),
+    ]
+    quads = spark.createDataFrame(rows, "g string, " + rdfio.PARSED_DDL)
+    path = str(tmp_path / "store")
+    rdfio.write_nquads_store(quads, path)
+
+    construct_into_store(
+        spark, path,
+        "CONSTRUCT { ?x rdf:type ex:Labeled } WHERE { ?x rdfs:label ?l }",
+        graph="derived://labeled",
+    )
+    out = store_sparql(
+        spark, path,
+        "SELECT ?x WHERE { GRAPH <derived://labeled> { ?x rdf:type ex:Labeled } }",
+    )
+    assert {tuple(r) for r in out.collect()} == {("ex:a",), ("ex:b",)}
+    # source graphs intact
+    src = store_sparql(spark, path, "SELECT ?x ?l WHERE { ?x rdfs:label ?l }")
+    assert {tuple(r) for r in src.collect()} == {
+        ("ex:a", "alice"), ("ex:b", "bob")}
+    # re-run replaces (not appends) the derived graph
+    construct_into_store(
+        spark, path,
+        'CONSTRUCT { ?x rdf:type ex:Named } WHERE { ?x rdfs:label "bob" }',
+        graph="derived://labeled",
+    )
+    out2 = store_sparql(
+        spark, path,
+        "SELECT ?x ?t WHERE { GRAPH <derived://labeled> { ?x rdf:type ?t } }",
+    )
+    assert {tuple(r) for r in out2.collect()} == {("ex:b", "ex:Named")}
