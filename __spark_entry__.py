@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": Q.event_sessions,                         # sessionize
         # training-data-pipeline operators (task brief: dedup/ANN/text)
         "dedup_exact": Q.dedup_exact,
+        "contamination_check": Q.contamination_check,  # train/eval leak detector (r5)
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH
         "dedup_clusters": Q.dedup_clusters,                 # near-dup keeper decision
         "doc_simhash": Q.doc_simhash,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_avg": OS.SPARQL_AVG_SQL,
         "kg_sparql_optional_filter": OS.SPARQL_OPTIONAL_FILTER_SQL,
         "kg_sparql_group_concat": OS.SPARQL_GROUP_CONCAT_SQL,
+        "contamination_check": OS.CONTAMINATION_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -560,3 +560,42 @@ def embedding_neardup(embeddings: DataFrame, cosine_min: float = 0.25) -> DataFr
         )
         .filter(F.col("cosine") >= cosine_min)
     )
+
+
+def contamination_flags(
+    docs: DataFrame, eval_mod: int = 97, min_shared: int = 8
+) -> DataFrame:
+    """Train/eval CONTAMINATION check (training-data pipeline op): for
+    every train document, the count of its token-3-gram codes that
+    appear anywhere in the eval corpus, and a flag at ≥ ``min_shared``.
+
+    Eval set here = ``doc_id % eval_mod == 0`` (a deterministic
+    stand-in; at scale pass the real benchmark corpus through the same
+    shingle kernel).  Scale shape: the eval CODE SET is corpus-small →
+    broadcast; the train side is one explode + broadcast-hash semi
+    join + a map-side-combined count per doc — no all-pairs, nothing
+    quadratic, and a document sharing no code still reports 0 (left
+    join back, no silent drops)."""
+    sh = with_shingles(docs)
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    eval_codes = (
+        sh.filter(is_eval)
+        .select(F.explode("shingles").alias("code"))
+        .distinct()
+    )
+    train = sh.filter(~is_eval)
+    shared = (
+        train.select("doc_id", F.explode("shingles").alias("code"))
+        .join(F.broadcast(eval_codes), "code")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared).alias("flagged"),
+        )
+    )

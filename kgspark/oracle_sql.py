@@ -1632,3 +1632,27 @@ FROM tri t1 JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
 WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
 GROUP BY t1.s
 """
+
+
+# r5: train/eval contamination — shared-3-gram-code counts vs the
+# eval-corpus code union, 0 kept for clean documents.
+CONTAMINATION_SQL = f"""
+WITH {SHINGLES_CTE},
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS code
+  FROM shingled WHERE doc_id % 97 = 0
+),
+tr AS (
+  SELECT doc_id, unnest(shingles) AS code
+  FROM shingled WHERE doc_id % 97 <> 0
+),
+sh AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tr JOIN ev USING (code) GROUP BY tr.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(sh.n_shared, 0) AS n_shared,
+       COALESCE(sh.n_shared, 0) >= 8 AS flagged
+FROM (SELECT doc_id FROM shingled WHERE doc_id % 97 <> 0) t
+LEFT JOIN sh USING (doc_id)
+"""

@@ -1574,3 +1574,13 @@ def kg_sparql_group_concat(spark, sf_dir):
         GROUP BY ?e
         """,
     )
+
+
+def contamination_check(spark, sf_dir):
+    """Round-5 training-pipeline op: per-train-document count of
+    3-gram codes shared with the (deterministic stand-in) eval corpus,
+    flagged at >= 8 — the benchmark-leak detector.  Broadcast eval
+    code set; see dedup.contamination_flags for the 100 TB shape."""
+    from . import dedup as D
+
+    return D.contamination_flags(_t(spark, sf_dir, "documents"))

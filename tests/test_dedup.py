@@ -192,3 +192,25 @@ def test_simhash_pigeonhole_matches_bruteforce_random(spark, seed):
             if bin(fa ^ fb).count("1") <= hmax
         }
         assert got == want, f"hmax={hmax}" 
+
+
+def test_contamination_flags_detects_injected_leak(spark):
+    """A train document copying an eval document's text must flag; an
+    unrelated train document must not."""
+    from kgspark import dedup as D
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (0, eval_text, "en", "src1"),            # eval (0 % 97 == 0)
+        (1, eval_text + "tail token", "en", "src1"),  # contaminated train doc
+        (2, "completely different words entirely unrelated content here "
+            "more unrelated tokens again and again", "en", "src1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: (r["n_shared"], r["flagged"])
+           for r in D.contamination_flags(docs).collect()}
+    assert set(out) == {1, 2}          # eval doc excluded from output
+    assert out[1][1] is True and out[1][0] >= 8
+    assert out[2][1] is False
