@@ -306,3 +306,45 @@ def _contraction_cc(
         "node", F.col("node").alias("label")
     )
     return labeled.unionByName(selfs)
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 5,
+    node_col: str = "node",
+) -> DataFrame:
+    """Integer-exact PageRank (µ-unit scores): ``edges`` directed
+    (src, dst), ``nodes`` one column of ids (isolated nodes included).
+
+        score₀ = 1_000_000
+        scoreₖ₊₁ = 150_000 + (17 · Σ_in (scoreₖ div outdeg)) div 20
+
+    Damping 0.85 = 17/20 and integer division per edge keep every
+    operation in BIGINT, so the result is order-independent —
+    bit-identical across engines and partitionings (float PageRank is
+    not; see queries.entity_pagerank's DuckDB oracle, which unrolls
+    the same iterations as CTEs).  Each round is one edge equi-join +
+    one map-side-combined aggregate: O(E) per round, the same plan
+    family as the CC loop; lineage cut per round."""
+    nd = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    score = nd.withColumn("score", F.lit(1_000_000).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(score.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("score div d").alias("c"))
+        )
+        inc = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
+        score = nd.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(150_000).cast("bigint")
+                + F.expr("(17 * coalesce(inc, 0)) div 20")
+            ).cast("bigint").alias("score"),
+        ).localCheckpoint(eager=False)
+    return score

@@ -1656,3 +1656,48 @@ SELECT t.doc_id,
 FROM (SELECT doc_id FROM shingled WHERE doc_id % 97 <> 0) t
 LEFT JOIN sh USING (doc_id)
 """
+
+
+# r5: integer-exact PageRank over the co-occurrence graph — the same
+# five iterations unrolled as CTEs ('//' = DuckDB integer division;
+# BIGINT sums are order-independent, so both engines agree bit-exactly).
+_PR_ITER = """,
+pr{k} AS (
+  SELECT n.entity_id,
+         CAST(150000 + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS score
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS entity_id, SUM(p.score // d.d) AS s
+    FROM pr_edges e
+    JOIN pr{km1} p ON p.entity_id = e.src
+    JOIN pr_deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) inc USING (entity_id)
+)"""
+
+ENTITY_PAGERANK_SQL = (
+    f"""{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+pr_edges AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL
+  SELECT entity_b AS src, entity_a AS dst FROM coocc
+),
+pr_deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM pr_edges GROUP BY src
+),
+pr_nodes AS MATERIALIZED (SELECT DISTINCT entity_id FROM eids),
+pr0 AS (SELECT entity_id, CAST(1000000 AS BIGINT) AS score FROM pr_nodes)"""
+    + "".join(_PR_ITER.format(k=k, km1=k - 1) for k in range(1, 6))
+    + """
+SELECT entity_id, score FROM pr5
+"""
+)

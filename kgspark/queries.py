@@ -1584,3 +1584,32 @@ def contamination_check(spark, sf_dir):
     from . import dedup as D
 
     return D.contamination_flags(_t(spark, sf_dir, "documents"))
+
+
+def entity_pagerank(spark, sf_dir, n_iter: int = 5):
+    """Round-5: PageRank over the entity co-occurrence graph — the
+    KG-analytics centrality a store consumer derives from the edge
+    layer.  INTEGER-EXACT variant: scores live in µ-units (start
+    1_000_000), each iteration is
+
+        score' = 150_000 + (17 · Σ_in (score div outdeg)) div 20
+
+    i.e. damping 0.85 = 17/20 and the per-edge contribution uses
+    integer division — additions of BIGINTs are order-independent, so
+    the result is bit-identical on any engine / any partitioning
+    (cross-engine float summation is not; the DuckDB oracle unrolls
+    the same 5 iterations as CTEs).  Scale shape: each iteration is
+    one edge join + one map-side-combined aggregate — O(E) per round,
+    the same plan family as the CC loop."""
+    m, labels = _labels(spark, sf_dir)
+    members = gen.entity_membership(m, labels)
+    nodes = members.select("entity_id").distinct()
+    pairs = kg_entity_cooccurrence(spark, sf_dir).select("entity_a", "entity_b")
+    edges = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    return cc_mod.pagerank_int(
+        edges, nodes, n_iter=n_iter, node_col="entity_id"
+    ).withColumnRenamed("node", "entity_id")

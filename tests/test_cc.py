@@ -74,3 +74,29 @@ def oracle_components_dict(oracle):
 
     norms = sorted(oracle["mentions"]["norm_text"].unique())
     return oracle_components(norms, oracle["edges"])
+
+
+def test_pagerank_int_star_graph(spark):
+    """Star graph: the hub accumulates the leaves' contributions and
+    outranks them; isolated node settles at the base score."""
+    from kgspark.cc import pagerank_int
+
+    leaves = [f"l{i}" for i in range(6)]
+    und = [("hub", l) for l in leaves]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [("hub",)] + [(l,) for l in leaves] + [("iso",)], "node string"
+    )
+    out = {r["node"]: r["score"] for r in pagerank_int(edges, nodes).collect()}
+    assert out["hub"] > out["l0"] > out["iso"]
+    assert len({out[l] for l in leaves}) == 1  # symmetric leaves agree
+    # iso has no in-edges: fixed point 150_000 + 0
+    assert out["iso"] == 150_000
+    # determinism across partitionings
+    out2 = {
+        r["node"]: r["score"]
+        for r in pagerank_int(edges.repartition(7), nodes.repartition(3)).collect()
+    }
+    assert out == out2
