@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_props_triples": Q.kg_props_triples,     # D7→D3 props as triples (r3)
         "kg_entity_cooccurrence": Q.kg_entity_cooccurrence,  # entity graph edges (r3)
         "entity_pagerank": Q.entity_pagerank,       # int-exact centrality (r5)
+        "entity_triangle_counts": Q.entity_triangle_counts,  # clustering signal (r5)
         "kg_bgp_match": Q.kg_bgp_match,             # SPARQL BGP over triples (r3)
         "kg_bgp_optional": Q.kg_bgp_optional,       # SPARQL OPTIONAL (r3)
         "kg_bgp_filter": Q.kg_bgp_filter,           # SPARQL FILTER+SELECT DISTINCT (r4)
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_group_concat": OS.SPARQL_GROUP_CONCAT_SQL,
         "contamination_check": OS.CONTAMINATION_SQL,
         "entity_pagerank": OS.ENTITY_PAGERANK_SQL,
+        "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -1701,3 +1701,32 @@ pr0 AS (SELECT entity_id, CAST(1000000 AS BIGINT) AS score FROM pr_nodes)"""
 SELECT entity_id, score FROM pr5
 """
 )
+
+
+# r5: per-entity triangle counts over the ordered co-occurrence edges.
+ENTITY_TRIANGLES_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+  SELECT ab.entity_a AS a, ab.entity_b AS b, bc.entity_b AS c
+  FROM coocc ab
+  JOIN coocc bc ON bc.entity_a = ab.entity_b
+  JOIN coocc ac ON ac.entity_a = ab.entity_a AND ac.entity_b = bc.entity_b
+)
+SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS entity_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY entity_id
+"""

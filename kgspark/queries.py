@@ -1613,3 +1613,30 @@ def entity_pagerank(spark, sf_dir, n_iter: int = 5):
     return cc_mod.pagerank_int(
         edges, nodes, n_iter=n_iter, node_col="entity_id"
     ).withColumnRenamed("node", "entity_id")
+
+
+def entity_triangle_counts(spark, sf_dir):
+    """Round-5: per-entity TRIANGLE participation over the
+    co-occurrence graph — the clustering-signal companion to
+    entity_pagerank.  Triangles enumerate over ORDERED edges (a<b<c):
+    each triangle appears exactly once in the 3-way equi-join, then
+    fans out to its three corners for the per-entity count (map-side
+    combined).  Ordered-edge enumeration is the standard O(E^{3/2})
+    shape — no node ever joins its full neighborhood twice."""
+    pairs = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .select("entity_a", "entity_b")
+        .localCheckpoint(eager=False)
+    )
+    ab = pairs.select(F.col("entity_a").alias("a"), F.col("entity_b").alias("b"))
+    bc = pairs.select(F.col("entity_a").alias("b"), F.col("entity_b").alias("c"))
+    ac = pairs.select(F.col("entity_a").alias("a"), F.col("entity_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("entity_id"))
+        .unionByName(tri.select(F.col("b").alias("entity_id")))
+        .unionByName(tri.select(F.col("c").alias("entity_id")))
+    )
+    return corners.groupBy("entity_id").agg(
+        F.count("*").alias("n_triangles")
+    )
