@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
+        "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
         "top_terms_tfidf": Q.top_terms_tfidf,               # int-exact tf-idf top-k (r3)
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": OS.CONTAMINATION_SQL,
         "entity_pagerank": OS.ENTITY_PAGERANK_SQL,
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,
+        "training_export_clean": OS.TRAINING_EXPORT_CLEAN_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

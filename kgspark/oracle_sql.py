@@ -1730,3 +1730,28 @@ FROM (
 )
 GROUP BY entity_id
 """
+
+
+# r5: training_export with the contamination gate spliced into the
+# kept set (same composed-oracle pattern; eval docs and ≥8-shared-code
+# documents drop before split+pack).
+TRAINING_EXPORT_CLEAN_SQL = TRAINING_EXPORT_SQL.replace(
+    "kept AS (SELECT doc_id FROM curated WHERE reason = 'keep'),",
+    """kept0 AS (SELECT doc_id FROM curated WHERE reason = 'keep'),
+ct_ev AS (
+  SELECT DISTINCT unnest(shingles) AS code
+  FROM shingled WHERE doc_id % 97 = 0
+),
+ct_sh AS (
+  SELECT tr.doc_id, COUNT(*) AS n_shared
+  FROM (SELECT doc_id, unnest(shingles) AS code
+        FROM shingled WHERE doc_id % 97 <> 0) tr
+  JOIN ct_ev USING (code) GROUP BY tr.doc_id
+),
+kept AS (
+  SELECT k.doc_id FROM kept0 k
+  LEFT JOIN ct_sh USING (doc_id)
+  WHERE k.doc_id % 97 <> 0 AND COALESCE(ct_sh.n_shared, 0) < 8
+),""",
+)
+assert TRAINING_EXPORT_CLEAN_SQL != TRAINING_EXPORT_SQL

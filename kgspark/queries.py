@@ -1640,3 +1640,23 @@ def entity_triangle_counts(spark, sf_dir):
     return corners.groupBy("entity_id").agg(
         F.count("*").alias("n_triangles")
     )
+
+
+def training_export_clean(spark, sf_dir):
+    """Round-5: training_export WITH the contamination gate — the full
+    end-of-pipeline decision: quality → langid → near-dup keeper →
+    benchmark-leak exclusion (eval docs AND documents sharing ≥8
+    3-gram codes with the eval corpus are dropped) → split → pack.
+    One composed DuckDB oracle (derived from TRAINING_EXPORT_SQL with
+    the contamination CTEs spliced into the kept set)."""
+    from . import dedup as D
+    from .curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(spark, docs).filter(F.col("keep") == 1).select("doc_id")
+    clean = (
+        D.contamination_flags(docs)
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    return _pack_assign(docs.join(kept, "doc_id").join(clean, "doc_id"))
