@@ -370,6 +370,11 @@ def _parse_group(p: _P) -> dict:
                     branches.append(_parse_group(p))
                 subgroups.append(branches)
         elif up == "VALUES":
+            # UNDEF rides as None: that variable is UNBOUND in the row,
+            # which then constrains only its defined variables (1.1)
+            def vterm(tok: str):
+                return None if tok.upper() == "UNDEF" else _term(tok)
+
             p.take()
             if p.peek() == "(":
                 p.take()
@@ -383,7 +388,7 @@ def _parse_group(p: _P) -> dict:
                     p.take()
                     row = []
                     while p.peek() not in (")", None):
-                        row.append(_term(p.take()))
+                        row.append(vterm(p.take()))
                     p.expect(")")
                     rows.append(tuple(row))
                 p.expect("}")
@@ -392,7 +397,7 @@ def _parse_group(p: _P) -> dict:
                 p.expect("{")
                 rows = []
                 while p.peek() not in ("}", None):
-                    rows.append((_term(p.take()),))
+                    rows.append((vterm(p.take()),))
                 p.expect("}")
             values.append((varnames, rows))
         elif up == "GRAPH":
@@ -652,15 +657,36 @@ def _eval_group(
     spark = triples.sparkSession
     for varnames, rows in g.get("values") or []:
         # inline solution-mapping table: query TEXT, config-sized —
-        # broadcast join (product when no variable is shared, per spec)
-        vdf = spark.createDataFrame(
-            rows, ", ".join(f"{v} string" for v in varnames)
-        ).distinct()
-        shared = [c for c in vdf.columns if c in bound.columns]
-        if shared:
-            bound = bound.join(F.broadcast(vdf), shared)
+        # broadcast join (product when no variable is shared, per
+        # spec).  Rows are GROUPED BY their defined-variable mask
+        # (UNDEF = None): each group joins only on its defined
+        # variables, and the branches pad-union — a (ex:a UNDEF) row
+        # constrains ?x alone instead of demanding a NULL match.
+        by_mask: dict[tuple, list[tuple]] = {}
+        for row in rows:
+            mask = tuple(i for i, v in enumerate(row) if v is not None)
+            by_mask.setdefault(mask, []).append(tuple(row[i] for i in mask))
+        branches = []
+        for mask, mrows in sorted(by_mask.items()):
+            mvars = [varnames[i] for i in mask]
+            if not mvars:
+                # all-UNDEF row: compatible with every solution
+                branches.append(bound)
+                continue
+            vdf = spark.createDataFrame(
+                mrows, ", ".join(f"{v} string" for v in mvars)
+            ).distinct()
+            shared = [c for c in vdf.columns if c in bound.columns]
+            if shared:
+                branches.append(bound.join(F.broadcast(vdf), shared))
+            else:
+                branches.append(bound.crossJoin(F.broadcast(vdf)))
+        if len(branches) == 1:
+            bound = branches[0]
         else:
-            bound = bound.crossJoin(F.broadcast(vdf))
+            from .bgp import union_pad_frames
+
+            bound = union_pad_frames(branches)
     for og in g.get("optionals") or []:
         gdf = _eval_group(triples, og, allow_product)
         if _is_gate_frame(gdf):

@@ -882,3 +882,13 @@ def test_construct_into_store_replaces_one_graph(spark, tmp_path):
         "SELECT ?x ?t WHERE { GRAPH <derived://labeled> { ?x rdf:type ?t } }",
     )
     assert {tuple(r) for r in out2.collect()} == {("ex:b", "ex:Named")}
+
+
+def test_values_undef(tri):
+    # each row constrains ONLY its defined variables (SPARQL 1.1 UNDEF)
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?l WHERE { ?x rdfs:label ?l . "
+        'VALUES (?x ?l) { (ex:a UNDEF) (UNDEF "bob") } }',
+    )
+    assert _rows(out) == {("ex:a", "alice"), ("ex:b", "bob")}
