@@ -200,10 +200,17 @@ def _arg_sql(p: _P) -> str:
     return t
 
 
-def _expr_to_sql(p: _P, until_as: bool = False) -> str:
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+
+def _expr_to_sql(p: _P, until_as: bool = False, agg_sink: list | None = None) -> str:
     """Consume a parenthesized expression, translating SPARQL operators
     and functions to Spark SQL.  With ``until_as``, stop (and consume)
-    at a top-level AS instead of the closing paren — the BIND form."""
+    at a top-level AS instead of the closing paren — the BIND form.
+    With ``agg_sink`` (the HAVING form), inline aggregate calls like
+    ``COUNT(?e)`` are parsed out into (fn, distinct, arg, alias)
+    entries and replaced by their hidden ``__hav_i`` alias — computed
+    in the aggregation step, filtered on, then dropped."""
     p.expect("(")
     depth, parts = 1, []
     while depth > 0:
@@ -218,6 +225,20 @@ def _expr_to_sql(p: _P, until_as: bool = False) -> str:
             if depth == 0:
                 break
         up = t.upper()
+        if agg_sink is not None and up in _AGG_FNS and p.peek() == "(":
+            p.expect("(")
+            agg_distinct = p.kw("DISTINCT")
+            arg = (
+                None if p.kw("*")
+                else _var(p.take(), f"{up} argument (a variable)")
+            )
+            p.expect(")")
+            if arg is None and up != "COUNT":
+                raise ValueError(f"{up}(*) is not valid SPARQL")
+            alias = f"__hav_{len(agg_sink)}"
+            agg_sink.append((up, agg_distinct, arg, alias, None))
+            parts.append(alias)
+            continue
         if up == "&&":
             parts.append("AND")
         elif up == "||":
@@ -531,9 +552,10 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
             group_by.append(_var(p.take(), "GROUP BY variable"))
         if not group_by:
             raise ValueError("GROUP BY needs variables")
+    having_aggs: list = []
     if (p.peek() or "").upper() == "HAVING":
         p.take()
-        having.append(_expr_to_sql(p))
+        having.append(_expr_to_sql(p, agg_sink=having_aggs))
 
     order: list[tuple[str, bool]] = []
     if (p.peek() or "").upper() == "ORDER":
@@ -574,6 +596,7 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
         "aggregates": aggregates,
         "group_by": group_by,
         "having": having,
+        "having_aggs": having_aggs,
         "groups": groups,
         "order": order,
         "limit": limit,
@@ -739,7 +762,8 @@ def _exec_select(
 
     frames = [_eval_group(triples, g, allow_product) for g in spec["groups"]]
     out = frames[0] if len(frames) == 1 else union_pad_frames(frames)
-    if spec["aggregates"]:
+    hav_aggs = spec.get("having_aggs") or []
+    if spec["aggregates"] or (spec["group_by"] and hav_aggs):
         # SPARQL aggregation: GROUP BY keys must cover every bare
         # SELECT variable.  SUM casts its argument to BIGINT (the
         # store's literals ride as strings; an integer sum is exact on
@@ -753,7 +777,9 @@ def _exec_select(
         if stray:
             raise ValueError(f"SELECT variables not in GROUP BY: {stray}")
         aggs = []
-        for fn, agg_distinct, arg, alias, extra in spec["aggregates"]:
+        for fn, agg_distinct, arg, alias, extra in (
+            list(spec["aggregates"]) + hav_aggs
+        ):
             if fn == "COUNT" and arg is None:
                 c = F.count(F.lit(1))
             elif fn == "COUNT":
@@ -791,13 +817,18 @@ def _exec_select(
         out = out.groupBy(*spec["group_by"]).agg(*aggs)
         if spec["select"] is not None:
             # aggregate-only SELECT lists still project ONLY the listed
-            # aliases — the GROUP BY keys don't leak (SELECT * keeps all)
+            # aliases — the GROUP BY keys don't leak (SELECT * keeps
+            # all); hidden __hav_ columns survive until the HAVING
+            # filters have run, then drop
             out = out.select(
                 *spec["select"],
                 *[a for _, _, _, a, _x in spec["aggregates"]],
+                *[a for _, _, _, a, _x in hav_aggs],
             )
         for h in spec["having"]:
             out = out.filter(F.expr(h))
+        if hav_aggs:
+            out = out.drop(*[a for _, _, _, a, _x in hav_aggs])
     elif spec["group_by"]:
         # GROUP BY without aggregates: one solution per group — the
         # grouped projection (round-4 ADVICE: this used to be parsed

@@ -892,3 +892,27 @@ def test_values_undef(tri):
         'VALUES (?x ?l) { (ex:a UNDEF) (UNDEF "bob") } }',
     )
     assert _rows(out) == {("ex:a", "alice"), ("ex:b", "bob")}
+
+
+def test_having_with_inline_aggregates(tri):
+    # HAVING over an aggregate expression without aliasing it in SELECT
+    out = sparql_select(
+        tri,
+        "SELECT ?t WHERE { ?e rdf:type ?t } GROUP BY ?t "
+        "HAVING(COUNT(?e) >= 2)",
+    )
+    assert _rows(out) == {("ex:Person",)}
+    assert set(out.columns) == {"t"}  # hidden __hav_ column dropped
+    out2 = sparql_select(
+        tri,
+        "SELECT ?t (COUNT(?e) AS ?n) WHERE { ?e rdf:type ?t . "
+        "?e ex:score ?s } GROUP BY ?t HAVING(SUM(?s) > 8)",
+    )
+    # Person scores 7+2=9 > 8; Robot 11 > 8 — both pass; tighten:
+    assert _rows(out2) == {("ex:Person", 2), ("ex:Robot", 1)}
+    out3 = sparql_select(
+        tri,
+        "SELECT ?t WHERE { ?e rdf:type ?t . ?e ex:score ?s } "
+        "GROUP BY ?t HAVING(SUM(?s) > 10)",
+    )
+    assert _rows(out3) == {("ex:Robot",)}
