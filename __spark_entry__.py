@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": Q.ann_recall,                         # recall@k eval (r3)
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
+        "doc_quota_sample": Q.doc_quota_sample,             # balanced per-stratum top-k (r5)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": OS.ENTITY_PAGERANK_SQL,
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,
         "training_export_clean": OS.TRAINING_EXPORT_CLEAN_SQL,
+        "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -1755,3 +1755,19 @@ kept AS (
 ),""",
 )
 assert TRAINING_EXPORT_CLEAN_SQL != TRAINING_EXPORT_SQL
+
+
+# r5: balanced quota sample — k lowest-hash docs per (lang, source).
+DOC_QUOTA_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY ({G.hash_a(3)} * doc_id + {G.hash_b(3)}) % {G.HASH_P},
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+"""

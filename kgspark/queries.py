@@ -1660,3 +1660,20 @@ def training_export_clean(spark, sf_dir):
         .select("doc_id")
     )
     return _pack_assign(docs.join(kept, "doc_id").join(clean, "doc_id"))
+
+
+def doc_quota_sample(spark, sf_dir, k: int = 10):
+    """Round-5 curation op: BALANCED subcorpus selection — per
+    (lang, source) stratum, keep exactly the k lowest-HASH documents
+    (hash family index 3), so the sample is deterministic, add-only
+    stable (a new doc displaces at most one slot in its own stratum)
+    and source-balanced regardless of stratum skew.  The rn ≤ k filter
+    plans as WindowGroupLimit — per-partition top-k, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.lit(G.hash_a(3)) * F.col("doc_id") + F.lit(G.hash_b(3))) % F.lit(G.HASH_P)
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "lang", "source", F.col("rn").cast("int").alias("rn"))
+    )

@@ -137,3 +137,11 @@ def test_subquery_aggregate_partial_final(spark, sf_dir):
     p = _plan(Q.kg_sparql_subquery(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # partial + final around one shuffle
+
+
+def test_quota_sample_plans_window_group_limit(spark, sf_dir):
+    """rn <= k must keep Spark's WindowGroupLimit (per-partition top-k
+    before the full window sort) — the plan property that makes the
+    quota sample scale."""
+    p = _plan(Q.doc_quota_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p[:1500]
