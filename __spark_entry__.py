@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": Q.contamination_check,  # train/eval leak detector (r5)
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH
         "dedup_clusters": Q.dedup_clusters,                 # near-dup keeper decision
+        "dedup_rate_by_source": Q.dedup_rate_by_source,     # per-source drop metric (r5)
         "doc_simhash": Q.doc_simhash,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,
         "training_export_clean": OS.TRAINING_EXPORT_CLEAN_SQL,
         "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
+        "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -1771,3 +1771,20 @@ FROM (
 )
 WHERE rn <= 10
 """
+
+
+# r5: per-source near-dup drop rate (pipeline observability).
+DEDUP_RATE_BY_SOURCE_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {_CLUSTERS_CTES}
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.keep_doc_id IS NOT NULL
+                      AND k.keep_doc_id <> d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(floor(1e6 * SUM(CASE WHEN k.keep_doc_id IS NOT NULL
+                                  AND k.keep_doc_id <> d.doc_id
+                                 THEN 1 ELSE 0 END)::DOUBLE
+                  / COUNT(*)) AS BIGINT) AS drop_rate_e6
+FROM documents d LEFT JOIN ckeep k USING (doc_id)
+GROUP BY d.source
+"""

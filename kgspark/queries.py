@@ -1677,3 +1677,36 @@ def doc_quota_sample(spark, sf_dir, k: int = 10):
         .filter(F.col("rn") <= k)
         .select("doc_id", "lang", "source", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def dedup_rate_by_source(spark, sf_dir):
+    """Round-5 pipeline-observability metric: per SOURCE, document
+    count, near-dup drop count (cluster members that are not their
+    cluster's keeper), and the drop rate as floor(1e6·x) — the number
+    an operator watches to catch a crawler feeding duplicate shards.
+    One broadcast-sized join of the keeper decision back to the doc
+    dimension + a map-side-combined per-source aggregate."""
+    from . import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    keep = D.dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_min=0.01)
+    joined = docs.join(keep, "doc_id", "left")
+    dropped = F.when(
+        F.col("keep_doc_id").isNotNull()
+        & (F.col("keep_doc_id") != F.col("doc_id")),
+        1,
+    ).otherwise(0)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "source", "n_docs", "n_dropped",
+            F.floor(
+                F.lit(1e6) * F.col("n_dropped").cast("double")
+                / F.col("n_docs").cast("double")
+            ).cast("bigint").alias("drop_rate_e6"),
+        )
+    )
