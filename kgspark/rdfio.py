@@ -350,7 +350,10 @@ def _ttl_term(col):
     so such terms serialize bracketed (round-5 fix; the document parser
     depends on it)."""
     out = F.concat(F.lit("<"), expand(col), F.lit(">"))
-    safe = col.rlike("^[A-Za-z][A-Za-z0-9]*:[A-Za-z0-9_-]*$")
+    # PN_LOCAL may not BEGIN with '-' (Turtle grammar: first char is
+    # PN_CHARS_U | digit) — ex:-x is illegal and external parsers
+    # reject it, so such locals fall back to <iri> (round-6 ADVICE)
+    safe = col.rlike("^[A-Za-z][A-Za-z0-9]*:([A-Za-z0-9_][A-Za-z0-9_-]*)?$")
     for pref in sorted(PREFIXES):
         out = F.when(col.startswith(pref) & safe, col).otherwise(out)
     return out
@@ -586,11 +589,68 @@ class _StoreWriteLock:
                 os.write(self._fd, str(os.getpid()).encode())
                 return self
             except FileExistsError:
+                if self._pid_dead(self.lockfile):
+                    # Stale lock: the recorded holder pid no longer
+                    # exists (writer SIGKILLed between os.open and
+                    # unlink).  Break it and retry — without this every
+                    # later replace_graphs spins to TimeoutError until
+                    # someone deletes the file by hand (round-6 ADVICE).
+                    self._try_break_stale()
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
-                        f"store write lock held too long: {self.lockfile}"
+                        f"store write lock held too long: {self.lockfile} "
+                        f"(if the holder pid recorded inside is dead, the "
+                        f"lockfile is stale and safe to delete)"
                     )
                 time.sleep(0.02)
+
+    @staticmethod
+    def _pid_dead(path: str) -> bool:
+        """True iff ``path`` records a pid that is verifiably not
+        running.  Unreadable/empty content → assume live (a holder
+        between os.open and os.write has an empty file briefly)."""
+        try:
+            with open(path, "rb") as f:
+                pid = int(f.read().decode() or "0")
+        except (OSError, ValueError):
+            return False
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # pid exists under another uid — live
+
+    def _try_break_stale(self) -> None:
+        """Break a stale lock without the unlink race: two waiters that
+        both observe the dead holder must not end up with one of them
+        unlinking the OTHER's freshly-acquired lock.  os.rename is
+        atomic — exactly one stealer wins the rename; the loser's
+        rename raises FileNotFoundError and it simply retries O_EXCL.
+        After stealing, re-verify the stolen file: if a LIVE writer
+        re-created the lock between our staleness check and the rename,
+        hand it back via os.link (which refuses to clobber a newer
+        lock)."""
+        steal = f"{self.lockfile}.stale.{os.getpid()}"
+        try:
+            os.rename(self.lockfile, steal)
+        except FileNotFoundError:
+            return  # another waiter broke it (or the holder released)
+        try:
+            if not self._pid_dead(steal):
+                try:
+                    os.link(steal, self.lockfile)
+                except FileExistsError:
+                    pass  # that writer already released and moved on
+        finally:
+            try:
+                os.unlink(steal)
+            except FileNotFoundError:
+                pass
 
     def __exit__(self, *exc):
         if self._fd is not None:

@@ -629,13 +629,49 @@ def _shared_vars(bound: DataFrame, g: DataFrame) -> list[str]:
 def _eval_group(
     triples: DataFrame, g: dict, allow_product: bool = False
 ) -> DataFrame:
+    return _eval_group_mn(triples, g, allow_product)[0]
+
+
+def _union_pad_mn(
+    pairs: list[tuple[DataFrame, set]],
+) -> tuple[DataFrame, set]:
+    """union_pad_frames + maybe-null bookkeeping: a variable is
+    maybe-null after a UNION if any branch marks it OR any branch
+    lacks it (the pad writes NULL there)."""
+    from .bgp import union_pad_frames
+
+    frames = [df for df, _ in pairs]
+    if len(frames) == 1:
+        return pairs[0]
+    all_vars = {c for df in frames for c in df.columns}
+    mn: set = set()
+    for df, m in pairs:
+        mn |= m
+        mn |= {
+            v for v in all_vars
+            if v not in df.columns and not v.startswith(("__lang_", "__dt_"))
+        }
+    return union_pad_frames(frames), mn
+
+
+def _eval_group_mn(
+    triples: DataFrame, g: dict, allow_product: bool = False
+) -> tuple[DataFrame, set]:
     """Evaluate one group spec (from _parse_group) — the recursive
     heart of the front-end: the flat pattern conjunction, nested
     subgroup/UNION frames and ``{ SELECT … }`` subquery frames are
     joined on their shared variables; then the group-level operators
     apply in SPARQL order — VALUES, OPTIONAL (whose bodies are FULL
     group specs, so they may carry their own FILTER/OPTIONAL/nested
-    groups — round-5), BIND, FILTER, EXISTS, NOT EXISTS, MINUS."""
+    groups — round-5), BIND, FILTER, EXISTS, NOT EXISTS, MINUS.
+
+    Returns ``(frame, maybe_null)`` where ``maybe_null`` is the set of
+    variables that can be UNBOUND (NULL) in the frame — introduced by
+    OPTIONAL, UNION padding, VALUES UNDEF branches, subqueries or BIND.
+    EXISTS/NOT EXISTS/MINUS use it to divert from the plain equi-join
+    fast path to the null-compatible evaluation (round-6 ADVICE: an
+    unbound shared variable is compatible-with-anything, which an
+    equi-join silently gets wrong)."""
     from .bgp import _conjunction, union_pad_frames
 
     patterns = g.get("patterns") or []
@@ -644,28 +680,53 @@ def _eval_group(
         if patterns
         else None
     )
-    subs: list[DataFrame] = []
+    mn: set = set()  # maybe-null variables of `bound` (BGP binds all)
+    subs: list[tuple[DataFrame, set]] = []
     for branches in g.get("subgroups") or []:
-        frames = [_eval_group(triples, b, allow_product) for b in branches]
-        subs.append(frames[0] if len(frames) == 1 else union_pad_frames(frames))
+        pairs = [_eval_group_mn(triples, b, allow_product) for b in branches]
+        subs.append(_union_pad_mn(pairs))
     for sq in g.get("subselects") or []:
-        subs.append(_exec_select(triples, sq, allow_product=allow_product))
-    for sf in subs:
+        sdf = _exec_select(triples, sq, allow_product=allow_product)
+        # conservative: a subquery's projection may emit NULLs (its own
+        # OPTIONAL/UNION) — mark every column; only costs the slower
+        # null-compatible path if one of them later feeds EXISTS/MINUS
+        subs.append((sdf, set(sdf.columns)))
+    def _drop_dup_hidden(incoming: DataFrame, base: DataFrame) -> DataFrame:
+        # Both sides may carry hidden __lang_/__dt_ columns for the
+        # SAME object variable (each bound it from a full-term frame);
+        # keep the base frame's copy so a later FILTER(LANG(?v)) never
+        # hits an ambiguous-column AnalysisException (round-6 ADVICE —
+        # mirrors _conjunction's dup_lang handling, bgp.py:421).
+        dup = [
+            c for c in incoming.columns
+            if c.startswith(("__lang_", "__dt_")) and c in base.columns
+        ]
+        return incoming.drop(*dup) if dup else incoming
+
+    for sf, sf_mn in subs:
         if bound is None:
-            bound = sf
+            bound, mn = sf, set(sf_mn)
             continue
         if all(c.startswith("_exists_") for c in bound.columns):
             # constant-only flat part gates the subgroup frame
-            bound = sf.join(bound, F.lit(True), "left_semi")
+            bound, mn = sf.join(bound, F.lit(True), "left_semi"), set(sf_mn)
             continue
+        sf = _drop_dup_hidden(sf, bound)
         shared = [
             c for c in sf.columns
             if c in bound.columns and not c.startswith(("__lang_", "__dt_"))
         ]
         if shared:
+            # inner equi-join: NULL keys never match, so the shared
+            # variables are definitely bound afterwards (the engine's
+            # documented group-join subset — full SPARQL compatible-
+            # merge join of two maybe-null sides is not expressible
+            # as one equi-join)
             bound = bound.join(sf, shared)
+            mn = (mn | sf_mn) - set(shared)
         elif allow_product:
             bound = bound.crossJoin(sf)
+            mn = mn | sf_mn
         else:
             raise ValueError(
                 "nested group shares no variable with the outer group; "
@@ -690,11 +751,13 @@ def _eval_group(
             mask = tuple(i for i, v in enumerate(row) if v is not None)
             by_mask.setdefault(mask, []).append(tuple(row[i] for i in mask))
         branches = []
+        branch_mns = []
         for mask, mrows in sorted(by_mask.items()):
             mvars = [varnames[i] for i in mask]
             if not mvars:
                 # all-UNDEF row: compatible with every solution
                 branches.append(bound)
+                branch_mns.append(set(mn))
                 continue
             vdf = spark.createDataFrame(
                 mrows, ", ".join(f"{v} string" for v in mvars)
@@ -702,41 +765,53 @@ def _eval_group(
             shared = [c for c in vdf.columns if c in bound.columns]
             if shared:
                 branches.append(bound.join(F.broadcast(vdf), shared))
+                branch_mns.append(set(mn) - set(shared))
             else:
                 branches.append(bound.crossJoin(F.broadcast(vdf)))
-        if len(branches) == 1:
-            bound = branches[0]
-        else:
-            from .bgp import union_pad_frames
-
-            bound = union_pad_frames(branches)
+                branch_mns.append(set(mn))
+        bound, mn = _union_pad_mn(list(zip(branches, branch_mns)))
     for og in g.get("optionals") or []:
-        gdf = _eval_group(triples, og, allow_product)
+        gdf, g_mn = _eval_group_mn(triples, og, allow_product)
         if _is_gate_frame(gdf):
             continue  # OPTIONAL {constant-only} binds nothing — no-op
         shared = _shared_vars(bound, gdf)
         if not shared:
             raise ValueError("OPTIONAL group shares no variable with the BGP")
+        gdf = _drop_dup_hidden(gdf, bound)
         bound = bound.join(gdf, shared, "left")
+        # every variable the OPTIONAL newly introduces is maybe-null
+        mn |= {
+            c for c in gdf.columns
+            if c not in shared and not c.startswith(("__lang_", "__dt_"))
+        }
     for expr, var in g.get("binds") or []:
         if var in bound.columns:
             raise ValueError(f"BIND target ?{var} is already bound")
         bound = bound.withColumn(var, F.expr(expr))
+        mn.add(var)  # conservative: the expression may evaluate to NULL
     for f in g.get("filters") or []:
         bound = bound.filter(F.expr(f))
     for eg in g.get("exists") or []:
-        gdf = _eval_group(triples, eg, allow_product)
+        gdf, g_mn = _eval_group_mn(triples, eg, allow_product)
         shared = _shared_vars(bound, gdf)
-        if shared:
+        sb = sorted(mn & set(shared))
+        sg = sorted(g_mn & set(shared))
+        if shared and (sb or sg):
+            bound = _null_compat_join(bound, gdf, shared, sb, sg, "exists")
+        elif shared:
             bound = bound.join(gdf.select(*shared).distinct(), shared, "left_semi")
         elif _is_gate_frame(gdf):
             bound = bound.join(gdf, F.lit(True), "left_semi")
         else:
             raise ValueError("EXISTS group shares no variable with the BGP")
     for ag in g.get("anti") or []:
-        gdf = _eval_group(triples, ag, allow_product)
+        gdf, g_mn = _eval_group_mn(triples, ag, allow_product)
         shared = _shared_vars(bound, gdf)
-        if shared:
+        sb = sorted(mn & set(shared))
+        sg = sorted(g_mn & set(shared))
+        if shared and (sb or sg):
+            bound = _null_compat_join(bound, gdf, shared, sb, sg, "not_exists")
+        elif shared:
             bound = bound.join(gdf.select(*shared).distinct(), shared, "left_anti")
         elif _is_gate_frame(gdf):
             # constant-only NOT EXISTS: empties iff the gate matched
@@ -744,13 +819,107 @@ def _eval_group(
         else:
             raise ValueError("NOT-EXISTS group shares no variable with the BGP")
     for mg in g.get("minus") or []:
-        gdf = _eval_group(triples, mg, allow_product)
+        gdf, g_mn = _eval_group_mn(triples, mg, allow_product)
         shared = _shared_vars(bound, gdf)
-        if shared:
+        sb = sorted(mn & set(shared))
+        sg = sorted(g_mn & set(shared))
+        if shared and (sb or sg):
+            bound = _null_compat_join(bound, gdf, shared, sb, sg, "minus")
+        elif shared:
             bound = bound.join(gdf.select(*shared).distinct(), shared, "left_anti")
         # else: disjoint-domain MINUS removes nothing (spec 8.3)
-    hidden = [c for c in bound.columns if c.startswith(("__lang_", "__dt_"))]
-    return bound.drop(*hidden) if hidden else bound
+    # Hidden __lang_/__dt_ columns stay ON the frame across group
+    # boundaries (round-6: an outer FILTER(LANG(?v)) may reference a
+    # variable bound inside a nested group or OPTIONAL; joins above are
+    # dup-safe via _drop_dup_hidden).  External consumers drop them
+    # through _drop_hidden.
+    return bound, mn
+
+
+def _null_compat_join(
+    bound: DataFrame,
+    gdf: DataFrame,
+    shared: list[str],
+    sb: list[str],
+    sg: list[str],
+    mode: str,
+) -> DataFrame:
+    """EXISTS / NOT EXISTS / MINUS when a shared variable can be
+    UNBOUND (NULL) on either side — compatible-solution semantics: two
+    solutions are compatible when they agree on every shared variable
+    bound in BOTH (an unbound variable is compatible with anything);
+    MINUS additionally requires at least one variable bound in both
+    (dom-overlap, SPARQL 8.3).
+
+    A single equi-join can't express this (NULL keys never match), and
+    an OR-of-IS-NULL join condition would force a broadcast-nested-loop
+    join — quadratic at store scale.  Instead the nullable shared
+    variables are branch-enumerated: each side splits by its exact
+    null-mask (statically enumerated subsets of ``sb``/``sg``), and
+    every (mask, mask) pair joins on the variables non-null in both —
+    plain equi-joins throughout, so each pair stays hash-joinable and
+    skew-aware under AQE.  Bound-side rows are routed to exactly one
+    mask branch (disjoint filters), so bag multiplicity is preserved;
+    within a branch the gdf mask groups are consumed via chained
+    semi/anti joins so no row is counted twice.  Guarded at ≤6 total
+    nullable shared variables (≤64 joins); beyond that the query is
+    rejected rather than silently exploding the plan."""
+    from itertools import combinations
+
+    if len(sb) + len(sg) > 6:
+        raise ValueError(
+            "EXISTS/NOT EXISTS/MINUS with more than 6 maybe-unbound "
+            f"shared variables ({sb + sg}) — the null-compatible "
+            "evaluation enumerates their null-masks; restructure the "
+            "query (bind the variables in the required part)"
+        )
+
+    def _subsets(vs: list[str]) -> list[set]:
+        return [set(c) for r in range(len(vs) + 1) for c in combinations(vs, r)]
+
+    def _mask_filter(df: DataFrame, nullable: list[str], mask: set) -> DataFrame:
+        for v in nullable:
+            df = df.filter(
+                F.col(v).isNotNull() if v in mask else F.col(v).isNull()
+            )
+        return df
+
+    out_frames: list[DataFrame] = []
+    for m in _subsets(sb):
+        remaining = _mask_filter(bound, sb, m)
+        kept: list[DataFrame] = []
+        for mg in _subsets(sg):
+            gpart = _mask_filter(gdf, sg, mg)
+            join_vars = [
+                v for v in shared
+                if (v not in sb or v in m) and (v not in sg or v in mg)
+            ]
+            if not join_vars:
+                if mode == "minus":
+                    continue  # no dom-overlap → MINUS removes nothing
+                gate = gpart.select(F.lit(True).alias("matched")).limit(1)
+                matched = remaining.join(gate, F.lit(True), "left_semi")
+                remaining = remaining.join(gate, F.lit(True), "left_anti")
+            else:
+                gj = gpart.select(*join_vars).distinct()
+                matched = remaining.join(gj, join_vars, "left_semi")
+                remaining = remaining.join(gj, join_vars, "left_anti")
+            if mode == "exists":
+                kept.append(matched)
+        out_frames.extend(kept if mode == "exists" else [remaining])
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _drop_hidden(df: DataFrame) -> DataFrame:
+    """Strip hidden __lang_/__dt_ carrier columns at the points where a
+    solution frame leaves the group-evaluation recursion (projection,
+    DISTINCT, CONSTRUCT/ASK/DESCRIBE) — they must never reach results
+    or affect solution multiplicity."""
+    hidden = [c for c in df.columns if c.startswith(("__lang_", "__dt_"))]
+    return df.drop(*hidden) if hidden else df
 
 
 def _exec_select(
@@ -761,7 +930,7 @@ def _exec_select(
     from .bgp import union_pad_frames
 
     frames = [_eval_group(triples, g, allow_product) for g in spec["groups"]]
-    out = frames[0] if len(frames) == 1 else union_pad_frames(frames)
+    out = _drop_hidden(frames[0] if len(frames) == 1 else union_pad_frames(frames))
     hav_aggs = spec.get("having_aggs") or []
     if spec["aggregates"] or (spec["group_by"] and hav_aggs):
         # SPARQL aggregation: GROUP BY keys must cover every bare
@@ -815,20 +984,21 @@ def _exec_select(
                 c = getattr(F, fn.lower())(F.col(arg))
             aggs.append(c.alias(alias))
         out = out.groupBy(*spec["group_by"]).agg(*aggs)
-        if spec["select"] is not None:
-            # aggregate-only SELECT lists still project ONLY the listed
-            # aliases — the GROUP BY keys don't leak (SELECT * keeps
-            # all); hidden __hav_ columns survive until the HAVING
-            # filters have run, then drop
-            out = out.select(
-                *spec["select"],
-                *[a for _, _, _, a, _x in spec["aggregates"]],
-                *[a for _, _, _, a, _x in hav_aggs],
-            )
+        # HAVING runs BEFORE the SELECT projection so it can reference
+        # GROUP BY keys the SELECT list drops (round-6 ADVICE —
+        # SELECT (SUM(?s) AS ?x) … GROUP BY ?t HAVING(?t != "a") is
+        # valid SPARQL); hidden __hav_ aliases then drop with it.
         for h in spec["having"]:
             out = out.filter(F.expr(h))
         if hav_aggs:
             out = out.drop(*[a for _, _, _, a, _x in hav_aggs])
+        if spec["select"] is not None:
+            # aggregate-only SELECT lists still project ONLY the listed
+            # aliases — the GROUP BY keys don't leak (SELECT * keeps all)
+            out = out.select(
+                *spec["select"],
+                *[a for _, _, _, a, _x in spec["aggregates"]],
+            )
     elif spec["group_by"]:
         # GROUP BY without aggregates: one solution per group — the
         # grouped projection (round-4 ADVICE: this used to be parsed
@@ -901,7 +1071,7 @@ def sparql_construct(
     g = _parse_group(p)
     if p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
-    sol = _eval_group(triples, g, allow_product=allow_product)
+    sol = _drop_hidden(_eval_group(triples, g, allow_product=allow_product))
     return construct_from_solutions(sol, template)
 
 
@@ -918,7 +1088,9 @@ def sparql_ask(
     g = _parse_group(p)
     if p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
-    return ask_from_solutions(_eval_group(triples, g, allow_product=allow_product))
+    return ask_from_solutions(
+        _drop_hidden(_eval_group(triples, g, allow_product=allow_product))
+    )
 
 
 def store_sparql(
@@ -1003,7 +1175,7 @@ def sparql_describe(
             raise ValueError("DESCRIBE with variables needs a WHERE group")
         p.expect("WHERE")
         g = _parse_group(p)
-        sol = _eval_group(triples, g, allow_product=allow_product)
+        sol = _drop_hidden(_eval_group(triples, g, allow_product=allow_product))
         for v in vars_:
             if v not in sol.columns:
                 raise ValueError(f"DESCRIBE variable ?{v} not bound")

@@ -4,6 +4,9 @@ vectorized kernels, and require exact set equality."""
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import functions as F
 
 from kgspark import rdfio
@@ -472,3 +475,58 @@ def test_jsonld_expanded_documents(spark):
     )
     got2 = {tuple(r) for r in rdfio.parse_jsonld_expanded(bad).collect()}
     assert got2 == {("ex:x", "ex:p", "v", "literal", "", "")}
+
+
+def test_ttl_term_rejects_leading_dash_local(spark):
+    # PN_LOCAL may not begin with '-' (round-6 ADVICE): ex:-x is
+    # illegal Turtle and must serialize bracketed, not as a bare
+    # prefixed name external parsers reject.
+    t = spark.createDataFrame(
+        [("ex:-x", "rdf:type", "ex:Thing"), ("ex:x-y", "rdf:type", "ex:Thing")],
+        "s string, p string, o string",
+    )
+    lines = [r["line"] for r in rdfio.to_turtle(t).collect()]
+    dash = next(l for l in lines if "-x" in l and "x-y" not in l)
+    ok = next(l for l in lines if "x-y" in l)
+    assert dash.startswith("<http://example.org/kg#-x>")
+    assert ok.startswith("ex:x-y ")  # interior dash stays prefixed
+    # roundtrip still exact through the in-repo parser
+    back = rdfio.parse_turtle(rdfio.to_turtle(t))
+    assert {(r["s"], r["p"], r["o"]) for r in back.collect()} == {
+        ("ex:-x", "rdf:type", "ex:Thing"), ("ex:x-y", "rdf:type", "ex:Thing")
+    }
+
+
+def test_store_write_lock_breaks_stale_holder(tmp_path):
+    # Round-6 ADVICE: a lockfile left by a SIGKILLed writer (dead pid)
+    # must be broken automatically instead of spinning to TimeoutError.
+    import subprocess
+
+    from kgspark.rdfio import _StoreWriteLock
+
+    store = str(tmp_path / "store")
+    os.makedirs(store, exist_ok=True)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lockfile = os.path.join(store, "_store.lock")
+    with open(lockfile, "w") as f:
+        f.write(str(proc.pid))  # a pid that is verifiably dead
+    t0 = time.monotonic()
+    with _StoreWriteLock(store, timeout=10.0):
+        pass  # acquired by breaking the stale lock
+    assert time.monotonic() - t0 < 5.0
+    assert not os.path.exists(lockfile)
+
+
+def test_store_write_lock_respects_live_holder(tmp_path):
+    from kgspark.rdfio import _StoreWriteLock
+
+    store = str(tmp_path / "store")
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "_store.lock"), "w") as f:
+        f.write(str(os.getpid()))  # live pid — NOT stale
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        with _StoreWriteLock(store, timeout=0.3):
+            pass

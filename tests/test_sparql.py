@@ -916,3 +916,125 @@ def test_having_with_inline_aggregates(tri):
         "GROUP BY ?t HAVING(SUM(?s) > 10)",
     )
     assert _rows(out3) == {("ex:Robot",)}
+
+
+def test_having_on_group_key_not_in_select(tri):
+    # Round-6 ADVICE: HAVING may reference a GROUP BY key the SELECT
+    # list drops — the filter must run BEFORE the projection.
+    out = sparql_select(
+        tri,
+        "SELECT (SUM(?s) AS ?x) WHERE { ?e rdf:type ?t . ?e ex:score ?s } "
+        'GROUP BY ?t HAVING(?t != "ex:Robot")',
+    )
+    assert out.columns == ["x"]
+    assert _rows(out) == {(9,)}  # Person scores 7+2; Robot filtered out
+
+
+def test_optional_dup_lang_columns(spark):
+    # Round-6 ADVICE: OPTIONAL body binding the SAME object variable
+    # from a full-term frame used to duplicate the hidden __lang_
+    # column, making a later FILTER(LANG(?l)) ambiguous.
+    from kgspark import rdfio
+
+    rows = [
+        ("ex:a", "rdfs:label", "alice", "literal", "en", ""),
+        ("ex:a", "rdfs:label", "alicia", "literal", "es", ""),
+        ("ex:z", "ex:alias", "alice", "literal", "en", ""),
+    ]
+    t = spark.createDataFrame(rows, rdfio.PARSED_DDL)
+    out = sparql_select(
+        t,
+        "SELECT ?x ?l ?z WHERE { ?x rdfs:label ?l . "
+        'OPTIONAL { ?z ex:alias ?l } FILTER(LANG(?l) = "en") }',
+    )
+    assert set(out.columns) == {"x", "l", "z"}
+    assert _rows(out) == {("ex:a", "alice", "ex:z")}
+    # same dup through the nested-subgroup join path
+    out2 = sparql_select(
+        t,
+        "SELECT ?x ?l ?z WHERE { { ?x rdfs:label ?l } "
+        '{ ?z ex:alias ?l } FILTER(LANG(?l) = "en") }',
+    )
+    assert _rows(out2) == {("ex:a", "alice", "ex:z")}
+
+
+def test_exists_with_optional_unbound_shared_var(spark):
+    # Round-6 ADVICE (medium): an OPTIONAL-unbound shared variable is
+    # compatible-with-anything under EXISTS — the plain equi-join used
+    # to silently drop such rows (NULL keys never match).
+    rows = [
+        ("ex:a", "rdf:type", "ex:Person"),
+        ("ex:b", "rdf:type", "ex:Person"),
+        ("ex:a", "ex:knows", "ex:b"),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    out = sparql_select(
+        t,
+        "SELECT ?x ?y WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } "
+        "FILTER EXISTS { ?y rdf:type ex:Person } }",
+    )
+    # (a, ex:b) matches outright; (b, NULL) has ?y unbound → compatible
+    # with the non-empty EXISTS group → kept
+    assert _rows(out) == {("ex:a", "ex:b"), ("ex:b", None)}
+    # complement: NOT EXISTS keeps nothing
+    out2 = sparql_select(
+        t,
+        "SELECT ?x ?y WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } "
+        "FILTER NOT EXISTS { ?y rdf:type ex:Person } }",
+    )
+    assert _rows(out2) == set()
+
+
+def test_minus_with_optional_unbound_shared_var(spark):
+    # MINUS compatibility: unbound ?y is compatible; removal needs only
+    # the dom-overlap on ?x (SPARQL 8.3).  The old equi-join on [x, y]
+    # kept (b, NULL) because NULL never equals anything.
+    rows = [
+        ("ex:a", "rdf:type", "ex:Person"),
+        ("ex:b", "rdf:type", "ex:Person"),
+        ("ex:a", "ex:knows", "ex:b"),
+        ("ex:b", "ex:mentor", "ex:a"),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    out = sparql_select(
+        t,
+        "SELECT ?x ?y WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } "
+        "MINUS { ?x ex:mentor ?y } }",
+    )
+    # (a, ex:b): MINUS row (b, a) disagrees on bound ?x → kept
+    # (b, NULL): agrees on ?x with (b, a), ?y unbound-compatible,
+    #            dom-overlap {x} → removed
+    assert _rows(out) == {("ex:a", "ex:b")}
+
+
+def test_minus_unbound_shared_only_var_keeps_row(spark):
+    # When the ONLY shared variable is unbound there is no dom-overlap
+    # → MINUS removes nothing (would be removed under EXISTS).
+    rows = [
+        ("ex:a", "rdf:type", "ex:Person"),
+        ("ex:b", "rdf:type", "ex:Person"),
+        ("ex:a", "ex:knows", "ex:b"),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    out = sparql_select(
+        t,
+        "SELECT ?x ?y WHERE { ?x rdf:type ex:Person . "
+        "OPTIONAL { ?x ex:knows ?y } "
+        "MINUS { ?y rdf:type ex:Person } }",
+    )
+    # (a, ex:b) removed (ex:b is a Person, overlap {y}); (b, NULL) kept
+    assert _rows(out) == {("ex:b", None)}
+
+
+def test_null_compat_join_guard():
+    from kgspark.sparql import _null_compat_join
+
+    with pytest.raises(ValueError, match="maybe-unbound"):
+        _null_compat_join(
+            None, None, [f"v{i}" for i in range(7)],
+            [f"v{i}" for i in range(4)], [f"v{i}" for i in range(4, 7)],
+            "exists",
+        )
