@@ -187,6 +187,18 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True,
         n_mentions, n_triples, e2e_i = _staged_pipeline(spark, docs, emb, t_i, s_i)
 
         if with_queries:
+            # Pre-warm the memoized (session, sf_dir) labels chain so
+            # its one-time materialization cost is reported HERE and
+            # not absorbed by whichever store query happens to run
+            # first (round-5 bench: kg_entity_media silently paid it).
+            # Only the first pass pays; the warm cost is recorded once
+            # and kept out of the per-query min-merge below.
+            if "labels_chain_warm" not in timings:
+                t0 = time.time()
+                _m, _labels = Q._labels(spark, sf_dir)
+                _labels.count()
+                _m.count()
+                timings["labels_chain_warm"] = round(time.time() - t0, 3)
             for name in ["kg_spans_flat", "kg_media_features", "tpch_q1",
                          "revenue_by_nation", "top2_lineitems_per_order",
                          "event_type_stats", "dedup_minhash_pairs",
