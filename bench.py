@@ -177,9 +177,21 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True,
 
     timings: dict[str, float] = {}
     stages: dict[str, dict] = {}
+    bench_query_names = [
+        "kg_spans_flat", "kg_media_features", "tpch_q1",
+        "revenue_by_nation", "top2_lineitems_per_order",
+        "event_type_stats", "dedup_minhash_pairs",
+        "dedup_simhash_pairs", "ngram_jaccard_pairs", "langid",
+        "ann_topk", "ann_ivf_probe", "embedding_neardup",
+        "text_quality", "event_sessions",
+        # round-4 store query surface (amortize the memoized
+        # pipeline chain across the three)
+        "kg_sparql_topk", "kg_sameas_degree",
+        "kg_entity_media", "doc_pack_assign",
+    ]
     n_mentions = n_triples = 0
     e2e = None
-    for _ in range(max(passes, 1)):
+    for pass_i in range(max(passes, 1)):
         t_i: dict[str, float] = {}
         s_i: dict[str, dict] = {}
         docs = _scaled_documents(spark, sf_dir, rep)
@@ -199,16 +211,16 @@ def _run_bench(sf_dir: str, cpus: int, rep: int = 1, with_queries: bool = True,
                 _labels.count()
                 _m.count()
                 timings["labels_chain_warm"] = round(time.time() - t0, 3)
-            for name in ["kg_spans_flat", "kg_media_features", "tpch_q1",
-                         "revenue_by_nation", "top2_lineitems_per_order",
-                         "event_type_stats", "dedup_minhash_pairs",
-                         "dedup_simhash_pairs", "ngram_jaccard_pairs", "langid",
-                         "ann_topk", "ann_ivf_probe", "embedding_neardup",
-                         "text_quality", "event_sessions",
-                         # round-4 store query surface (amortize the
-                         # memoized pipeline chain across the three)
-                         "kg_sparql_topk", "kg_sameas_degree",
-                         "kg_entity_media", "doc_pack_assign"]:
+            # Odd passes run the list REVERSED: the VM's multi-minute
+            # noisy-neighbor windows (BENCH/BASELINE.md §0) otherwise
+            # hit the SAME query at the same sequence offset in every
+            # pass, defeating the per-query min (r5/r6: the 6× outlier
+            # slot wandered between minhash and simhash run-to-run).
+            order = (
+                bench_query_names if pass_i % 2 == 0
+                else list(reversed(bench_query_names))
+            )
+            for name in order:
                 fn = getattr(Q, name)
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()

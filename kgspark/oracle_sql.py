@@ -1788,3 +1788,25 @@ SELECT d.source,
 FROM documents d LEFT JOIN ckeep k USING (doc_id)
 GROUP BY d.source
 """
+# r6: SPARQL UPDATE end-state — pre-state (nation → per-region graphs)
+# minus CLEAR ex:reg0, minus DELETE WHERE o='CHINA', minus the ground
+# DELETE DATA row, plus the two INSERT DATA rows.
+KG_SPARQL_UPDATE_SQL = """
+WITH base AS (
+  SELECT 'ex:reg' || CAST(n_regionkey AS VARCHAR) AS g,
+         'ex:nat' || CAST(n_nationkey AS VARCHAR) AS s,
+         'ex:name' AS p,
+         n_name AS o
+  FROM nation
+),
+survivors AS (
+  SELECT * FROM base
+  WHERE g <> 'ex:reg0'
+    AND NOT (p = 'ex:name' AND o = 'CHINA')
+    AND NOT (g = 'ex:reg1' AND s = 'ex:nat1'
+             AND p = 'ex:name' AND o = 'ARGENTINA')
+)
+SELECT g, s, p, o FROM survivors
+UNION ALL SELECT 'urn:x-kgspark:default', 'ex:extra', 'ex:name', 'ATLANTIS'
+UNION ALL SELECT 'ex:reg9', 'ex:nat99', 'ex:flag', 'ex:new'
+"""

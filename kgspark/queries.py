@@ -1710,3 +1710,40 @@ def dedup_rate_by_source(spark, sf_dir):
             ).cast("bigint").alias("drop_rate_e6"),
         )
     )
+
+
+def kg_sparql_update(spark, sf_dir):
+    """SPARQL UPDATE verbs (round-6, O5/O6 write path): build a store
+    from the nation table (one named graph per region), run one
+    ';'-chained update request exercising all four verbs — CLEAR
+    GRAPH, DELETE WHERE (implicit per-graph pattern), DELETE DATA
+    (GRAPH form), INSERT DATA (default-graph + GRAPH forms) — under a
+    single writer lock, then read the end state back.  The oracle
+    recomputes pre-state ± delta in DuckDB."""
+    import tempfile
+
+    from . import rdfio
+    from .sparql import store_update
+
+    nat = _t(spark, sf_dir, "nation")
+    quads = nat.select(
+        F.concat(F.lit("ex:reg"), F.col("n_regionkey").cast("string")).alias("g"),
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+    store = tempfile.mkdtemp(prefix="kgspark_upd_")
+    rdfio.write_nquads_store(quads, store)
+    store_update(spark, store, '''
+        CLEAR GRAPH ex:reg0 ;
+        DELETE WHERE { ?s ex:name "CHINA" } ;
+        DELETE DATA { GRAPH ex:reg1 { ex:nat1 ex:name "ARGENTINA" } } ;
+        INSERT DATA {
+          ex:extra ex:name "ATLANTIS" .
+          GRAPH ex:reg9 { ex:nat99 ex:flag ex:new }
+        }
+    ''')
+    return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")

@@ -663,6 +663,25 @@ class _StoreWriteLock:
         return False
 
 
+def _replace_graphs_unlocked(quads: DataFrame, path: str) -> None:
+    """The write body of :func:`replace_graphs` WITHOUT taking the
+    store lock — for callers that already hold it (store_update runs a
+    whole UPDATE request under one lock; the O_EXCL lock is not
+    reentrant).  The overwrite-mode conf flip stays inside the caller's
+    lock because the conf is session-global."""
+    spark = quads.sparkSession
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        quads.select("g", _nt_line_col(quads).alias("line")).write.mode(
+            "overwrite"
+        ).partitionBy("g").text(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def replace_graphs(
     quads: DataFrame, path: str, lock_timeout: float = 60.0
 ) -> None:
@@ -675,21 +694,53 @@ def replace_graphs(
     (writerd semantics): overlapping replaces commit one-at-a-time, so
     a reader never observes a torn graph mixing two writers' payloads —
     each graph's directory is entirely one PUT's output (tested with
-    interleaved writers in tests/test_rdfio.py).  The overwrite-mode
-    conf flip is also inside the lock, because the conf is
-    session-global."""
-    spark = quads.sparkSession
+    interleaved writers in tests/test_rdfio.py)."""
     with _StoreWriteLock(path, timeout=lock_timeout):
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            quads.select("g", _nt_line_col(quads).alias("line")).write.mode(
-                "overwrite"
-            ).partitionBy("g").text(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _replace_graphs_unlocked(quads, path)
+
+
+def store_graph_dirs(path: str) -> dict[str, str]:
+    """Named graphs present in a partitioned store → their partition
+    directories.  Spark escapes partition values with %XX (URL-style),
+    so the graph IRI is recovered with unquote — robust against the
+    exact escape set.  A metadata-scale listing (one dir per graph),
+    the local-FS analogue of a catalog's partition list."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    if not os.path.isdir(path):
+        return out
+    for d in sorted(os.listdir(path)):
+        if d.startswith("g="):
+            out[unquote(d[2:])] = os.path.join(path, d)
+    return out
+
+
+def _remove_graph_dirs(path: str, graphs) -> list[str]:
+    """Remove the partition directories of ``graphs`` (CLEAR GRAPH /
+    a graph emptied by DELETE) — dynamic partition overwrite cannot
+    delete a partition it writes no rows into.  Caller must hold the
+    store lock.  Returns the graphs actually removed.  At cluster
+    scale this is the table-format DROP PARTITION / delete-manifest
+    operation; on the local store it is an rmtree."""
+    import shutil
+
+    dirs = store_graph_dirs(path)
+    removed = []
+    for g in graphs:
+        if g in dirs:
+            shutil.rmtree(dirs[g])
+            removed.append(g)
+    return removed
+
+
+def compact_str(term: str) -> str:
+    """Python-side mirror of the parse kernels' ``_compact``: full IRI →
+    prefixed form when a known prefix applies, so ground terms typed in
+    an UPDATE request compare equal to parsed store rows."""
+    for p, full in PREFIXES.items():
+        term = term.replace(full, p)
+    return term
 
 
 def read_nquads_store(spark, path: str, graph=None) -> DataFrame:

@@ -1210,3 +1210,337 @@ def construct_into_store(
     replace_graphs(
         g.select(F.lit(graph).alias("g"), "s", "p", "o"), path
     )
+
+
+# --- SPARQL UPDATE (subset) ---------------------------------------------------
+# Twine's ingest consumers WRITE through the store surface (sparql-put,
+# writerd serialization — SURVEY §2 O5/O6).  The read-only text surface
+# above gains the four update verbs that cover that path: INSERT DATA,
+# DELETE DATA, DELETE WHERE, CLEAR/DROP GRAPH (plus CLEAR DEFAULT/ALL),
+# executed against the per-graph partitioned N-Quads store.  A request
+# may chain operations with ';' — the whole request runs under ONE
+# store write lock, so concurrent updaters serialize request-at-a-time
+# exactly like replace_graphs writers.
+
+DEFAULT_GRAPH = "urn:x-kgspark:default"
+"""Graph that bare (non-GRAPH) triples in INSERT/DELETE DATA target —
+the store keys every row by named graph (partition column), so the
+default graph is itself a named partition."""
+
+_PY_UNESCAPE = {"n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape_str(s: str) -> str:
+    """Single-pass ``\\x`` unescape for ground literals in an UPDATE
+    request — mirrors the parse kernels' _unescape so inserted rows
+    compare equal to parsed store rows."""
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(_PY_UNESCAPE.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _ground_term(tok: str) -> str:
+    from .rdfio import compact_str
+
+    if tok.startswith("?"):
+        raise ValueError(
+            "INSERT DATA / DELETE DATA must be ground — no variables"
+        )
+    return compact_str(_term(tok))
+
+
+def _parse_data_triples(p: _P) -> list[tuple]:
+    """Ground triples inside a DATA block → (s, p, o, o_kind, o_lang,
+    o_datatype) rows.  Literal objects may carry @lang or ^^datatype
+    suffixes; predicates must be plain terms (no property paths)."""
+    from .bgp import _parse_path
+
+    rows = []
+    while p.peek() not in ("}", None) and (p.peek() or "").upper() != "GRAPH":
+        s = p.take()
+        pred = p.take()
+        if pred == "a":
+            pred = "rdf:type"
+        o = p.take()
+        o_kind, o_lang, o_dt = "iri", "", ""
+        if o.startswith('"'):
+            o_kind = "literal"
+            nxt = p.peek()
+            if nxt is not None and nxt.startswith("@"):
+                o_lang = p.take()[1:]
+            elif nxt is not None and nxt.startswith("^^"):
+                o_dt = _ground_term(p.take()[2:])
+        if _parse_path(pred) is not None:
+            raise ValueError(
+                f"property path not allowed in a DATA block: {pred!r}"
+            )
+        rows.append((
+            _ground_term(s), _ground_term(pred),
+            _unescape_str(_ground_term(o)) if o_kind == "literal"
+            else _ground_term(o),
+            o_kind, o_lang, o_dt,
+        ))
+        p.kw(".")
+    return rows
+
+
+def _parse_quad_data(p: _P) -> list[tuple]:
+    """``{ triples… GRAPH <g> { triples… } … }`` → (graph-or-None, s,
+    p, o, o_kind, o_lang, o_datatype) rows; None marks the default
+    graph (resolved by the executor)."""
+    p.expect("{")
+    quads: list[tuple] = []
+    while (p.peek() or "}") != "}":
+        if (p.peek() or "").upper() == "GRAPH":
+            p.take()
+            gtok = p.take()
+            if gtok.startswith("?"):
+                raise ValueError("GRAPH in a DATA block needs a constant IRI")
+            gname = _ground_term(gtok)
+            p.expect("{")
+            rows = _parse_data_triples(p)
+            p.expect("}")
+            p.kw(".")
+            quads += [(gname,) + r for r in rows]
+        else:
+            rows = _parse_data_triples(p)
+            if not rows:
+                raise ValueError(
+                    f"SPARQL UPDATE parse error at {p.peek()!r}"
+                )
+            quads += [(None,) + r for r in rows]
+    p.expect("}")
+    if not quads:
+        raise ValueError("empty DATA block")
+    return quads
+
+
+def _parse_quad_patterns(p: _P) -> list[tuple]:
+    """DELETE WHERE body: quad patterns only (the spec's QuadPattern —
+    no FILTER/OPTIONAL).  Bare patterns get the implicit shared graph
+    variable ``?__g``: they match within a single named graph at a
+    time and delete from that graph — the per-document-graph semantics
+    of this store (a bare pattern spanning two graphs is not a match).
+    ``GRAPH <iri>/{?v} { … }`` scopes explicitly."""
+    from .bgp import _parse_path
+
+    p.expect("{")
+    pats: list[tuple] = []
+    while (p.peek() or "}") != "}":
+        if (p.peek() or "").upper() == "GRAPH":
+            p.take()
+            gterm = _term(p.take())
+            p.expect("{")
+            inner = _parse_patterns(p)
+            p.expect("}")
+            p.kw(".")
+            pats += [(gterm,) + t for t in inner]
+        else:
+            inner = _parse_patterns(p)
+            if not inner:
+                raise ValueError(
+                    f"SPARQL UPDATE parse error at {p.peek()!r} — "
+                    "DELETE WHERE allows quad patterns only"
+                )
+            pats += [("?__g",) + t for t in inner]
+    p.expect("}")
+    if not pats:
+        raise ValueError("empty DELETE WHERE block")
+    for _g, _s, _p, _o in pats:
+        if not _p.startswith("?") and _parse_path(_p) is not None:
+            raise ValueError(
+                f"property path not allowed in DELETE WHERE: {_p!r}"
+            )
+    return pats
+
+
+def parse_update(update: str) -> list[dict]:
+    """Parse an UPDATE request (operations chained with ';') → op
+    specs: {"op": "insert_data"|"delete_data", "quads": […]},
+    {"op": "delete_where", "patterns": […]}, {"op": "clear",
+    "scope": "graph"|"default"|"named"|"all", "graph": iri?,
+    "silent": bool}."""
+    p = _P(_tokenize(update))
+    ops: list[dict] = []
+    while p.peek() is not None:
+        verb = p.take().upper()
+        if verb == "INSERT":
+            p.expect("DATA")
+            ops.append({"op": "insert_data", "quads": _parse_quad_data(p)})
+        elif verb == "DELETE":
+            if p.kw("DATA"):
+                ops.append({"op": "delete_data", "quads": _parse_quad_data(p)})
+            elif p.kw("WHERE"):
+                ops.append(
+                    {"op": "delete_where", "patterns": _parse_quad_patterns(p)}
+                )
+            else:
+                raise ValueError(
+                    "only DELETE DATA / DELETE WHERE are supported "
+                    f"(got DELETE {p.peek()!r})"
+                )
+        elif verb in ("CLEAR", "DROP"):
+            silent = p.kw("SILENT")
+            if p.kw("GRAPH"):
+                ops.append({
+                    "op": "clear", "scope": "graph",
+                    "graph": _ground_term(p.take()), "silent": silent,
+                })
+            elif p.kw("DEFAULT"):
+                ops.append({"op": "clear", "scope": "default",
+                            "graph": None, "silent": silent})
+            elif p.kw("NAMED"):
+                ops.append({"op": "clear", "scope": "named",
+                            "graph": None, "silent": silent})
+            elif p.kw("ALL"):
+                ops.append({"op": "clear", "scope": "all",
+                            "graph": None, "silent": silent})
+            else:
+                raise ValueError(f"{verb} needs GRAPH <iri> / DEFAULT / "
+                                 f"NAMED / ALL (got {p.peek()!r})")
+        else:
+            raise ValueError(f"unsupported SPARQL UPDATE verb: {verb!r}")
+        if not p.kw(";") and p.peek() is not None:
+            raise ValueError(
+                f"SPARQL UPDATE parse error: expected ';' or end, "
+                f"got {p.peek()!r}"
+            )
+    if not ops:
+        raise ValueError("empty SPARQL UPDATE request")
+    return ops
+
+
+def store_update(
+    spark,
+    path: str,
+    update: str,
+    default_graph: str = DEFAULT_GRAPH,
+    allow_product: bool = False,
+    lock_timeout: float = 60.0,
+) -> dict:
+    """Execute a SPARQL UPDATE request against the partitioned N-Quads
+    store — the write half of the store surface (Twine's sparql-put /
+    writerd loop; the read half is :func:`store_sparql`).
+
+    The WHOLE request (all ';'-chained operations) runs under one
+    :class:`_StoreWriteLock`, so concurrent updaters serialize
+    request-at-a-time and every read-modify-write inside is atomic
+    with respect to other writers.  Each operation touches only the
+    graphs it affects — a dynamic partition overwrite of exactly those
+    graph directories (plus explicit directory removal for graphs an
+    operation empties, which a zero-row overwrite cannot express).
+
+    Scale shape: INSERT/DELETE DATA read only the affected graphs'
+    partitions (partition-pruned scans), union/anti-join against a
+    broadcast-sized ground-quad frame, and rewrite only those
+    partitions.  DELETE WHERE is a conjunctive quad match (the same
+    _conjunction equi-join plan the read surface uses) followed by a
+    left_anti join per affected graph; its affected-graph collect is
+    metadata-scale (bounded by the store's graph count)."""
+    from . import rdfio
+
+    ops = parse_update(update)
+    results: list[dict] = []
+    with rdfio._StoreWriteLock(path, timeout=lock_timeout):
+        for op in ops:
+            results.append(
+                _exec_update_op(spark, path, op, default_graph, allow_product)
+            )
+    return {"ops": results}
+
+
+def _exec_update_op(
+    spark, path: str, op: dict, default_graph: str, allow_product: bool
+) -> dict:
+    from . import rdfio
+    from .bgp import _conjunction
+
+    kind = op["op"]
+    if kind in ("insert_data", "delete_data"):
+        rows = [
+            ((q[0] if q[0] is not None else default_graph),) + tuple(q[1:])
+            for q in op["quads"]
+        ]
+        data = spark.createDataFrame(rows, rdfio.QUADS_PARSED_DDL)
+        affected = sorted({r[0] for r in rows})
+        dirs = rdfio.store_graph_dirs(path)
+        have = [g for g in affected if g in dirs]
+        if kind == "insert_data":
+            new = data
+            if have:
+                new = rdfio.read_nquads_store(spark, path, graph=have) \
+                    .unionByName(data)
+            rdfio._replace_graphs_unlocked(new.distinct(), path)
+            return {"op": kind, "graphs": affected, "quads": len(rows)}
+        # delete_data: only graphs that exist can lose rows
+        if not have:
+            return {"op": kind, "graphs": [], "quads": 0}
+        existing = rdfio.read_nquads_store(spark, path, graph=have)
+        remaining = existing.join(
+            F.broadcast(data.select("g", "s", "p", "o")),
+            ["g", "s", "p", "o"], "left_anti",
+        )
+        nonempty = {r["g"] for r in remaining.groupBy("g").count().collect()}
+        if nonempty:
+            rdfio._replace_graphs_unlocked(remaining, path)
+        rdfio._remove_graph_dirs(path, [g for g in have if g not in nonempty])
+        return {"op": kind, "graphs": have, "quads": len(rows)}
+
+    if kind == "delete_where":
+        dirs = rdfio.store_graph_dirs(path)
+        if not dirs:
+            return {"op": kind, "graphs": [], "quads": 0}
+        quads = rdfio.read_nquads_store(spark, path)
+        sol = _conjunction(
+            quads, op["patterns"], allow_product=allow_product
+        )
+
+        def term(t: str):
+            return F.col(_var(t)) if t.startswith("?") else F.lit(t)
+
+        dels = None
+        for g4 in op["patterns"]:
+            inst = sol.select(
+                term(g4[0]).alias("g"), term(g4[1]).alias("s"),
+                term(g4[2]).alias("p"), term(g4[3]).alias("o"),
+            )
+            dels = inst if dels is None else dels.unionByName(inst)
+        dels = dels.dropna(subset=["g", "s", "p", "o"]).distinct()
+        affected = sorted(r["g"] for r in dels.select("g").distinct().collect())
+        if not affected:
+            return {"op": kind, "graphs": [], "quads": 0}
+        n_dels = dels.count()
+        existing = rdfio.read_nquads_store(spark, path, graph=affected)
+        remaining = existing.join(dels, ["g", "s", "p", "o"], "left_anti")
+        nonempty = {r["g"] for r in remaining.groupBy("g").count().collect()}
+        if nonempty:
+            rdfio._replace_graphs_unlocked(remaining, path)
+        rdfio._remove_graph_dirs(
+            path, [g for g in affected if g not in nonempty]
+        )
+        return {"op": kind, "graphs": affected, "quads": n_dels}
+
+    if kind == "clear":
+        dirs = rdfio.store_graph_dirs(path)
+        scope = op["scope"]
+        if scope == "graph":
+            targets = [op["graph"]]
+        elif scope == "default":
+            targets = [default_graph]
+        elif scope == "named":
+            targets = [g for g in dirs if g != default_graph]
+        else:  # all
+            targets = list(dirs)
+        removed = rdfio._remove_graph_dirs(path, targets)
+        missing = [g for g in targets if g not in removed]
+        if missing and scope == "graph" and not op["silent"]:
+            raise ValueError(f"CLEAR GRAPH: graph not in store: {missing[0]}")
+        return {"op": kind, "graphs": removed, "quads": 0}
+
+    raise AssertionError(f"unknown op {kind!r}")

@@ -1,0 +1,226 @@
+"""SPARQL UPDATE (round-6): the four verbs against the partitioned
+N-Quads store — parser, executor semantics, writer-lock serialization
+through the UPDATE path, and a ValueError-only fuzz gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgspark import rdfio
+from kgspark.sparql import DEFAULT_GRAPH, parse_update, store_update
+
+
+def _state(spark, store):
+    return {
+        tuple(r)
+        for r in rdfio.read_nquads_store(spark, store)
+        .select("g", "s", "p", "o").collect()
+    }
+
+
+def test_insert_data_default_and_graph_forms(spark, tmp_path):
+    store = str(tmp_path / "store")
+    r = store_update(spark, store, '''
+        INSERT DATA {
+          ex:a rdfs:label "alice"@en .
+          GRAPH ex:g1 { ex:a ex:knows ex:b . ex:b ex:knows ex:c }
+        }''')
+    assert r["ops"][0]["quads"] == 3
+    assert _state(spark, store) == {
+        (DEFAULT_GRAPH, "ex:a", "rdfs:label", "alice"),
+        ("ex:g1", "ex:a", "ex:knows", "ex:b"),
+        ("ex:g1", "ex:b", "ex:knows", "ex:c"),
+    }
+    # lang tag survives the store roundtrip
+    row = (
+        rdfio.read_nquads_store(spark, store, graph=DEFAULT_GRAPH)
+        .select("o_kind", "o_lang").collect()[0]
+    )
+    assert (row["o_kind"], row["o_lang"]) == ("literal", "en")
+    # set semantics: re-inserting an existing quad is a no-op
+    store_update(spark, store, "INSERT DATA { GRAPH ex:g1 { ex:a ex:knows ex:b } }")
+    assert rdfio.read_nquads_store(spark, store).count() == 3
+
+
+def test_delete_data_and_graph_emptying(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b }
+                      GRAPH ex:g2 { ex:c ex:p ex:d . ex:c ex:p ex:e } }''')
+    store_update(spark, store, "DELETE DATA { GRAPH ex:g2 { ex:c ex:p ex:d } }")
+    assert _state(spark, store) == {
+        ("ex:g1", "ex:a", "ex:p", "ex:b"), ("ex:g2", "ex:c", "ex:p", "ex:e")
+    }
+    # deleting a graph's last quad removes its partition directory
+    store_update(spark, store, "DELETE DATA { GRAPH ex:g2 { ex:c ex:p ex:e } }")
+    assert sorted(rdfio.store_graph_dirs(store)) == ["ex:g1"]
+    # deleting from a graph not in the store is a silent no-op
+    r = store_update(spark, store, "DELETE DATA { GRAPH ex:nope { ex:x ex:y ex:z } }")
+    assert r["ops"][0]["graphs"] == []
+
+
+def test_delete_where_implicit_per_graph(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA {
+          GRAPH ex:g1 { ex:a ex:knows ex:b . ex:a rdf:type ex:P }
+          GRAPH ex:g2 { ex:x ex:knows ex:y }
+        }''')
+    r = store_update(spark, store, "DELETE WHERE { ?s ex:knows ?o }")
+    assert r["ops"][0]["quads"] == 2
+    assert sorted(r["ops"][0]["graphs"]) == ["ex:g1", "ex:g2"]
+    # matching quads removed from BOTH graphs; ex:g2 emptied → gone
+    assert _state(spark, store) == {("ex:g1", "ex:a", "rdf:type", "ex:P")}
+    assert sorted(rdfio.store_graph_dirs(store)) == ["ex:g1"]
+
+
+def test_delete_where_bare_patterns_stay_within_one_graph(spark, tmp_path):
+    # the implicit ?__g is SHARED: a conjunction spanning two graphs is
+    # not a match (per-document-graph store semantics, documented)
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA {
+          GRAPH ex:g1 { ex:a ex:p ex:b }
+          GRAPH ex:g2 { ex:b ex:q ex:c }
+          GRAPH ex:g3 { ex:d ex:p ex:e . ex:e ex:q ex:f }
+        }''')
+    store_update(spark, store, "DELETE WHERE { ?x ex:p ?y . ?y ex:q ?z }")
+    # g1+g2 chain spans graphs → no match; g3 chain is intra-graph → deleted
+    assert _state(spark, store) == {
+        ("ex:g1", "ex:a", "ex:p", "ex:b"), ("ex:g2", "ex:b", "ex:q", "ex:c")
+    }
+
+
+def test_delete_where_explicit_graph_scope(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b }
+                      GRAPH ex:g2 { ex:a ex:p ex:b } }''')
+    store_update(spark, store, "DELETE WHERE { GRAPH ex:g1 { ?s ex:p ?o } }")
+    assert _state(spark, store) == {("ex:g2", "ex:a", "ex:p", "ex:b")}
+
+
+def test_clear_variants(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { ex:d ex:p ex:e .
+                      GRAPH ex:g1 { ex:a ex:p ex:b } }''')
+    with pytest.raises(ValueError, match="not in store"):
+        store_update(spark, store, "CLEAR GRAPH ex:missing")
+    store_update(spark, store, "CLEAR SILENT GRAPH ex:missing")  # no raise
+    store_update(spark, store, "CLEAR NAMED")
+    assert sorted(rdfio.store_graph_dirs(store)) == [DEFAULT_GRAPH]
+    store_update(spark, store, "CLEAR DEFAULT")
+    assert rdfio.store_graph_dirs(store) == {}
+    # DROP GRAPH is an alias on this store (no graph metadata apart
+    # from content)
+    store_update(spark, store, "INSERT DATA { GRAPH ex:g9 { ex:a ex:p ex:b } }")
+    store_update(spark, store, "DROP GRAPH ex:g9")
+    assert rdfio.store_graph_dirs(store) == {}
+
+
+def test_chained_request_is_sequential(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b } } ;
+        DELETE DATA { GRAPH ex:g1 { ex:a ex:p ex:b } } ;
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:c } }''')
+    assert _state(spark, store) == {("ex:g1", "ex:a", "ex:p", "ex:c")}
+
+
+def test_update_interleaved_writers_serialize(spark, tmp_path):
+    """The round-4 interleaved-writer guarantee repeated through the
+    UPDATE path: two writers each replace the same graphs' content via
+    DELETE WHERE + INSERT DATA requests; the final store must be
+    exactly one writer's payload per graph — never a torn mix."""
+    import threading
+
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH doc://1 { ex:seed ex:v "s1" }
+                      GRAPH doc://2 { ex:seed ex:v "s2" } }''')
+    errs: list[Exception] = []
+
+    def writer(tag: str):
+        try:
+            for i in range(3):
+                triples = " . ".join(
+                    f'ex:{tag}{i}s{k} ex:v "{tag}{i}"' for k in range(3)
+                )
+                store_update(spark, store, f'''
+                    DELETE WHERE {{ GRAPH doc://1 {{ ?s ex:v ?o }} }} ;
+                    DELETE WHERE {{ GRAPH doc://2 {{ ?s ex:v ?o }} }} ;
+                    INSERT DATA {{ GRAPH doc://1 {{ {triples} }}
+                                   GRAPH doc://2 {{ {triples} }} }}''')
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("A", "B")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    rows = rdfio.read_nquads_store(spark, store).select("g", "o").collect()
+    by_graph: dict[str, set] = {}
+    for r in rows:
+        by_graph.setdefault(r["g"], set()).add(r["o"])
+    assert set(by_graph) == {"doc://1", "doc://2"}
+    for g, vals in by_graph.items():
+        # one writer's one-round payload, complete: 1 distinct value,
+        # exactly 3 statements landed for it
+        assert len(vals) == 1, (g, vals)
+
+
+def test_parse_update_specs():
+    ops = parse_update(
+        'INSERT DATA { ex:a ex:p "x" } ; DELETE WHERE { ?s ?p ?o } ; '
+        "CLEAR ALL"
+    )
+    assert [o["op"] for o in ops] == ["insert_data", "delete_where", "clear"]
+    assert ops[0]["quads"][0] == (None, "ex:a", "ex:p", "x", "literal", "", "")
+    assert ops[1]["patterns"] == [("?__g", "?s", "?p", "?o")]
+    assert ops[2]["scope"] == "all"
+    # typed literal
+    ops2 = parse_update('INSERT DATA { ex:a ex:p "5"^^xsd:integer }')
+    assert ops2[0]["quads"][0][4:] == ("literal", "", "xsd:integer")
+    # full-IRI input compacts to the prefixed form the store parses to
+    ops3 = parse_update(
+        "INSERT DATA { <http://example.org/kg#z> ex:p ex:q }"
+    )
+    assert ops3[0]["quads"][0][1] == "ex:z"
+
+
+@pytest.mark.parametrize("bad", [
+    "INSERT DATA { ?v ex:p ex:o }",            # variable in ground data
+    "INSERT DATA { ex:a ex:p+ ex:o }",         # path in data block
+    "INSERT DATA { GRAPH ?g { ex:a ex:p ex:o } }",  # variable graph
+    "DELETE WHERE { ?s ex:p+ ?o }",            # path in delete-where
+    "DELETE WHERE { FILTER(?x > 1) }",         # no filters in QuadPattern
+    "DELETE { ex:a ex:p ex:o }",               # bare DELETE unsupported
+    "CLEAR",                                   # missing target
+    "MODIFY { }",                              # unknown verb
+    "INSERT DATA { }",                         # empty data block
+    "INSERT DATA { ex:a ex:p ex:o",            # unterminated block
+])
+def test_parse_update_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_update(bad)
+
+
+def test_parse_update_fuzz_valueerror_only():
+    """Parser fuzz gate (mirrors the RDF parsers' gate): arbitrary
+    token soup must either parse or raise ValueError — never any other
+    exception type."""
+    import random
+
+    rng = random.Random(6)
+    frag = ["INSERT", "DELETE", "DATA", "WHERE", "CLEAR", "GRAPH", "{", "}",
+            ";", ".", "ex:a", "?v", '"lit"', "<http://x/y>", "a", "+",
+            "SILENT", "ALL", "DEFAULT", "NAMED", "ex:p+", "@en", "^^xsd:int"]
+    for _ in range(400):
+        q = " ".join(rng.choice(frag) for _ in range(rng.randrange(1, 15)))
+        try:
+            parse_update(q)
+        except ValueError:
+            pass
