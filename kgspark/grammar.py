@@ -262,3 +262,20 @@ def langid_rot_py(lang: str) -> int:
 
 # Rolling-hash document fingerprint: acc = (acc*31 + tokcode) % FP_MOD.
 FP_MOD = 1000000007
+
+# ---------------------------------------------------------------------------
+# PII / content-filter curation (round 6, kgspark/curation.py + the
+# DuckDB oracle).  Rules apply IN ORDER (sequential regexp_replace —
+# order is part of the spec); match counts are taken on the ORIGINAL
+# text per rule.  Patterns stay inside the Java-regex ∩ RE2 common
+# subset (no lookaround/backrefs) so Spark and DuckDB agree bit-exactly.
+#
+# The fixture corpus is PII-free word soup by construction, so the
+# contract queries inject a deterministic contact fragment derived from
+# doc_id (PII_AUGMENT below, identical SQL on both engines) for docs
+# with doc_id % 3 != 0 — the redactor must strip exactly that fragment.
+PII_RULES = [  # (kind, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("idnum", r"\b\d{8,}\b", "<ID>"),
+]

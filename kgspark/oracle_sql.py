@@ -1810,3 +1810,61 @@ SELECT g, s, p, o FROM survivors
 UNION ALL SELECT 'urn:x-kgspark:default', 'ex:extra', 'ex:name', 'ATLANTIS'
 UNION ALL SELECT 'ex:reg9', 'ex:nat99', 'ex:flag', 'ex:new'
 """
+
+# r6: PII curation — the augmentation string, redaction chain and
+# per-rule counts are COMPOSED from grammar.PII_RULES so both engines
+# share one spec (sequential replace order included).  DuckDB
+# regexp_replace needs the explicit 'g' flag (Spark is global by
+# default).
+_PII_AUG = (
+    "(CASE WHEN doc_id % 3 <> 0 THEN text"
+    " || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.com call 555-'"
+    " || lpad(CAST((doc_id*37) % 10000 AS VARCHAR), 4, '0')"
+    " || ' ref ' || CAST(doc_id*13 + 10000000 AS VARCHAR)"
+    " ELSE text END)"
+)
+
+
+def _pii_scrub_expr(src: str) -> str:
+    out = src
+    for _kind, pat, repl in G.PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def _pii_count_cols(src: str) -> str:
+    return ", ".join(
+        f"CAST(len(regexp_extract_all({src}, '{pat}')) AS BIGINT)"
+        f" AS n_{kind}"
+        for kind, pat, _repl in G.PII_RULES
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       {_pii_scrub_expr(_PII_AUG)} AS clean_text,
+       {_pii_count_cols(_PII_AUG)},
+       CAST({' + '.join(f"len(regexp_extract_all({_PII_AUG}, '{p}'))"
+                        for _k, p, _r in G.PII_RULES)} AS BIGINT) AS n_pii
+FROM documents
+"""
+
+PII_RATE_BY_SOURCE_SQL = f"""
+WITH scrubbed AS (
+  SELECT source,
+         {' + '.join(f"len(regexp_extract_all({_PII_AUG}, '{p}'))"
+                     for _k, p, _r in G.PII_RULES)} AS n_pii
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_pii,
+       CAST(SUM(n_pii) AS BIGINT) AS n_redactions,
+       CAST(floor(1e6 * SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END)::DOUBLE
+                  / COUNT(*)) AS BIGINT) AS pii_rate_e6
+FROM scrubbed
+GROUP BY source
+"""

@@ -1747,3 +1747,47 @@ def kg_sparql_update(spark, sf_dir):
         }
     ''')
     return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")
+
+
+def _pii_augmented(docs):
+    """Deterministic PII-bearing text: the fixture corpus is PII-free
+    word soup, so docs with doc_id % 3 != 0 get a contact fragment
+    derived from doc_id (grammar.PII_RULES docstring; the oracle builds
+    the identical string in SQL) — email + phone + 8-digit id."""
+    frag = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com call 555-"),
+        F.lpad(((F.col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        (F.col("doc_id") * 13 + 10000000).cast("string"),
+    )
+    return F.when(F.col("doc_id") % 3 != 0, frag).otherwise(F.col("text"))
+
+
+def pii_scrub(spark, sf_dir):
+    """PII redaction (round-6 curation operator): sequential
+    regexp_replace chain over grammar.PII_RULES + per-rule match
+    counts — native expressions only, no shuffle (a pure per-document
+    map, linear at any corpus size)."""
+    from . import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select("doc_id", _pii_augmented(docs).alias("aug_text"))
+    out = curation.scrub_pii(df, "aug_text")
+    return out.select(
+        "doc_id", "clean_text", "n_email", "n_phone", "n_idnum", "n_pii"
+    )
+
+
+def pii_rate_by_source(spark, sf_dir):
+    """Per-source PII filter-rate metric (curation observability): one
+    map-side-combinable aggregate over the scrubbed corpus."""
+    from . import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", "source", _pii_augmented(docs).alias("aug_text")
+    )
+    return curation.pii_rate_by_source(df, "aug_text")

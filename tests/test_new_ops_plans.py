@@ -145,3 +145,28 @@ def test_quota_sample_plans_window_group_limit(spark, sf_dir):
     quota sample scale."""
     p = _plan(Q.doc_quota_sample(spark, sf_dir))
     assert "WindowGroupLimit" in p, p[:1500]
+
+
+def test_pii_scrub_is_shuffle_free_native_map(spark, sf_dir):
+    """PII redaction must be a pure per-document column map: no
+    Exchange (shuffle) anywhere, no Python evaluation (the regex chain
+    is JVM-side whole-stage codegen)."""
+    p = _plan(Q.pii_scrub(spark, sf_dir))
+    assert "Exchange" not in p, "pii_scrub must not shuffle"
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert bad not in p, f"pii_scrub fell off the JVM: {bad}"
+
+
+def test_pii_rule_order_is_sequential(spark):
+    """Rule order is part of the spec: a string that is an email AND
+    contains an 8+ digit run is consumed by the EARLIER email rule."""
+    from kgspark.curation import scrub_pii
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail 123456789@example.com and ref 987654321 end")],
+        "doc_id long, text string",
+    )
+    row = scrub_pii(df).select("clean_text", "n_email", "n_idnum").collect()[0]
+    assert row["clean_text"] == "mail <EMAIL> and ref <ID> end"
+    assert (row["n_email"], row["n_idnum"]) == (1, 2)  # counts on ORIGINAL

@@ -26,6 +26,8 @@ FAST = [
     "kg_entity_media", "kg_media_triples", "kg_bgp_filter", "kg_bgp_union", "kg_sameas_closure", "kg_sameas_degree",
     "kg_sparql_topk", "kg_sparql_construct", "kg_sparql_groupby", "kg_sparql_lang", "kg_sparql_graph",
     "doc_pack_assign", "training_export",
+    # round-6 additions
+    "pii_scrub", "pii_rate_by_source", "kg_sparql_update",
 ]
 
 
