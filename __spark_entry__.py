@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH
         "dedup_clusters": Q.dedup_clusters,                 # near-dup keeper decision
         "dedup_rate_by_source": Q.dedup_rate_by_source,     # per-source drop metric (r5)
+        "para_dedup": Q.para_dedup,                         # paragraph boilerplate pairs (r6)
         "doc_simhash": Q.doc_simhash,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "training_export_clean": OS.TRAINING_EXPORT_CLEAN_SQL,
         "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
+        "para_dedup": OS.PARA_DEDUP_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -599,3 +599,64 @@ def contamination_flags(
             (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared).alias("flagged"),
         )
     )
+
+
+# --- Paragraph-granularity dedup (boilerplate removal, round 6) --------------
+def paragraphs(docs: DataFrame, para_tokens: int = G.PARA_TOKENS) -> DataFrame:
+    """documents → (doc_id, lang, source, para_id, text): deterministic
+    fixed-size token windows standing in for paragraph boundaries (the
+    fixture corpus has no newlines; on a real corpus the split
+    expression swaps for split(text, '\\n\\n') and everything
+    downstream is unchanged).  Native exprs only — the explode is the
+    only row expansion, linear in corpus size."""
+    toks = F.split("text", " ")
+    nch = F.greatest(
+        F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int"), F.lit(1)
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * para_tokens + 1, para_tokens), " "
+        ),
+    )
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.posexplode(paras).alias("para_id", "text"),
+    )
+
+
+def para_minhash_pairs(
+    docs: DataFrame, jaccard_min: float | None = None
+) -> DataFrame:
+    """Near-dup pairs at PARAGRAPH granularity — the boilerplate
+    detector (VERDICT r5 #8): explode to paragraphs, key them
+    pkey = doc_id·PARA_KEY_MUL + para_id, and run the UNCHANGED
+    minhash-LSH machinery over the paragraph table — zero new
+    pair-enumeration code, so every scale property of
+    ``minhash_lsh_pairs`` (slim band shuffle, pair-distinct before the
+    shingle join-back) carries over.  Same-document pairs are dropped
+    (a doc repeating its own phrasing is not boilerplate); the
+    remaining cross-document pairs are the shared-paragraph edges a
+    boilerplate-removal pass would cut."""
+    p = paragraphs(docs).withColumn(
+        "_ok", F.assert_true(F.col("para_id") < F.lit(G.PARA_KEY_MUL))
+    ).drop("_ok")
+    keyed = p.select(
+        (F.col("doc_id") * G.PARA_KEY_MUL + F.col("para_id")).alias("doc_id"),
+        "lang", "source", "text",
+    )
+    pairs = minhash_lsh_pairs(keyed, jaccard_min=jaccard_min)
+    mul = F.lit(G.PARA_KEY_MUL)
+    return (
+        pairs.filter(
+            (F.col("doc_a") / mul).cast("bigint")
+            != (F.col("doc_b") / mul).cast("bigint")
+        )
+        .select(
+            (F.col("doc_a") / mul).cast("bigint").alias("doc_a"),
+            (F.col("doc_a") % mul).cast("bigint").alias("para_a"),
+            (F.col("doc_b") / mul).cast("bigint").alias("doc_b"),
+            (F.col("doc_b") % mul).cast("bigint").alias("para_b"),
+            "jaccard",
+        )
+    )

@@ -279,3 +279,10 @@ PII_RULES = [  # (kind, pattern, replacement)
     ("phone", r"\b\d{3}[-.]\d{4}\b", "<PHONE>"),
     ("idnum", r"\b\d{8,}\b", "<ID>"),
 ]
+
+# Paragraph-granularity dedup (round 6, boilerplate removal): the
+# fixture text has no paragraph breaks, so paragraphs are deterministic
+# PARA_TOKENS-token windows; a paragraph's composite key is
+# doc_id * PARA_KEY_MUL + para_id (para_id < PARA_KEY_MUL asserted).
+PARA_TOKENS = 12
+PARA_KEY_MUL = 1000

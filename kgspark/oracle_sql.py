@@ -1868,3 +1868,75 @@ SELECT source,
 FROM scrubbed
 GROUP BY source
 """
+
+# r6: paragraph-granularity near-dup (boilerplate) — paragraphs are
+# PARA_TOKENS-token windows keyed doc_id·PARA_KEY_MUL + para_id, then
+# the exact minhash-LSH chain runs over the paragraph table.
+_PARA_CTES = f"""
+dtokp AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+  FROM documents
+),
+pidx AS (
+  SELECT doc_id, lang, source, toks,
+         unnest(generate_series(
+           1, greatest(CAST(ceil(len(toks) / {G.PARA_TOKENS}.0) AS BIGINT), 1)
+         )) AS i
+  FROM dtokp
+),
+paras AS (
+  SELECT doc_id * {G.PARA_KEY_MUL} + (i - 1) AS doc_id, lang, source,
+         array_to_string(
+           list_slice(toks, (i-1)*{G.PARA_TOKENS} + 1,
+                      (i-1)*{G.PARA_TOKENS} + {G.PARA_TOKENS}), ' ') AS text
+  FROM pidx
+)
+"""
+
+PARA_DEDUP_SQL = f"""
+WITH {_PARA_CTES},
+dtok AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM paras
+),
+shingled AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 2, 1)),
+      i -> (({_TC_NULL.format(t='toks[i]')} * 31
+             + {_TC_NULL.format(t='toks[i+1]')}) * 31
+             + {_TC_NULL.format(t='toks[i+2]')}) % {G.FP_MOD}
+    )) AS shingles
+  FROM dtok
+),
+perms(i, a, b) AS (VALUES {_PERMS_ROWS}),
+codes AS (SELECT doc_id, unnest(shingles) AS code FROM shingled),
+sig AS (
+  SELECT doc_id, i, min((a * code + b) % {G.HASH_P}) AS mh
+  FROM codes CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {G.LSH_ROWS} AS INT) AS band_id,
+         max(CASE WHEN i % {G.LSH_ROWS} = 0 THEN mh END) * {G.HASH_P}
+           + max(CASE WHEN i % {G.LSH_ROWS} = 1 THEN mh END) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(i // {G.LSH_ROWS} AS INT)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+   AND a.doc_id < c.doc_id
+  WHERE a.doc_id // {G.PARA_KEY_MUL} <> c.doc_id // {G.PARA_KEY_MUL}
+  GROUP BY 1, 2
+)
+SELECT CAST(cand.doc_a // {G.PARA_KEY_MUL} AS BIGINT) AS doc_a,
+       CAST(cand.doc_a % {G.PARA_KEY_MUL} AS BIGINT) AS para_a,
+       CAST(cand.doc_b // {G.PARA_KEY_MUL} AS BIGINT) AS doc_b,
+       CAST(cand.doc_b % {G.PARA_KEY_MUL} AS BIGINT) AS para_b,
+       CAST(floor(1e6 * (len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))))) AS BIGINT)
+         AS jaccard_e6
+FROM cand
+JOIN shingled sa ON sa.doc_id = cand.doc_a
+JOIN shingled sb ON sb.doc_id = cand.doc_b
+"""

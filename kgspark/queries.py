@@ -1791,3 +1791,17 @@ def pii_rate_by_source(spark, sf_dir):
         "doc_id", "source", _pii_augmented(docs).alias("aug_text")
     )
     return curation.pii_rate_by_source(df, "aug_text")
+
+
+def para_dedup(spark, sf_dir):
+    """Paragraph-granularity near-dup pairs (boilerplate removal,
+    round 6): deterministic token-window paragraphs → composite-keyed
+    minhash-LSH (the document machinery, unchanged) → cross-document
+    paragraph pairs with exact shingle Jaccard."""
+    from . import dedup as D
+
+    pairs = D.para_minhash_pairs(_t(spark, sf_dir, "documents"))
+    return pairs.select(
+        "doc_a", "para_a", "doc_b", "para_b",
+        e6(F.col("jaccard")).alias("jaccard_e6"),
+    )

@@ -214,3 +214,29 @@ def test_contamination_flags_detects_injected_leak(spark):
     assert set(out) == {1, 2}          # eval doc excluded from output
     assert out[1][1] is True and out[1][0] >= 8
     assert out[2][1] is False
+
+
+def test_para_dedup_detects_planted_boilerplate(spark):
+    """Two documents sharing one identical 12-token paragraph (distinct
+    elsewhere) must surface exactly that cross-document paragraph pair
+    with Jaccard 1.0; a third unrelated doc must not pair."""
+    from kgspark import dedup as D
+    from kgspark import grammar as G
+
+    boiler = " ".join(f"boil{i}" for i in range(G.PARA_TOKENS))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(G.PARA_TOKENS))
+    rows = [
+        (1, boiler + " " + uniq("aa"), "en", "s1"),
+        (2, uniq("bb") + " " + boiler, "en", "s1"),
+        (3, uniq("cc") + " " + uniq("dd"), "en", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    paras = D.paragraphs(docs)
+    assert paras.count() == 6  # 2 paragraphs per doc
+    pairs = D.para_minhash_pairs(docs, jaccard_min=0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["doc_a"], p["para_a"], p["doc_b"], p["para_b"]) == (1, 0, 2, 1)
+    assert p["jaccard"] == 1.0

@@ -27,7 +27,7 @@ FAST = [
     "kg_sparql_topk", "kg_sparql_construct", "kg_sparql_groupby", "kg_sparql_lang", "kg_sparql_graph",
     "doc_pack_assign", "training_export",
     # round-6 additions
-    "pii_scrub", "pii_rate_by_source", "kg_sparql_update",
+    "pii_scrub", "pii_rate_by_source", "kg_sparql_update", "para_dedup",
 ]
 
 
