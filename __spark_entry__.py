@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_xml_roundtrip": Q.rdf_xml_roundtrip,
         "rdf_jsonld_roundtrip": Q.rdf_jsonld_roundtrip,
         "rdf_jsonld_expanded_roundtrip": Q.rdf_jsonld_expanded_roundtrip,  # expanded profile (r5)
+        "rdf_jsonld_compacted_roundtrip": Q.rdf_jsonld_compacted_roundtrip,  # @context profile (r6)
         "xml_transform": Q.xml_transform,           # O12 XSLT-analogue
         "kg_predicate_counts": Q.kg_predicate_counts,
         # graph-carrying quad round-trips (O11 N-Quads/TriG, r3)
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
             "rdf_xml_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_jsonld_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_jsonld_expanded_roundtrip": OS.TRIPLES_FULL_SQL,
+            "rdf_jsonld_compacted_roundtrip": OS.TRIPLES_FULL_SQL,
             "xml_transform": OS.XML_TRANSFORM_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
             # quad round-trips reproduce the independent QUAD oracle

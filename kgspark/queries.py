@@ -1805,3 +1805,29 @@ def para_dedup(spark, sf_dir):
         "doc_a", "para_a", "doc_b", "para_b",
         e6(F.col("jaccard")).alias("jaccard_e6"),
     )
+
+
+def rdf_jsonld_compacted_roundtrip(spark, sf_dir):
+    """Round-6: the JSON-LD COMPACTED profile — prefixed-name node
+    objects under an inline @context prefix map (the shape real-world
+    JSON-LD overwhelmingly ships in), wrapped into 16 @graph documents
+    and re-parsed with full context expansion.  Lossless ⇒ equals the
+    triple oracle."""
+    from . import rdfio
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples_full
+    ctx = rdfio.jsonld_context_json()
+    docs = (
+        rdfio.to_jsonld_compacted(t)
+        .withColumn("shard", F.pmod(F.xxhash64("line"), F.lit(16)))
+        .groupBy("shard")
+        .agg(
+            F.concat(
+                F.lit('{"@context": ' + ctx + ', "@graph": ['),
+                F.concat_ws(",\n", F.collect_list("line")),
+                F.lit("]}"),
+            ).alias("text")
+        )
+    )
+    return rdfio.parse_jsonld_compacted(docs).select(*_TERM_COLS).distinct()

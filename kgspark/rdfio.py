@@ -1218,3 +1218,240 @@ def parse_jsonld_expanded(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(kernel, schema=PARSED_DDL)
+
+
+# --- JSON-LD compacted profile (round 6) -------------------------------------
+def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
+    """One JSON-LD document in COMPACTED form → statement list.
+
+    Supported @context subset (the shapes real-world compacted JSON-LD
+    overwhelmingly uses): inline object (or array of objects, merged),
+    prefix maps ("ex": "http://…#"), term definitions ("name":
+    "http://…" or {"@id": …, "@type": "@id"|datatype, "@language": …,
+    "@container": "@set"}), "@vocab" for bare property/type terms and
+    "@base" for relative @id resolution.  Nodes: top-level object, its
+    "@graph" array, plain-scalar values (coerced through the term
+    definition), value objects, {"@id"} references, nested node
+    objects, arrays of any of these.  Remote (string/URL) contexts,
+    @reverse, @list and scoped contexts raise ValueError — the
+    quarantine path, never a crash."""
+    import json
+
+    try:
+        doc = json.loads(text, strict=False)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"JSON-LD parse error: {e}") from e
+    if not isinstance(doc, dict):
+        raise ValueError("compacted JSON-LD document must be an object")
+    ctx = doc.get("@context", {})
+    if isinstance(ctx, list):
+        merged: dict = {}
+        for c in ctx:
+            if not isinstance(c, dict):
+                raise ValueError("remote @context not supported")
+            merged.update(c)
+        ctx = merged
+    if not isinstance(ctx, dict):
+        raise ValueError("remote @context not supported")
+    vocab = ctx.get("@vocab", "")
+    base = ctx.get("@base", "")
+    prefixes: dict[str, str] = {}
+    terms: dict[str, dict] = {}
+    for k, v in ctx.items():
+        if k in ("@vocab", "@base"):
+            continue
+        if k.startswith("@"):
+            raise ValueError(f"unsupported @context keyword {k!r}")
+        if isinstance(v, str):
+            prefixes[k] = v
+        elif isinstance(v, dict):
+            bad = set(v) - {"@id", "@type", "@language", "@container"}
+            if bad:
+                raise ValueError(f"unsupported term-definition keys {bad}")
+            if v.get("@container") not in (None, "@set"):
+                raise ValueError("only @set containers supported")
+            terms[k] = v
+        else:
+            raise ValueError(f"bad @context entry for {k!r}")
+
+    def expand_iri(t, as_vocab: bool) -> str:
+        """term / compact IRI / absolute IRI → full-or-engine IRI text.
+        Properties and types expand through @vocab; @id references
+        through @base (JSON-LD's vocab-vs-base split)."""
+        if not isinstance(t, str) or not t:
+            raise ValueError(f"JSON-LD parse error: bad IRI term {t!r}")
+        if t in terms:
+            tid = terms[t].get("@id")
+            if not isinstance(tid, str):
+                raise ValueError(f"term {t!r} has no @id")
+            return expand_iri(tid, as_vocab)
+        if t in prefixes:
+            return prefixes[t]
+        if ":" in t:
+            pref, rest = t.split(":", 1)
+            if pref in prefixes and not rest.startswith("//"):
+                return prefixes[pref] + rest
+            return t
+        if vocab and as_vocab:
+            return vocab + t
+        if base and not as_vocab:
+            return base + t
+        return t
+
+    out: list[tuple[str, str, str, str, str, str]] = []
+    counter = [0]
+
+    def node_id(obj: dict) -> str:
+        nid = obj.get("@id")
+        if nid is None:
+            counter[0] += 1
+            return f"_:b{counter[0]}"
+        return _compact_iri(expand_iri(nid, as_vocab=False))
+
+    def emit_value(s: str, p: str, v, tdef: dict) -> None:
+        if isinstance(v, dict):
+            if "@value" in v:
+                value = v["@value"]
+                lang = v.get("@language", "") or ""
+                dt = v.get("@type", "") or ""
+                dt = _compact_iri(expand_iri(dt, True)) if dt else ""
+                if isinstance(value, bool):
+                    value, dt = ("true" if value else "false"), dt or "xsd:boolean"
+                elif isinstance(value, int):
+                    value, dt = str(value), dt or "xsd:integer"
+                elif isinstance(value, float):
+                    value, dt = repr(value), dt or "xsd:double"
+                elif not isinstance(value, str):
+                    raise ValueError(f"bad @value {value!r}")
+                out.append((s, p, value, "literal", lang, dt))
+            elif set(v.keys()) <= {"@id"}:
+                out.append(
+                    (s, p, _compact_iri(expand_iri(v["@id"], False)),
+                     "iri", "", "")
+                )
+            else:
+                out.append((s, p, walk(v), "iri", "", ""))
+        elif isinstance(v, bool):
+            out.append((s, p, "true" if v else "false",
+                        "literal", "", "xsd:boolean"))
+        elif isinstance(v, int):
+            out.append((s, p, str(v), "literal", "", "xsd:integer"))
+        elif isinstance(v, float):
+            out.append((s, p, repr(v), "literal", "", "xsd:double"))
+        elif isinstance(v, str):
+            if tdef.get("@type") == "@id":
+                out.append(
+                    (s, p, _compact_iri(expand_iri(v, False)), "iri", "", "")
+                )
+            else:
+                dt = tdef.get("@type", "") or ""
+                dt = _compact_iri(expand_iri(dt, True)) if dt else ""
+                lang = "" if dt else (tdef.get("@language", "") or "")
+                out.append((s, p, v, "literal", lang, dt))
+        else:
+            raise ValueError(f"JSON-LD parse error: bad value {v!r}")
+
+    def walk(obj) -> str:
+        if not isinstance(obj, dict):
+            raise ValueError(f"node must be an object, got {obj!r}")
+        s = node_id(obj)
+        for key, val in obj.items():
+            if key in ("@id", "@context"):
+                continue
+            if key == "@type":
+                for t in (val if isinstance(val, list) else [val]):
+                    out.append(
+                        (s, "rdf:type", _compact_iri(expand_iri(t, True)),
+                         "iri", "", "")
+                    )
+                continue
+            if key.startswith("@"):
+                raise ValueError(f"unsupported keyword {key!r}")
+            p = _compact_iri(expand_iri(key, True))
+            tdef = terms.get(key, {})
+            for v in (val if isinstance(val, list) else [val]):
+                emit_value(s, p, v, tdef)
+        return s
+
+    nodes = doc.get("@graph")
+    if nodes is not None:
+        if not isinstance(nodes, list):
+            raise ValueError("@graph must be an array")
+        stray = set(doc) - {"@context", "@graph"}
+        if stray:
+            raise ValueError(f"unsupported top-level keys beside @graph: {stray}")
+        for n in nodes:
+            walk(n)
+    else:
+        body = {k: v for k, v in doc.items() if k != "@context"}
+        if body:
+            walk(body)
+    return out
+
+
+def parse_jsonld_compacted(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """JSON-LD COMPACTED-document parser: one whole document (with its
+    inline @context) per input row, mapInPandas kernel, malformed
+    documents dropped (quarantine policy — same as the other document
+    parsers)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for text in pdf[text_col].astype("string"):
+                try:
+                    rows.extend(_jsonld_compacted_triples(text or ""))
+                except ValueError:
+                    continue
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(kernel, schema=PARSED_DDL)
+
+
+def to_jsonld_compacted(triples: DataFrame) -> DataFrame:
+    """(s,p,o[,term cols]) → one COMPACTED node object per line, keys
+    and references as prefixed names (the PREFIXES table is the
+    document's @context prefix map — see jsonld_context_json()); plain
+    literals serialize as bare JSON strings, tagged/typed ones as value
+    objects.  Native expressions only."""
+    if "o_kind" in triples.columns:
+        is_lit = F.col("o_kind") == "literal"
+        lang = F.col("o_lang") if "o_lang" in triples.columns else F.lit("")
+        dtype = F.col("o_datatype") if "o_datatype" in triples.columns else F.lit("")
+    else:
+        is_lit = F.col("p").isin(LITERAL_PREDICATES)
+        lang = F.lit("")
+        dtype = F.lit("")
+    obj = (
+        F.when(is_lit & (lang == "") & (dtype == ""),
+               F.concat(F.lit('"'), _json_escape(F.col("o")), F.lit('"')))
+        .when(is_lit & (lang != ""),
+              F.concat(F.lit('{"@value": "'), _json_escape(F.col("o")),
+                       F.lit('", "@language": "'), lang, F.lit('"}')))
+        .when(is_lit,
+              F.concat(F.lit('{"@value": "'), _json_escape(F.col("o")),
+                       F.lit('", "@type": "'), _json_escape(dtype),
+                       F.lit('"}')))
+        .otherwise(
+            F.concat(F.lit('{"@id": "'), _json_escape(F.col("o")),
+                     F.lit('"}'))
+        )
+    )
+    line = F.concat(
+        F.lit('{"@id": "'), _json_escape(F.col("s")),
+        F.lit('", "'), _json_escape(F.col("p")), F.lit('": '),
+        obj, F.lit("}"),
+    )
+    return triples.select(line.alias("line"))
+
+
+def jsonld_context_json() -> str:
+    """The PREFIXES table as a JSON-LD @context prefix-map object —
+    the inline context to_jsonld_compacted documents pair with."""
+    import json
+
+    return json.dumps(
+        {p[:-1]: full for p, full in sorted(PREFIXES.items())}
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kgspark import rdfio
@@ -530,3 +532,92 @@ def test_store_write_lock_respects_live_holder(tmp_path):
     with _pytest.raises(TimeoutError):
         with _StoreWriteLock(store, timeout=0.3):
             pass
+
+
+def test_jsonld_compacted_context_features():
+    """@context machinery (round 6): prefix maps, term definitions with
+    @type: @id coercion / datatype coercion / @language, @vocab for
+    bare terms, @base for relative @id, term aliasing, @graph."""
+    from kgspark.rdfio import _jsonld_compacted_triples
+
+    doc = """
+    {"@context": {
+        "ex": "http://example.org/kg#",
+        "name": {"@id": "http://www.w3.org/2000/01/rdf-schema#label",
+                 "@language": "en"},
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "age": {"@id": "ex:age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        "@vocab": "http://example.org/kg#",
+        "@base": "http://example.org/base/"},
+     "@graph": [
+       {"@id": "ex:a", "@type": "Person", "name": "Alice",
+        "knows": "other", "age": "42", "score": 7},
+       {"@id": "ex:b", "name": {"@value": "bob", "@language": "fr"}}
+     ]}
+    """
+    got = set(_jsonld_compacted_triples(doc))
+    assert got == {
+        # @vocab expands the bare @type term; ex: prefix round-trips
+        ("ex:a", "rdf:type", "ex:Person", "iri", "", ""),
+        # term alias + @language coercion on a plain string
+        ("ex:a", "rdfs:label", "Alice", "literal", "en", ""),
+        # @type: @id coercion resolves the plain string against @base
+        ("ex:a", "ex:knows", "http://example.org/base/other", "iri", "", ""),
+        # datatype coercion (full-IRI datatype compacts to xsd:)
+        ("ex:a", "ex:age", "42", "literal", "", "xsd:integer"),
+        # bare term property through @vocab; native JSON int
+        ("ex:a", "ex:score", "7", "literal", "", "xsd:integer"),
+        # explicit value object overrides the term default
+        ("ex:b", "rdfs:label", "bob", "literal", "fr", ""),
+    }
+
+
+def test_jsonld_compacted_rejects_unsupported():
+    from kgspark.rdfio import _jsonld_compacted_triples
+
+    for bad in [
+        '{"@context": "http://remote.example/ctx"}',   # remote context
+        '{"@context": {"@import": "x"}}',              # keyword in context
+        '{"@context": {"t": {"@container": "@list"}}}',  # list container
+        '{"@context": {}, "@reverse": {}}',            # @reverse node key
+        '{"@graph": "notalist"}',
+        "[1, 2]",
+        "{not json",
+    ]:
+        with pytest.raises(ValueError):
+            _jsonld_compacted_triples(bad)
+
+
+def test_jsonld_compacted_fuzz_valueerror_only():
+    """Fuzz gate: arbitrary JSON-ish soup either parses or raises
+    ValueError — never any other exception type (the kernel's
+    quarantine contract)."""
+    import random
+
+    from kgspark.rdfio import _jsonld_compacted_triples
+
+    rng = random.Random(66)
+    frag = ['{', '}', '[', ']', '"@context"', '"@id"', '"@graph"', '"ex"',
+            '"http://x#"', ':', ',', '"@type"', '"@value"', '"v"', '5',
+            'true', 'null', '"@vocab"', '"a:b"']
+    for _ in range(500):
+        s = " ".join(rng.choice(frag) for _ in range(rng.randrange(1, 12)))
+        try:
+            _jsonld_compacted_triples(s)
+        except ValueError:
+            pass
+
+
+def test_jsonld_compacted_kernel_quarantines(spark):
+    """A batch mixing a good document and junk yields only the good
+    document's triples — malformed docs drop, no crash."""
+    from kgspark import rdfio
+
+    good = '{"@context": {"ex": "http://example.org/kg#"}, "@id": "ex:a", "ex:p": {"@id": "ex:b"}}'
+    docs = spark.createDataFrame(
+        [(good,), ('{"@context": "http://remote/ctx"}',), ("junk{",)],
+        "text string",
+    )
+    rows = rdfio.parse_jsonld_compacted(docs).collect()
+    assert {(r["s"], r["p"], r["o"]) for r in rows} == {("ex:a", "ex:p", "ex:b")}
