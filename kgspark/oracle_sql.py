@@ -1940,3 +1940,16 @@ FROM cand
 JOIN shingled sa ON sa.doc_id = cand.doc_a
 JOIN shingled sb ON sb.doc_id = cand.doc_b
 """
+
+# r6: SELECT projection expressions + ORDER BY expression keys.
+SPARQL_SELECT_EXPR_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS e, t1.o AS l,
+       CAST(length(t1.o) AS INT) AS len,
+       CAST(t2.o AS INT) * 2 AS n2
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+WHERE t1.p = 'rdfs:label'
+ORDER BY length(t1.o) DESC, e, l, CAST(t2.o AS INT) LIMIT 30
+"""

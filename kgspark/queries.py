@@ -1831,3 +1831,22 @@ def rdf_jsonld_compacted_roundtrip(spark, sf_dir):
         )
     )
     return rdfio.parse_jsonld_compacted(docs).select(*_TERM_COLS).distinct()
+
+
+def kg_sparql_select_expr(spark, sf_dir):
+    """Round-6: (expr AS ?v) SELECT projections and expression ORDER BY
+    keys through the text front-end — label lengths and a score
+    arithmetic column, longest-label-first with a total tie-break so
+    the LIMIT cut is engine-deterministic."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?e ?l (STRLEN(?l) AS ?len) (xsd:integer(?n) * 2 AS ?n2)
+        WHERE { ?e rdfs:label ?l . ?e ex:score ?n }
+        ORDER BY DESC(STRLEN(?l)) ?e ?l (xsd:integer(?n)) LIMIT 30
+        """,
+    )

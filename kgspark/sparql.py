@@ -345,9 +345,22 @@ def _expr_to_sql(p: _P, until_as: bool = False, agg_sink: list | None = None) ->
             parts.append(_var(t))
         elif t.startswith('"'):
             parts.append("'" + _term(t).replace("'", "''") + "'")
+        elif up in _EXPR_PASS or re.fullmatch(r"\d+(\.\d+)?", t):
+            parts.append(up if up in ("IN", "NOT", "AND", "OR", "TRUE",
+                                      "FALSE") else t)
         else:
-            parts.append(t)
+            # anything else (an IRI term, a stray word) would inject
+            # invalid text into the generated Spark SQL and surface as
+            # a ParseException at execution — reject at parse time, the
+            # expression surface's single error type (round-6)
+            raise ValueError(
+                f"SPARQL expression: unsupported token {t!r}"
+            )
     return " ".join(parts)
+
+
+_EXPR_PASS = {"+", "-", "/", "%", "*", "(", ")", ",", "<", ">", "=",
+              "!=", "<=", ">=", "IN", "NOT", "AND", "OR", "TRUE", "FALSE"}
 
 
 def _parse_group(p: _P) -> dict:
@@ -494,6 +507,7 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
     distinct = p.kw("DISTINCT")
     select: list[str] | None = []
     aggregates: list[tuple[str, bool, str | None, str, str | None]] = []
+    proj_exprs: list[tuple[str, str]] = []
     if p.kw("*"):
         select = None
     else:
@@ -501,6 +515,19 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
             t = p.peek() or ""
             if t.startswith("?"):
                 select.append(_var(p.take()))
+            elif t == "(" and not (
+                (p.peek(1) or "").upper() in
+                ("COUNT", "SUM", "MIN", "MAX", "AVG",
+                 "GROUP_CONCAT", "SAMPLE")
+                and p.peek(2) == "("
+            ):
+                # (expr AS ?alias) projection expression — the BIND-free
+                # form (round-6); _expr_to_sql consumes the '(' and
+                # stops at the top-level AS
+                expr = _expr_to_sql(p, until_as=True)
+                alias = _var(p.take(), "projection alias (a variable)")
+                p.expect(")")
+                proj_exprs.append((expr, alias))
             elif t == "(":
                 # (AGG([DISTINCT] ?v | *) AS ?alias); GROUP_CONCAT may
                 # carry `; SEPARATOR[=]"sep"` before its closing paren
@@ -535,7 +562,7 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
                 aggregates.append((fn, agg_distinct, arg, alias, extra))
             else:
                 break
-        if not select and not aggregates:
+        if not select and not aggregates and not proj_exprs:
             raise ValueError("SELECT needs variables, aggregates or *")
     p.expect("WHERE")
     groups = [_parse_group(p)]
@@ -567,13 +594,15 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
                 break
             up = t.upper()
             if up in ("ASC", "DESC"):
+                # ASC(expr)/DESC(expr) — the argument is a FULL
+                # expression (round-6), ?v being the common case
                 p.take()
-                p.expect("(")
-                v = _var(p.take(), f"{up}() argument (a variable)")
-                p.expect(")")
-                order.append((v, up == "DESC"))
+                order.append((_expr_to_sql(p), up == "DESC"))
             elif t.startswith("?"):
                 order.append((_var(p.take()), False))
+            elif t == "(":
+                # bare bracketted expression key, ascending
+                order.append((_expr_to_sql(p), False))
             else:
                 break
     limit = offset = None
@@ -594,6 +623,7 @@ def _parse_select_body(p: _P, subquery: bool = False) -> dict:
         "distinct": distinct,
         "select": select,
         "aggregates": aggregates,
+        "proj_exprs": proj_exprs,
         "group_by": group_by,
         "having": having,
         "having_aggs": having_aggs,
@@ -992,12 +1022,14 @@ def _exec_select(
             out = out.filter(F.expr(h))
         if hav_aggs:
             out = out.drop(*[a for _, _, _, a, _x in hav_aggs])
+        out = _apply_proj_exprs(out, spec)
         if spec["select"] is not None:
             # aggregate-only SELECT lists still project ONLY the listed
             # aliases — the GROUP BY keys don't leak (SELECT * keeps all)
             out = out.select(
                 *spec["select"],
                 *[a for _, _, _, a, _x in spec["aggregates"]],
+                *[a for _, a in spec.get("proj_exprs") or []],
             )
     elif spec["group_by"]:
         # GROUP BY without aggregates: one solution per group — the
@@ -1011,24 +1043,43 @@ def _exec_select(
         out = out.select(*spec["group_by"]).distinct()
         for h in spec["having"]:
             out = out.filter(F.expr(h))
-        out = out.select(*proj)
+        out = _apply_proj_exprs(out, spec)
+        out = out.select(*proj, *[a for _, a in spec.get("proj_exprs") or []])
     elif spec["having"]:
         raise ValueError("HAVING requires GROUP BY or aggregates")
-    elif spec["select"] is not None:
-        missing = [v for v in spec["select"] if v not in out.columns]
+    elif spec["select"] is not None or spec.get("proj_exprs"):
+        out = _apply_proj_exprs(out, spec)
+        sel = spec["select"] if spec["select"] is not None else []
+        missing = [v for v in sel if v not in out.columns]
         if missing:
             raise ValueError(f"SELECT variables not bound: {missing}")
-        out = out.select(*spec["select"])
+        out = out.select(*sel, *[a for _, a in spec.get("proj_exprs") or []])
     if spec["distinct"]:
         out = out.distinct()
     if spec["order"]:
+        # keys are column names or compiled SQL expressions — both go
+        # through F.expr; ?v-with-LIMIT still plans as TakeOrdered
         out = out.orderBy(
-            *[F.desc(v) if d else F.asc(v) for v, d in spec["order"]]
+            *[
+                F.expr(k).desc() if d else F.expr(k).asc()
+                for k, d in spec["order"]
+            ]
         )
     if spec["offset"]:
         out = out.offset(spec["offset"])
     if spec["limit"] is not None:
         out = out.limit(spec["limit"])
+    return out
+
+
+def _apply_proj_exprs(out: DataFrame, spec: dict) -> DataFrame:
+    """(expr AS ?alias) SELECT projection expressions (round-6) — the
+    BIND-free form; evaluated after grouping/HAVING so they can
+    reference aggregate aliases as well as plain variables."""
+    for expr, alias in spec.get("proj_exprs") or []:
+        if alias in out.columns:
+            raise ValueError(f"projection alias ?{alias} is already bound")
+        out = out.withColumn(alias, F.expr(expr))
     return out
 
 

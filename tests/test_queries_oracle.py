@@ -28,6 +28,7 @@ FAST = [
     "doc_pack_assign", "training_export",
     # round-6 additions
     "pii_scrub", "pii_rate_by_source", "kg_sparql_update", "para_dedup",
+    "kg_sparql_select_expr", "rdf_jsonld_compacted_roundtrip",
 ]
 
 

@@ -425,7 +425,9 @@ def test_parser_fuzz_never_crashes():
             "SUM", "AVG", "GROUP", "HAVING", "DISTINCT", "<ex:iri>",
             "ex:a+", "ex:a*", "^ex:a", "ex:a/ex:b", "(ex:a|^ex:a)",
             "?", "/", "|", "^", "EXISTS", "NOT", "ASK", "DESCRIBE",
-            "CONSTRUCT", "OFFSET"]
+            "CONSTRUCT", "OFFSET",
+            # round-6 surface: projection/ORDER BY expressions
+            "STRLEN", "IN", "TRUE", ">=", "-"]
     for _ in range(600):
         q = " ".join(rng.choice(toks) for _ in range(rng.randint(1, 14)))
         try:
@@ -450,7 +452,6 @@ def test_non_variable_in_variable_positions_raises_value_error():
         'SELECT ?x WHERE { ?x ?p ?o . FILTER(xsd:integer(ex:a) > 1) }',
         'SELECT ?x WHERE { ?x ?p ?o . FILTER(REGEX(ex:a, "z")) }',
         'SELECT ?x WHERE { ?x ?p ?o } ORDER BY DESC(ex:a)',
-        'SELECT ?x WHERE { ?x ?p ?o } ORDER BY ASC(5)',
         'SELECT ?9bad WHERE { ?9bad ?p ?o }',
     ]
     for q in bad:
@@ -1038,3 +1039,46 @@ def test_null_compat_join_guard():
             [f"v{i}" for i in range(4)], [f"v{i}" for i in range(4, 7)],
             "exists",
         )
+
+
+def test_select_projection_expression(tri):
+    # (expr AS ?v) without a separate BIND (round-6)
+    out = sparql_select(
+        tri,
+        "SELECT ?x (xsd:integer(?n) * 2 AS ?dbl) WHERE { ?x ex:score ?n }",
+    )
+    assert set(out.columns) == {"x", "dbl"}
+    assert _rows(out) == {("ex:a", 14), ("ex:b", 4), ("ex:c", 22)}
+    # expression over an aggregate alias
+    out2 = sparql_select(
+        tri,
+        "SELECT ?t (COUNT(?e) AS ?n) (?n * 10 AS ?n10) "
+        "WHERE { ?e rdf:type ?t } GROUP BY ?t",
+    )
+    assert _rows(out2) == {("ex:Person", 2, 20), ("ex:Robot", 1, 10)}
+    with pytest.raises(ValueError, match="already bound"):
+        sparql_select(
+            tri, "SELECT (STR(?x) AS ?x) WHERE { ?x ex:score ?n }"
+        ).collect()
+
+
+def test_order_by_expressions(tri):
+    out = sparql_select(
+        tri,
+        "SELECT ?x ?n WHERE { ?x ex:score ?n } "
+        "ORDER BY DESC(xsd:integer(?n)) LIMIT 2",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:c", "11"), ("ex:a", "7")
+    ]
+    # bare bracketted expression key, ascending
+    out2 = sparql_select(
+        tri,
+        "SELECT ?x WHERE { ?x ex:score ?n } ORDER BY (xsd:integer(?n))",
+    )
+    assert [r["x"] for r in out2.collect()] == ["ex:b", "ex:a", "ex:c"]
+    # plain ?v keys unchanged
+    out3 = sparql_select(
+        tri, "SELECT ?l WHERE { ?x rdfs:label ?l } ORDER BY DESC(?l) LIMIT 1"
+    )
+    assert [r["l"] for r in out3.collect()] == ["carl"]
