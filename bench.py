@@ -383,6 +383,8 @@ def _stress(sf_dir: str, cpus: int) -> dict:
     time ratio; on a fixed-size machine linear data scaling is ratio ≈
     REP, so a stage is flagged when ratio > 2·REP (a skew/memory cliff
     the sf0.1 numbers hide)."""
+    from pyspark.sql import functions as F
+
     from kgspark.session import get_spark
     from kgspark import dedup as D
     from kgspark import textstats as TS
@@ -419,7 +421,94 @@ def _stress(sf_dir: str, cpus: int) -> dict:
         timed("dedup_simhash_pairs", lambda: D.simhash_pairs(vd).count())
         timed("ngram_jaccard_pairs", lambda: D.ngram_jaccard_pairs(vd).count())
         timed("langid", lambda: TS.langid(spark, vd).count())
+
+        # --- store / SPARQL surface (round-6 verdict #7) ------------
+        # GRAPH-pruned store scan: the store grows ×r (same ≤512-graph
+        # partition set — the 1e9 doc_id offset is ≡0 mod 512, so
+        # replicas land in existing graphs), and the pruned query must
+        # track ONE graph's growth, never the store's.
+        import shutil
+        import tempfile
+
+        from kgspark import rdfio
+        from kgspark import sparql as SQ
+
+        store = tempfile.mkdtemp(prefix="kgspark_stress_store_")
+        quads = docs.select(
+            F.concat(F.lit("doc://"),
+                     F.pmod(F.col("doc_id"), F.lit(512)).cast("string"))
+            .alias("g"),
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+            .alias("s"),
+            F.lit("ex:from").alias("p"),
+            F.col("source").alias("o"),
+        )
+        timed("store_write", lambda: (
+            rdfio.write_nquads_store(quads, store), quads.count())[1])
+        timed("store_sparql_pruned", lambda: SQ.store_sparql(
+            spark, store, "SELECT ?s ?o WHERE { ?s ex:from ?o }",
+            graph="doc://7").count())
+        timed("store_sparql_full", lambda: SQ.store_sparql(
+            spark, store,
+            "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s ex:from ?o } "
+            "GROUP BY ?o").count())
+        shutil.rmtree(store)
+
+        # SPARQL path closure at scale: the ×1 pipeline's sameAs graph
+        # replicated r× into DISJOINT node namespaces (components ×r,
+        # component SIZES preserved — independent-corpus growth, the
+        # shape Caesar-varied docs can't produce because rotation
+        # breaks entity-token detection).  Cost must track components,
+        # i.e. stay ~linear in r.
+        from kgspark.pipeline import run_pipeline_cached
+
+        t1 = run_pipeline_cached(spark, sf_dir).triples
+        ri = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_r")
+        is_same = F.col("p") == "owl:sameAs"
+        reptri = (
+            t1.select("s", "p", "o", ri)
+            .select(
+                F.concat("s", F.lit("#r"), F.col("_r")).alias("s"),
+                "p",
+                F.when(is_same,
+                       F.concat("o", F.lit("#r"), F.col("_r")))
+                .otherwise(F.col("o")).alias("o"),
+            )
+        )
+        timed("sparql_path_star", lambda: SQ.sparql_select(
+            reptri,
+            """
+            SELECT DISTINCT ?x ?y WHERE {
+              ?x rdf:type ex:Commerce .
+              ?x owl:sameAs* ?y .
+              ?y ex:score ?n
+            }
+            """).count())
         levels[f"x{r}"] = {"timings": timings, "stages": stages}
+
+    # Closure guard must TRIP on a giant component: one 20k-node sameAs
+    # chain is a single symmetric component ⇒ Σ|comp|² ≈ 4·10⁸ >
+    # MAX_CLOSURE_PAIRS — the Σ|comp|² PRE-check (bgp.py
+    # symmetric_closure_pairs) has to raise from the component-size
+    # aggregate BEFORE materializing any of the quadratic pairs, so the
+    # trip itself is seconds, not a melt-down.
+    from kgspark import sparql as SQ
+
+    chain = spark.range(20000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("s"),
+        F.lit("owl:sameAs").alias("p"),
+        F.concat(F.lit("c"), F.col("id") + 1).alias("o"),
+    )
+    t0 = time.time()
+    try:
+        SQ.sparql_select(
+            chain,
+            "SELECT ?x ?y WHERE { ?x (owl:sameAs|^owl:sameAs)+ ?y }",
+        ).count()
+        guard = {"tripped": False, "sec": round(time.time() - t0, 3)}
+    except ValueError as e:
+        guard = {"tripped": True, "sec": round(time.time() - t0, 3),
+                 "error": str(e)[:160]}
     t1 = levels["x1"]["timings"]
     t10 = levels[f"x{rep}"]["timings"]
     ratios = {
@@ -438,6 +527,7 @@ def _stress(sf_dir: str, cpus: int) -> dict:
         "ratios_vs_x1": ratios,
         "linear_ratio": rep,
         "flagged_over_2x_linear": flagged,
+        "closure_guard": guard,
         "x1": t1,
         f"x{rep}": t10,
         "stages": levels[f"x{rep}"]["stages"],

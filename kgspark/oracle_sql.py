@@ -1953,3 +1953,23 @@ JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
 WHERE t1.p = 'rdfs:label'
 ORDER BY length(t1.o) DESC, e, l, CAST(t2.o AS INT) LIMIT 30
 """
+
+# r6: EXISTS with an OPTIONAL-unbound shared variable (compatible-
+# solution semantics): unbound ?y is compatible with anything, so the
+# row survives iff the EXISTS group is non-empty at all; bound ?y must
+# itself match.
+SPARQL_OPTIONAL_EXISTS_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+base AS (
+  SELECT c.s AS x, lb.o AS l
+  FROM tri c
+  LEFT JOIN tri lb ON lb.s = c.s AND lb.p = 'rdfs:label'
+                  AND lb.o LIKE 'c%'
+  WHERE c.p = 'rdf:type' AND c.o = 'ex:Commerce'
+)
+SELECT x, l FROM base
+WHERE (l IS NOT NULL AND EXISTS (
+         SELECT 1 FROM tri w WHERE w.p = 'rdfs:label' AND w.o = base.l))
+   OR (l IS NULL AND EXISTS (SELECT 1 FROM tri w WHERE w.p = 'rdfs:label'))
+"""

@@ -1850,3 +1850,28 @@ def kg_sparql_select_expr(spark, sf_dir):
         ORDER BY DESC(STRLEN(?l)) ?e ?l (xsd:integer(?n)) LIMIT 30
         """,
     )
+
+
+def kg_sparql_optional_exists(spark, sf_dir):
+    """Round-6 (ADVICE #1): EXISTS over an OPTIONAL-unbound shared
+    variable — compatible-solution semantics.  The OPTIONAL body keeps
+    only labels starting with "c", so ?l is UNBOUND for the rest; an
+    unbound shared variable is compatible-with-anything, so those rows
+    survive the EXISTS iff the group is (anywhere) non-empty — the
+    plain equi-semi-join used to silently drop them.  Bound ?l rows
+    survive iff that exact label occurs (trivially true), keeping both
+    row shapes in the result."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?x ?l WHERE {
+          ?x rdf:type ex:Commerce .
+          OPTIONAL { ?x rdfs:label ?l . FILTER(STRSTARTS(?l, "c")) }
+          FILTER EXISTS { ?e rdfs:label ?l }
+        }
+        """,
+    )
