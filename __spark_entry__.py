@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_filter": Q.kg_sparql_optional_filter,  # OPTIONAL{FILTER}+COALESCE (r5)
         "kg_sparql_group_concat": Q.kg_sparql_group_concat,  # GROUP_CONCAT/SAMPLE (r5)
         "kg_sparql_update": Q.kg_sparql_update,        # UPDATE verbs on the store (r6)
+        "kg_sparql_modify": Q.kg_sparql_modify,        # DELETE/INSERT…WHERE (r6)
         "kg_sparql_select_expr": Q.kg_sparql_select_expr,  # (expr AS ?v) + ORDER BY expr (r6)
         "kg_sparql_optional_exists": Q.kg_sparql_optional_exists,  # null-compat EXISTS (r6)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optional_filter": OS.SPARQL_OPTIONAL_FILTER_SQL,
         "kg_sparql_group_concat": OS.SPARQL_GROUP_CONCAT_SQL,
         "kg_sparql_update": OS.KG_SPARQL_UPDATE_SQL,
+        "kg_sparql_modify": OS.KG_SPARQL_MODIFY_SQL,
         "kg_sparql_select_expr": OS.SPARQL_SELECT_EXPR_SQL,
         "kg_sparql_optional_exists": OS.SPARQL_OPTIONAL_EXISTS_SQL,
         "contamination_check": OS.CONTAMINATION_SQL,

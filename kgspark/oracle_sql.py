@@ -1973,3 +1973,26 @@ WHERE (l IS NOT NULL AND EXISTS (
          SELECT 1 FROM tri w WHERE w.p = 'rdfs:label' AND w.o = base.l))
    OR (l IS NULL AND EXISTS (SELECT 1 FROM tri w WHERE w.p = 'rdfs:label'))
 """
+
+# r6: modify-form end state — WHERE over the merged graph, DELETE
+# scoped to ex:reg1, INSERT of the lower-cased name into ex:reg1 for
+# every solution.
+KG_SPARQL_MODIFY_SQL = """
+WITH base AS (
+  SELECT 'ex:reg' || CAST(n_regionkey AS VARCHAR) AS g,
+         'ex:nat' || CAST(n_nationkey AS VARCHAR) AS s,
+         'ex:name' AS p,
+         n_name AS o
+  FROM nation
+),
+sol AS (SELECT s, o, lower(o) AS u FROM base WHERE o LIKE 'C%'),
+kept AS (
+  SELECT b.* FROM base b
+  WHERE NOT (b.g = 'ex:reg1' AND b.p = 'ex:name'
+             AND EXISTS (SELECT 1 FROM sol
+                         WHERE sol.s = b.s AND sol.o = b.o))
+)
+SELECT g, s, p, o FROM kept
+UNION
+SELECT 'ex:reg1', s, 'ex:lname', u FROM sol
+"""

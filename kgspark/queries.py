@@ -1875,3 +1875,37 @@ def kg_sparql_optional_exists(spark, sf_dir):
         }
         """,
     )
+
+
+def kg_sparql_modify(spark, sf_dir):
+    """Round-6: the general DELETE/INSERT…WHERE modify form.  WHERE
+    matches over the MERGED default graph (all regions' names starting
+    with "C"), the DELETE template strips those names from graph
+    ex:reg1 only, and the INSERT template writes the lower-cased form
+    into ex:reg1 for EVERY solution (template instantiation is
+    graph-independent, per spec) — the oracle recomputes
+    (pre-state − dels) ∪ ins in SQL."""
+    import tempfile
+
+    from . import rdfio
+    from .sparql import store_update
+
+    nat = _t(spark, sf_dir, "nation")
+    quads = nat.select(
+        F.concat(F.lit("ex:reg"), F.col("n_regionkey").cast("string")).alias("g"),
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+    store = tempfile.mkdtemp(prefix="kgspark_mod_")
+    rdfio.write_nquads_store(quads, store)
+    store_update(spark, store, '''
+        DELETE { GRAPH ex:reg1 { ?s ex:name ?o } }
+        INSERT { GRAPH ex:reg1 { ?s ex:lname ?u } }
+        WHERE { ?s ex:name ?o . FILTER(STRSTARTS(?o, "C")) .
+                BIND(LCASE(?o) AS ?u) }
+    ''')
+    return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")

@@ -231,8 +231,24 @@ def main() -> None:  # pragma: no cover — cluster entry point
         "an EXISTING warehouse's triples table and print the rows — no "
         "pipeline run (the store's consumer surface from the CLI)",
     )
+    ap.add_argument(
+        "--update",
+        help="run a SPARQL UPDATE request (INSERT/DELETE DATA, DELETE "
+        "WHERE, CLEAR/DROP; ';'-chained) against the warehouse's "
+        "N-Quads store directory 'store' — the sparql-put surface "
+        "from the CLI (round 6)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="kgspark-runner")
+    if args.update:
+        import os
+
+        from .sparql import store_update
+
+        print(store_update(
+            spark, os.path.join(args.warehouse, "store"), args.update
+        ))
+        return
     if args.sparql:
         import os
 

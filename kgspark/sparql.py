@@ -1422,8 +1422,17 @@ def parse_update(update: str) -> list[dict]:
     while p.peek() is not None:
         verb = p.take().upper()
         if verb == "INSERT":
-            p.expect("DATA")
-            ops.append({"op": "insert_data", "quads": _parse_quad_data(p)})
+            if p.peek() == "{":
+                # insert-only modify form: INSERT { tpl } WHERE { g }
+                ins = _parse_quad_templates(p)
+                p.expect("WHERE")
+                ops.append({"op": "modify", "delete": [], "insert": ins,
+                            "where": _parse_group(p)})
+            else:
+                p.expect("DATA")
+                ops.append(
+                    {"op": "insert_data", "quads": _parse_quad_data(p)}
+                )
         elif verb == "DELETE":
             if p.kw("DATA"):
                 ops.append({"op": "delete_data", "quads": _parse_quad_data(p)})
@@ -1431,9 +1440,16 @@ def parse_update(update: str) -> list[dict]:
                 ops.append(
                     {"op": "delete_where", "patterns": _parse_quad_patterns(p)}
                 )
+            elif p.peek() == "{":
+                # modify form: DELETE { tpl } [INSERT { tpl }] WHERE { g }
+                dels = _parse_quad_templates(p)
+                ins = _parse_quad_templates(p) if p.kw("INSERT") else []
+                p.expect("WHERE")
+                ops.append({"op": "modify", "delete": dels, "insert": ins,
+                            "where": _parse_group(p)})
             else:
                 raise ValueError(
-                    "only DELETE DATA / DELETE WHERE are supported "
+                    "DELETE needs DATA / WHERE / a template block "
                     f"(got DELETE {p.peek()!r})"
                 )
         elif verb in ("CLEAR", "DROP"):
@@ -1513,6 +1529,8 @@ def _exec_update_op(
     from .bgp import _conjunction
 
     kind = op["op"]
+    if kind == "modify":
+        return _exec_modify(spark, path, op, default_graph, allow_product)
     if kind in ("insert_data", "delete_data"):
         rows = [
             ((q[0] if q[0] is not None else default_graph),) + tuple(q[1:])
@@ -1595,3 +1613,209 @@ def _exec_update_op(
         return {"op": kind, "graphs": removed, "quads": 0}
 
     raise AssertionError(f"unknown op {kind!r}")
+
+
+def _parse_quad_templates(p: _P) -> list[tuple]:
+    """Modify-form template block ``{ triples… GRAPH (iri|?v) { … } }``
+    → (graph, s, p, o, o_kind, o_lang, o_datatype) tuples; graph None
+    marks the default graph; any position may be a ?variable (kept with
+    its '?'); constant objects carry their token-shape term model,
+    variable objects a None o_kind (resolved against the store's term
+    table at execution).  Property paths rejected."""
+    from .bgp import _parse_path
+
+    def _tpl_triples() -> list[tuple]:
+        rows = []
+        while p.peek() not in ("}", None) and (p.peek() or "").upper() != "GRAPH":
+            s = p.take()
+            pred = p.take()
+            if pred == "a":
+                pred = "rdf:type"
+            o = p.take()
+            o_kind, o_lang, o_dt = "iri", "", ""
+            if o.startswith('"'):
+                o_kind = "literal"
+                nxt = p.peek()
+                if nxt is not None and nxt.startswith("@"):
+                    o_lang = p.take()[1:]
+                elif nxt is not None and nxt.startswith("^^"):
+                    o_dt = _ground_term(p.take()[2:])
+            elif o.startswith("?"):
+                o_kind = None  # resolved at execution
+            if not pred.startswith("?") and _parse_path(pred) is not None:
+                raise ValueError(
+                    f"property path not allowed in a template: {pred!r}"
+                )
+
+            def keep(t: str) -> str:
+                from .rdfio import compact_str
+
+                return t if t.startswith("?") else compact_str(_term(t))
+
+            rows.append((
+                keep(s), keep(pred),
+                _unescape_str(_term(o)) if o_kind == "literal"
+                else keep(o),
+                o_kind, o_lang, o_dt,
+            ))
+            p.kw(".")
+        return rows
+
+    p.expect("{")
+    out: list[tuple] = []
+    while (p.peek() or "}") != "}":
+        if (p.peek() or "").upper() == "GRAPH":
+            p.take()
+            gtok = p.take()
+            g = gtok if gtok.startswith("?") else _ground_term(gtok)
+            p.expect("{")
+            rows = _tpl_triples()
+            p.expect("}")
+            p.kw(".")
+            out += [(g,) + r for r in rows]
+        else:
+            rows = _tpl_triples()
+            if not rows:
+                raise ValueError(f"SPARQL UPDATE parse error at {p.peek()!r}")
+            out += [(None,) + r for r in rows]
+    p.expect("}")
+    if not out:
+        raise ValueError("empty template block")
+    return out
+
+
+def _exec_modify(
+    spark, path: str, op: dict, default_graph: str, allow_product: bool
+) -> dict:
+    """DELETE/INSERT … WHERE — the general SPARQL UPDATE form
+    (sparql.py parse_update routes here).  Subset semantics,
+    documented:
+
+    * the WHERE group evaluates over the store's MERGED default graph
+      (distinct (s,p,o) across all graphs — the same dataset
+      store_sparql queries without GRAPH); GRAPH clauses inside the
+      modify WHERE are rejected (use DELETE WHERE for graph-scoped
+      pattern deletes);
+    * bare templates target the default graph, ``GRAPH (iri|?v)``
+      templates their named graph (?v must be WHERE-bound);
+    * an INSERT object VARIABLE gets its term model by string-matching
+      the store's object-term table (the overwhelming case — values
+      moved/retyped from the store keep their lang/datatype); values
+      the store has never seen as objects (e.g. BIND-computed strings)
+      default to plain literals.
+
+    Scale shape: one group evaluation (the read surface's plan), two
+    template instantiations (per-solution selects, unioned), then the
+    same affected-graph partition rewrite as every other update op."""
+    from . import rdfio
+
+    dirs = rdfio.store_graph_dirs(path)
+    if not dirs and op["delete"]:
+        return {"op": "modify", "graphs": [], "deleted": 0, "inserted": 0}
+    for pat in op["where"].get("patterns") or []:
+        if len(pat) == 4:
+            raise ValueError(
+                "GRAPH clauses are not supported in a modify-form WHERE "
+                "(evaluated over the merged default graph) — use "
+                "DELETE WHERE for graph-scoped pattern deletes"
+            )
+    quads = rdfio.read_nquads_store(spark, path) if dirs else None
+    if quads is None:
+        triples = spark.createDataFrame([], "s string, p string, o string")
+    else:
+        triples = quads.select("s", "p", "o").distinct()
+    sol = _drop_hidden(_eval_group(triples, op["where"], allow_product))
+
+    def col_of(t, default=None):
+        if t is None:
+            return F.lit(default)
+        if t.startswith("?"):
+            v = _var(t)
+            if v not in sol.columns:
+                raise ValueError(f"template variable ?{v} is not bound "
+                                 "in the WHERE group")
+            return F.col(v)
+        return F.lit(t)
+
+    def inst(templates, with_terms: bool):
+        out = None
+        for g, s, pr, o, ok, ol, od in templates:
+            cols = [
+                col_of(g, default_graph).alias("g"),
+                col_of(s).alias("s"), col_of(pr).alias("p"),
+                col_of(o).alias("o"),
+            ]
+            if with_terms:
+                cols += [
+                    F.lit(ok).alias("o_kind"), F.lit(ol or "").alias("o_lang"),
+                    F.lit(od or "").alias("o_datatype"),
+                ]
+            row = sol.select(*cols)
+            out = row if out is None else out.unionByName(row)
+        return out.dropna(subset=["g", "s", "p", "o"]).distinct()
+
+    dels = inst(op["delete"], with_terms=False) if op["delete"] else None
+    ins = inst(op["insert"], with_terms=True) if op["insert"] else None
+    if ins is not None and quads is not None:
+        # resolve NULL-kind (variable) objects against the store's
+        # object-term table; deterministic literal-wins on the
+        # pathological string that occurs as both kinds
+        terms = (
+            quads.groupBy(F.col("o").alias("_tv"))
+            .agg(F.max(F.struct("o_kind", "o_lang", "o_datatype")).alias("_t"))
+            .select("_tv", "_t.o_kind", "_t.o_lang", "_t.o_datatype")
+        )
+        unresolved = ins.filter(F.col("o_kind").isNull()).drop(
+            "o_kind", "o_lang", "o_datatype"
+        )
+        resolved = unresolved.join(
+            terms, unresolved["o"] == terms["_tv"], "left"
+        ).select(
+            "g", "s", "p", "o",
+            F.coalesce("o_kind", F.lit("literal")).alias("o_kind"),
+            F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+            F.coalesce("o_datatype", F.lit("")).alias("o_datatype"),
+        )
+        ins = ins.filter(F.col("o_kind").isNotNull()).unionByName(resolved)
+    elif ins is not None:
+        ins = ins.withColumn(
+            "o_kind", F.coalesce("o_kind", F.lit("literal"))
+        )
+
+    affected = set()
+    if dels is not None:
+        affected |= {r["g"] for r in dels.select("g").distinct().collect()}
+    if ins is not None:
+        affected |= {r["g"] for r in ins.select("g").distinct().collect()}
+    affected = sorted(affected)
+    if not affected:
+        return {"op": "modify", "graphs": [], "deleted": 0, "inserted": 0}
+    have = [g for g in affected if g in dirs]
+    existing = (
+        rdfio.read_nquads_store(spark, path, graph=have) if have else None
+    )
+    n_del = 0
+    remaining = existing
+    if dels is not None and existing is not None:
+        remaining = existing.join(dels, ["g", "s", "p", "o"], "left_anti")
+        n_del = dels.count()
+    new = remaining
+    if ins is not None:
+        new = ins if new is None else new.unionByName(ins)
+    if new is None:
+        return {"op": "modify", "graphs": affected, "deleted": n_del,
+                "inserted": 0}
+    new = new.dropDuplicates(
+        ["g", "s", "p", "o", "o_kind", "o_lang", "o_datatype"]
+    )
+    # every count/collect runs BEFORE the overwrite: the lazy frames'
+    # lineage reads the store files the write is about to replace
+    n_ins = 0 if ins is None else ins.count()
+    nonempty = {r["g"] for r in new.groupBy("g").count().collect()}
+    if nonempty:
+        rdfio._replace_graphs_unlocked(new, path)
+    rdfio._remove_graph_dirs(path, [g for g in have if g not in nonempty])
+    return {
+        "op": "modify", "graphs": affected, "deleted": n_del,
+        "inserted": n_ins,
+    }

@@ -29,7 +29,7 @@ FAST = [
     # round-6 additions
     "pii_scrub", "pii_rate_by_source", "kg_sparql_update", "para_dedup",
     "kg_sparql_select_expr", "rdf_jsonld_compacted_roundtrip",
-    "kg_sparql_optional_exists",
+    "kg_sparql_optional_exists", "kg_sparql_modify",
 ]
 
 

@@ -224,3 +224,73 @@ def test_parse_update_fuzz_valueerror_only():
             parse_update(q)
         except ValueError:
             pass
+
+
+def test_modify_rename_preserves_term_model(spark, tmp_path):
+    # DELETE/INSERT WHERE: predicate rename keeps the moved value's
+    # @lang through the store's object-term resolution
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 {
+          ex:a rdfs:label "alpha"@en . ex:a ex:score "7" .
+          ex:b rdfs:label "beta" } }''')
+    r = store_update(spark, store, '''
+        DELETE { GRAPH ex:g1 { ?s rdfs:label ?l } }
+        INSERT { GRAPH ex:g1 { ?s ex:title ?l } }
+        WHERE { ?s rdfs:label ?l }''')
+    assert r["ops"][0] == {"op": "modify", "graphs": ["ex:g1"],
+                           "deleted": 2, "inserted": 2}
+    rows = {
+        (q["s"], q["p"], q["o"], q["o_kind"], q["o_lang"])
+        for q in rdfio.read_nquads_store(spark, store).collect()
+    }
+    assert rows == {
+        ("ex:a", "ex:score", "7", "literal", ""),
+        ("ex:a", "ex:title", "alpha", "literal", "en"),
+        ("ex:b", "ex:title", "beta", "literal", ""),
+    }
+
+
+def test_modify_insert_only_and_computed_literal(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store,
+                 'INSERT DATA { GRAPH ex:g1 { ex:a rdfs:label "x" } }')
+    store_update(spark, store, '''
+        INSERT { GRAPH ex:g2 { ?s ex:ucase ?u } }
+        WHERE { ?s rdfs:label ?l . BIND(UCASE(?l) AS ?u) }''')
+    rows = rdfio.read_nquads_store(spark, store, graph="ex:g2").collect()
+    # BIND-computed value never seen as a store object → plain literal
+    assert [(r["s"], r["o"], r["o_kind"]) for r in rows] == [
+        ("ex:a", "X", "literal")
+    ]
+
+
+def test_modify_delete_only_and_variable_graph_template(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b . ex:a ex:tag ex:g9 } }''')
+    # GRAPH ?g template: the target graph comes from a WHERE binding
+    store_update(spark, store, '''
+        INSERT { GRAPH ?g { ?s ex:routed "yes" } }
+        WHERE { ?s ex:tag ?g }''')
+    assert sorted(rdfio.store_graph_dirs(store)) == ["ex:g1", "ex:g9"]
+    # delete-only modify form
+    store_update(spark, store, '''
+        DELETE { GRAPH ex:g1 { ?s ex:p ?o } } WHERE { ?s ex:p ?o }''')
+    left = {(q["g"], q["p"]) for q in
+            rdfio.read_nquads_store(spark, store).collect()}
+    assert left == {("ex:g1", "ex:tag"), ("ex:g9", "ex:routed")}
+
+
+def test_modify_rejections(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, "INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b } }")
+    with pytest.raises(ValueError, match="not bound"):
+        store_update(spark, store,
+                     "INSERT { ex:a ex:p ?nope } WHERE { ?s ex:p ?o }")
+    with pytest.raises(ValueError, match="GRAPH clauses are not supported"):
+        store_update(spark, store, '''
+            DELETE { ?s ex:p ?o } WHERE { GRAPH ex:g1 { ?s ex:p ?o } }''')
+    with pytest.raises(ValueError, match="property path"):
+        store_update(spark, store,
+                     "DELETE { ?s ex:p+ ?o } WHERE { ?s ex:p ?o }")
