@@ -1455,3 +1455,16 @@ def jsonld_context_json() -> str:
     return json.dumps(
         {p[:-1]: full for p, full in sorted(PREFIXES.items())}
     )
+
+
+# Spark/Hive partition-value escaping (ExternalCatalogUtils.escapePathName
+# semantics): %XX for the reserved set + control chars.  Decoding is
+# plain %XX-unquote, so a directory created with this function reads
+# back identically whether Spark or kgspark wrote it.
+_PARTITION_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(i) for i in range(0x20)}
+
+
+def escape_partition_value(v: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE else c for c in v
+    )

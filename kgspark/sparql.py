@@ -1421,7 +1421,25 @@ def parse_update(update: str) -> list[dict]:
     ops: list[dict] = []
     while p.peek() is not None:
         verb = p.take().upper()
-        if verb == "INSERT":
+        if verb == "WITH":
+            # WITH <g>: the modify form scoped to ONE named graph — the
+            # WHERE matches against g only and bare templates target g
+            # (SPARQL 1.1 Update §3.1.3)
+            with_g = _ground_term(p.take())
+            dels: list = []
+            ins: list = []
+            if p.kw("DELETE"):
+                dels = _parse_quad_templates(p)
+                if p.kw("INSERT"):
+                    ins = _parse_quad_templates(p)
+            elif p.kw("INSERT"):
+                ins = _parse_quad_templates(p)
+            else:
+                raise ValueError("WITH needs DELETE/INSERT template blocks")
+            p.expect("WHERE")
+            ops.append({"op": "modify", "delete": dels, "insert": ins,
+                        "where": _parse_group(p), "with": with_g})
+        elif verb == "INSERT":
             if p.peek() == "{":
                 # insert-only modify form: INSERT { tpl } WHERE { g }
                 ins = _parse_quad_templates(p)
@@ -1471,6 +1489,23 @@ def parse_update(update: str) -> list[dict]:
             else:
                 raise ValueError(f"{verb} needs GRAPH <iri> / DEFAULT / "
                                  f"NAMED / ALL (got {p.peek()!r})")
+        elif verb in ("ADD", "MOVE", "COPY"):
+            # graph-management verbs (SPARQL 1.1 Update §3.2.3–5):
+            # (ADD|MOVE|COPY) [SILENT] (GRAPH <g>|DEFAULT) TO
+            # (GRAPH <g>|DEFAULT)
+            silent = p.kw("SILENT")
+
+            def _graph_ref() -> str | None:
+                if p.kw("DEFAULT"):
+                    return None
+                p.kw("GRAPH")  # optional keyword before the IRI
+                return _ground_term(p.take())
+
+            src_g = _graph_ref()
+            p.expect("TO")
+            dst_g = _graph_ref()
+            ops.append({"op": verb.lower(), "src": src_g, "dst": dst_g,
+                        "silent": silent})
         else:
             raise ValueError(f"unsupported SPARQL UPDATE verb: {verb!r}")
         if not p.kw(";") and p.peek() is not None:
@@ -1595,6 +1630,56 @@ def _exec_update_op(
         )
         return {"op": kind, "graphs": affected, "quads": n_dels}
 
+    if kind in ("add", "move", "copy"):
+        # Graph management (SPARQL 1.1 Update §3.2.3–5) as
+        # METADATA-scale file operations — no Spark job at all: the
+        # graph name lives only in the partition directory name, so
+        # COPY/MOVE are a directory copy/rename and ADD a file-level
+        # union (deterministically-named copies, so re-ADD from the
+        # same source is idempotent).  At cluster scale these are the
+        # table format's manifest/snapshot operations.
+        import hashlib
+        import os
+        import shutil
+
+        src_g = op["src"] if op["src"] is not None else default_graph
+        dst_g = op["dst"] if op["dst"] is not None else default_graph
+        dirs = rdfio.store_graph_dirs(path)
+        if src_g == dst_g:
+            return {"op": kind, "src": src_g, "dst": dst_g, "graphs": []}
+        src_dir = dirs.get(src_g)
+        if src_dir is None:
+            if op["src"] is not None and not op["silent"]:
+                raise ValueError(
+                    f"{kind.upper()}: graph not in store: {src_g}"
+                )
+            # missing source = empty graph: COPY/MOVE empty the target,
+            # ADD is a no-op
+            if kind in ("copy", "move"):
+                rdfio._remove_graph_dirs(path, [dst_g])
+            return {"op": kind, "src": src_g, "dst": dst_g,
+                    "graphs": [dst_g] if kind != "add" else []}
+        dst_dir = dirs.get(dst_g) or os.path.join(
+            path, "g=" + rdfio.escape_partition_value(dst_g)
+        )
+        if kind in ("copy", "move"):
+            rdfio._remove_graph_dirs(path, [dst_g])
+            shutil.copytree(src_dir, dst_dir)
+        else:  # add: dst ∪ src, src untouched
+            os.makedirs(dst_dir, exist_ok=True)
+            tag = hashlib.sha1(src_g.encode()).hexdigest()[:8]
+            for f in os.listdir(src_dir):
+                if f.startswith((".", "_")):
+                    continue
+                shutil.copy2(
+                    os.path.join(src_dir, f),
+                    os.path.join(dst_dir, f"add_{tag}_{f}"),
+                )
+        if kind == "move":
+            shutil.rmtree(src_dir)
+        return {"op": kind, "src": src_g, "dst": dst_g,
+                "graphs": [dst_g, src_g] if kind == "move" else [dst_g]}
+
     if kind == "clear":
         dirs = rdfio.store_graph_dirs(path)
         scope = op["scope"]
@@ -1709,6 +1794,11 @@ def _exec_modify(
     same affected-graph partition rewrite as every other update op."""
     from . import rdfio
 
+    with_g = op.get("with")
+    if with_g is not None:
+        # WITH <g>: both the WHERE dataset and the bare-template target
+        # become that one graph
+        default_graph = with_g
     dirs = rdfio.store_graph_dirs(path)
     if not dirs and op["delete"]:
         return {"op": "modify", "graphs": [], "deleted": 0, "inserted": 0}
@@ -1719,7 +1809,12 @@ def _exec_modify(
                 "(evaluated over the merged default graph) — use "
                 "DELETE WHERE for graph-scoped pattern deletes"
             )
-    quads = rdfio.read_nquads_store(spark, path) if dirs else None
+    src_graphs = [with_g] if with_g is not None else None
+    have_src = with_g is None or with_g in dirs
+    quads = (
+        rdfio.read_nquads_store(spark, path, graph=src_graphs)
+        if dirs and have_src else None
+    )
     if quads is None:
         triples = spark.createDataFrame([], "s string, p string, o string")
     else:

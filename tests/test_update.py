@@ -294,3 +294,65 @@ def test_modify_rejections(spark, tmp_path):
     with pytest.raises(ValueError, match="property path"):
         store_update(spark, store,
                      "DELETE { ?s ex:p+ ?o } WHERE { ?s ex:p ?o }")
+
+
+def test_graph_management_add_move_copy(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:src { ex:a ex:p "1" . ex:b ex:p "2" }
+                      GRAPH ex:dst { ex:c ex:p "3" } }''')
+    # COPY replaces the target entirely
+    store_update(spark, store, "COPY GRAPH ex:src TO GRAPH ex:dst")
+    assert _state(spark, store) == {
+        ("ex:src", "ex:a", "ex:p", "1"), ("ex:src", "ex:b", "ex:p", "2"),
+        ("ex:dst", "ex:a", "ex:p", "1"), ("ex:dst", "ex:b", "ex:p", "2"),
+    }
+    # ADD unions into the target (source untouched); re-ADD idempotent
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:extra { ex:z ex:p "9" } } ;
+        ADD GRAPH ex:extra TO GRAPH ex:dst ;
+        ADD GRAPH ex:extra TO GRAPH ex:dst''')
+    dst = {(q["s"], q["o"]) for q in
+           rdfio.read_nquads_store(spark, store, graph="ex:dst").collect()}
+    assert dst == {("ex:a", "1"), ("ex:b", "2"), ("ex:z", "9")}
+    # MOVE renames (source gone)
+    store_update(spark, store, "MOVE GRAPH ex:extra TO GRAPH ex:moved")
+    assert "ex:extra" not in rdfio.store_graph_dirs(store)
+    moved = {(q["s"], q["o"]) for q in
+             rdfio.read_nquads_store(spark, store, graph="ex:moved").collect()}
+    assert moved == {("ex:z", "9")}
+    # missing source: error unless SILENT
+    with pytest.raises(ValueError, match="not in store"):
+        store_update(spark, store, "COPY GRAPH ex:nope TO GRAPH ex:dst")
+    store_update(spark, store, "COPY SILENT GRAPH ex:nope TO GRAPH ex:dst")
+    assert "ex:dst" not in rdfio.store_graph_dirs(store)  # emptied
+    # DEFAULT is a graph ref too
+    store_update(spark, store, '''
+        INSERT DATA { ex:d ex:p "7" } ;
+        COPY DEFAULT TO GRAPH ex:fromdft''')
+    got = {(q["s"], q["o"]) for q in
+           rdfio.read_nquads_store(spark, store, graph="ex:fromdft").collect()}
+    assert got == {("ex:d", "7")}
+    # self copy is a no-op
+    store_update(spark, store, "COPY GRAPH ex:moved TO GRAPH ex:moved")
+    assert moved == {(q["s"], q["o"]) for q in
+                     rdfio.read_nquads_store(spark, store, graph="ex:moved").collect()}
+
+
+def test_with_scoped_modify(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:p "1" }
+                      GRAPH ex:g2 { ex:b ex:p "2" } }''')
+    # WITH ex:g1: WHERE sees ONLY g1; bare templates target g1
+    store_update(spark, store, '''
+        WITH ex:g1 DELETE { ?s ex:p ?o } INSERT { ?s ex:q ?o }
+        WHERE { ?s ex:p ?o }''')
+    assert _state(spark, store) == {
+        ("ex:g1", "ex:a", "ex:q", "1"),   # rewritten in g1
+        ("ex:g2", "ex:b", "ex:p", "2"),   # g2 untouched (not matched)
+    }
+    # WITH over a graph not in the store: empty WHERE → no-op
+    r = store_update(spark, store, '''
+        WITH ex:nope DELETE { ?s ex:q ?o } WHERE { ?s ex:q ?o }''')
+    assert r["ops"][0]["deleted"] == 0
