@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_modify": Q.kg_sparql_modify,        # DELETE/INSERT…WHERE (r6)
         "kg_sparql_select_expr": Q.kg_sparql_select_expr,  # (expr AS ?v) + ORDER BY expr (r6)
         "kg_sparql_optional_exists": Q.kg_sparql_optional_exists,  # null-compat EXISTS (r6)
+        "kg_sparql_builtins": Q.kg_sparql_builtins,    # scalar-builtin surface (r6)
+        "kg_sparql_term_fns": Q.kg_sparql_term_fns,    # isIRI/LANGMATCHES (r6)
+        "kg_sparql_construct_where": Q.kg_sparql_construct_where,  # §10.2.2 shorthand (r6)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -192,6 +195,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_modify": OS.KG_SPARQL_MODIFY_SQL,
         "kg_sparql_select_expr": OS.SPARQL_SELECT_EXPR_SQL,
         "kg_sparql_optional_exists": OS.SPARQL_OPTIONAL_EXISTS_SQL,
+        "kg_sparql_builtins": OS.SPARQL_BUILTINS_SQL,
+        "kg_sparql_term_fns": OS.SPARQL_TERM_FNS_SQL,
+        "kg_sparql_construct_where": OS.SPARQL_CONSTRUCT_WHERE_SQL,
         "contamination_check": OS.CONTAMINATION_SQL,
         "entity_pagerank": OS.ENTITY_PAGERANK_SQL,
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,

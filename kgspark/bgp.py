@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Hidden carrier columns riding alongside a variable binding from a
+# full-term input: language tag, datatype IRI, and term kind
+# (iri/literal) of an OBJECT binding — consumed by FILTER(LANG(?v)),
+# DATATYPE(?v), isIRI/isLiteral(?v); stripped before results surface.
+HIDDEN_PREFIXES = ("__lang_", "__dt_", "__kind_")
+
 # predicate-position property-path syntax accepted in a triple pattern
 # (SPARQL 1.1 path subset — parsed by _parse_path):
 #   "pred+"            → directed transitive closure (one or more steps)
@@ -390,6 +396,8 @@ def _pattern_frame(
                         proj.append(
                             F.col("o_datatype").alias(f"__dt_{var}")
                         )
+                    if "o_kind" in t.columns:
+                        proj.append(F.col("o_kind").alias(f"__kind_{var}"))
         else:
             t = t.filter(F.col(col) == term)
     if proj:
@@ -414,13 +422,13 @@ def _conjunction(
         shared = [
             c for c in t.columns
             if c in bound.columns
-            and not c.startswith(("_exists_", "__lang_", "__dt_"))
+            and not c.startswith(("_exists_",) + HIDDEN_PREFIXES)
         ]
         # a re-binding of an object variable would duplicate its hidden
         # lang column across the join — drop the newcomer's copy
         dup_lang = [
             c for c in t.columns
-            if c.startswith(("__lang_", "__dt_")) and c in bound.columns
+            if c.startswith(HIDDEN_PREFIXES) and c in bound.columns
         ]
         if dup_lang:
             t = t.drop(*dup_lang)
@@ -539,7 +547,7 @@ def _apply_group_ops(
         shared = [
             c for c in g.columns
             if c in bound.columns
-            and not c.startswith(("_exists_", "__lang_", "__dt_"))
+            and not c.startswith(("_exists_",) + HIDDEN_PREFIXES)
         ]
         if shared:
             bound = bound.join(g.select(*shared).distinct(), shared, "left_anti")
@@ -635,7 +643,7 @@ def bgp_match(
         filters=filters, values=values, binds=binds,
         allow_product=allow_product, max_pairs=max_closure_pairs,
     )
-    hidden = [c for c in bound.columns if c.startswith(("__lang_", "__dt_"))]
+    hidden = [c for c in bound.columns if c.startswith(HIDDEN_PREFIXES)]
     if hidden:
         bound = bound.drop(*hidden)
     if select is not None:

@@ -1974,6 +1974,54 @@ WHERE (l IS NOT NULL AND EXISTS (
    OR (l IS NULL AND EXISTS (SELECT 1 FROM tri w WHERE w.p = 'rdfs:label'))
 """
 
+# r6: expanded scalar-builtin surface — nested CONCAT/UCASE/SUBSTR,
+# IF, STRLEN, MD5, ABS/FLOOR over integer casts; total ORDER BY before
+# the LIMIT cut.
+SPARQL_BUILTINS_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS e, t1.o AS l,
+       upper(substring(t1.o, 1, 1)) || substring(t1.o, 2) AS cap,
+       CASE WHEN length(t1.o) >= 6 THEN 'long' ELSE 'short' END AS sz,
+       md5(t1.o) AS h,
+       CAST(abs(CAST(t2.o AS INT) - 50) AS INT) AS dist,
+       CAST(floor(CAST(t2.o AS INT) / 7) AS BIGINT) AS bucket
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+WHERE t1.p = 'rdfs:label'
+ORDER BY e, l, CAST(t2.o AS INT) LIMIT 40
+"""
+
+# r6: term-inspection builtins — isIRI via the term kind, LANGMATCHES
+# basic range 'en' (case-insensitive exact or en-*).
+SPARQL_TERM_FNS_SQL = f"""
+{_KG_CTES},
+trif AS (SELECT DISTINCT s, p, o, o_kind, o_lang, o_datatype
+         FROM {_QUADS_UNION})
+SELECT p, CAST(count(*) AS BIGINT) AS n
+FROM trif
+WHERE o_kind = 'iri'
+   OR lower(coalesce(o_lang, '')) = 'en'
+   OR lower(coalesce(o_lang, '')) LIKE 'en-%'
+GROUP BY p ORDER BY p
+"""
+
+# r6: CONSTRUCT WHERE shorthand — the BGP doubles as the template;
+# distinct union of both pattern instantiations.
+SPARQL_CONSTRUCT_WHERE_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+sol AS (SELECT t1.s AS e, t1.o AS l, t2.o AS n
+        FROM tri t1
+        JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+        WHERE t1.p = 'rdfs:label')
+SELECT DISTINCT s, p, o FROM (
+  SELECT e AS s, 'rdfs:label' AS p, l AS o FROM sol
+  UNION ALL
+  SELECT e AS s, 'ex:score' AS p, n AS o FROM sol
+)
+"""
+
 # r6: modify-form end state — WHERE over the merged graph, DELETE
 # scoped to ex:reg1, INSERT of the lower-cased name into ex:reg1 for
 # every solution.

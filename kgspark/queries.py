@@ -1877,6 +1877,63 @@ def kg_sparql_optional_exists(spark, sf_dir):
     )
 
 
+def kg_sparql_builtins(spark, sf_dir):
+    """Round-6: the expanded scalar-builtin surface in one query —
+    nested same-shape translation (CONCAT(UCASE(SUBSTR(…)), …)), IF,
+    STRLEN, MD5, ABS and FLOOR over xsd:integer casts.  ORDER BY
+    (?e, ?l, score) is total over the distinct triple rows, so the
+    LIMIT cut is engine-deterministic."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?e ?l (CONCAT(UCASE(SUBSTR(?l, 1, 1)), SUBSTR(?l, 2)) AS ?cap)
+               (IF(STRLEN(?l) >= 6, "long", "short") AS ?sz)
+               (MD5(?l) AS ?h)
+               (ABS(xsd:integer(?n) - 50) AS ?dist)
+               (FLOOR(xsd:integer(?n) / 7) AS ?bucket)
+        WHERE { ?e rdfs:label ?l . ?e ex:score ?n }
+        ORDER BY ?e ?l (xsd:integer(?n)) LIMIT 40
+        """,
+    )
+
+
+def kg_sparql_term_fns(spark, sf_dir):
+    """Round-6: term-inspection builtins over the full-term model —
+    isIRI rides the hidden __kind_ carrier the way LANG rides __lang_;
+    LANGMATCHES does case-insensitive basic range filtering.  Counts
+    per predicate of objects that are IRIs or English-tagged
+    literals."""
+    from .sparql import sparql_select
+
+    t = kg_triples_full(spark, sf_dir)
+    return sparql_select(
+        t,
+        """
+        SELECT ?p (COUNT(*) AS ?n)
+        WHERE { ?s ?p ?o
+                FILTER(isIRI(?o) || LANGMATCHES(LANG(?o), "en")) }
+        GROUP BY ?p ORDER BY ?p
+        """,
+    )
+
+
+def kg_sparql_construct_where(spark, sf_dir):
+    """Round-6: the CONSTRUCT WHERE { … } shorthand (SPARQL 1.1
+    §10.2.2) — the BGP is its own template; result is the distinct
+    (s, p, o) union of both pattern instantiations."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_construct
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_construct(
+        t, "CONSTRUCT WHERE { ?e rdfs:label ?l . ?e ex:score ?n }"
+    )
+
+
 def kg_sparql_modify(spark, sf_dir):
     """Round-6: the general DELETE/INSERT…WHERE modify form.  WHERE
     matches over the MERGED default graph (all regions' names starting

@@ -15,6 +15,7 @@ Supported subset::
     DOUBLE, so its bits are engine-deterministic)
 
     CONSTRUCT { template-patterns } WHERE { group }
+    CONSTRUCT WHERE { triple-patterns }              (§10.2.2 shorthand)
     ASK [WHERE] { group }
     DESCRIBE (<iri>... | ?v ... WHERE { group })
 
@@ -31,10 +32,13 @@ Supported subset::
              | VALUES (?a ?b ...) { (lit lit ...) ... } )*
 
     Functions: REGEX, STR, xsd:integer, CONTAINS, STRSTARTS, STRENDS,
-    STRLEN, UCASE, LCASE, BOUND, COALESCE, REPLACE, STRBEFORE,
-    STRAFTER, IN, LANG and DATATYPE (the last two require a full-term
-    (s,p,o,o_kind,o_lang,o_datatype) input frame — e.g.
-    kg_triples_full).
+    STRLEN, UCASE, LCASE, SUBSTR, CONCAT, IF, ABS, CEIL, FLOOR, ROUND,
+    MD5, SHA1, SHA256, BOUND, COALESCE, REPLACE, STRBEFORE, STRAFTER,
+    IN, isBlank (lexical ``_:`` test), and — requiring a full-term
+    (s,p,o,o_kind,o_lang,o_datatype) input frame, e.g. kg_triples_full
+    — LANG, DATATYPE, LANGMATCHES(LANG(?v), "range"), isIRI/isURI,
+    isLiteral.  Same-shape builtins nest freely (they translate by
+    name and their arguments stream through the expression loop).
 
 IRIs may be written bracketed (``<doc://1>``) or as prefixed-name-style
 bare tokens; both match on the bare IRI text.  Triple patterns may use
@@ -57,6 +61,8 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .bgp import HIDDEN_PREFIXES
 
 _TOKEN = re.compile(
     r"""\s*(?:
@@ -283,35 +289,12 @@ def _expr_to_sql(p: _P, until_as: bool = False, agg_sink: list | None = None) ->
             var = _var(p.take(), f"{up.lower()} argument (a variable)")
             p.expect(")")
             parts.append(f"CAST({var} AS INT)")
-        elif up in ("CONTAINS", "STRSTARTS", "STRENDS"):
-            fn = {"CONTAINS": "contains", "STRSTARTS": "startswith",
-                  "STRENDS": "endswith"}[up]
-            p.expect("(")
-            a = _arg_sql(p)
-            p.expect(",")
-            b = _arg_sql(p)
-            p.expect(")")
-            parts.append(f"{fn}({a}, {b})")
-        elif up in ("STRLEN", "UCASE", "LCASE"):
-            fn = {"STRLEN": "length", "UCASE": "upper", "LCASE": "lower"}[up]
-            p.expect("(")
-            a = _arg_sql(p)
-            p.expect(")")
-            parts.append(f"{fn}({a})")
         elif up == "BOUND":
             # BOUND(?v): true iff the OPTIONAL-bound variable is non-NULL
             p.expect("(")
             var = _var(p.take(), "BOUND argument (a variable)")
             p.expect(")")
             parts.append(f"({var} IS NOT NULL)")
-        elif up == "COALESCE":
-            p.expect("(")
-            args = [_arg_sql(p)]
-            while p.peek() == ",":
-                p.take()
-                args.append(_arg_sql(p))
-            p.expect(")")
-            parts.append(f"coalesce({', '.join(args)})")
         elif up == "REPLACE":
             # REPLACE(?v, "pat", "rep") — regex replace, quote-escaped
             p.expect("(")
@@ -341,6 +324,56 @@ def _expr_to_sql(p: _P, until_as: bool = False, agg_sink: list | None = None) ->
                     f"substring({a}, instr({a}, {b}) + length({b})) "
                     f"ELSE '' END)"
                 )
+        elif up in _FN_PASS and p.peek() == "(":
+            # direct-translation builtins: same call shape in Spark
+            # SQL; nested arguments flow through this same token loop
+            # (the delimiters ( ) , are pass-through), so expressions
+            # like CONCAT(UCASE(?a), "-", STR(?b)) nest for free
+            parts.append(_FN_PASS[up])
+        elif up in ("SHA256", "SHA1"):
+            p.expect("(")
+            a = _arg_sql(p)
+            p.expect(")")
+            parts.append(f"sha2({a}, 256)" if up == "SHA256" else f"sha1({a})")
+        elif up in ("ISIRI", "ISURI", "ISLITERAL"):
+            # term-kind test of an OBJECT binding from a full-term
+            # input — rides the hidden __kind_ carrier column the way
+            # LANG()/DATATYPE() ride __lang_/__dt_ (subset semantics:
+            # only object positions carry kind)
+            p.expect("(")
+            var = _var(p.take(), f"{up} argument (a variable)")
+            p.expect(")")
+            want = "literal" if up == "ISLITERAL" else "iri"
+            parts.append(f"(coalesce(__kind_{var}, '') = '{want}')")
+        elif up == "ISBLANK":
+            # blank nodes are lexically '_:'-prefixed in the term model
+            # (rdfio N-Triples/Turtle parsers keep the _: label)
+            p.expect("(")
+            var = _var(p.take(), "ISBLANK argument (a variable)")
+            p.expect(")")
+            parts.append(f"startswith({var}, '_:')")
+        elif up == "LANGMATCHES":
+            # LANGMATCHES(LANG(?v), "range") — basic filtering: '*'
+            # matches any non-empty tag, otherwise case-insensitive
+            # exact tag or prefix-with-'-' (en matches en, en-GB)
+            p.expect("(")
+            if p.take().upper() != "LANG":
+                raise ValueError(
+                    "LANGMATCHES first argument must be LANG(?var)"
+                )
+            p.expect("(")
+            var = _var(p.take(), "LANG argument (a variable)")
+            p.expect(")")
+            p.expect(",")
+            rng = _term(p.take()).replace("'", "''").lower()
+            p.expect(")")
+            lang = f"lower(coalesce(__lang_{var}, ''))"
+            if rng == "*":
+                parts.append(f"({lang} != '')")
+            else:
+                parts.append(
+                    f"({lang} = '{rng}' OR startswith({lang}, '{rng}-'))"
+                )
         elif t.startswith("?"):
             parts.append(_var(t))
         elif t.startswith('"'):
@@ -361,6 +394,17 @@ def _expr_to_sql(p: _P, until_as: bool = False, agg_sink: list | None = None) ->
 
 _EXPR_PASS = {"+", "-", "/", "%", "*", "(", ")", ",", "<", ">", "=",
               "!=", "<=", ">=", "IN", "NOT", "AND", "OR", "TRUE", "FALSE"}
+
+# SPARQL builtins whose Spark SQL counterpart takes the same argument
+# shape — translated by name; arguments stream through the main
+# expression loop (delimiters are pass-through), so calls nest freely:
+# CONCAT(UCASE(SUBSTR(?n, 1, 1)), LCASE(SUBSTR(?n, 2)))
+_FN_PASS = {"IF": "if", "CONCAT": "concat", "SUBSTR": "substring",
+            "ABS": "abs", "CEIL": "ceil", "FLOOR": "floor",
+            "ROUND": "round", "MD5": "md5", "COALESCE": "coalesce",
+            "CONTAINS": "contains", "STRSTARTS": "startswith",
+            "STRENDS": "endswith", "STRLEN": "length",
+            "UCASE": "upper", "LCASE": "lower"}
 
 
 def _parse_group(p: _P) -> dict:
@@ -652,7 +696,7 @@ def _shared_vars(bound: DataFrame, g: DataFrame) -> list[str]:
         c for c in g.columns
         if c in bound.columns
         and c != "matched"
-        and not c.startswith(("_exists_", "__lang_", "__dt_"))
+        and not c.startswith(("_exists_",) + HIDDEN_PREFIXES)
     ]
 
 
@@ -679,7 +723,7 @@ def _union_pad_mn(
         mn |= m
         mn |= {
             v for v in all_vars
-            if v not in df.columns and not v.startswith(("__lang_", "__dt_"))
+            if v not in df.columns and not v.startswith(HIDDEN_PREFIXES)
         }
     return union_pad_frames(frames), mn
 
@@ -729,7 +773,7 @@ def _eval_group_mn(
         # mirrors _conjunction's dup_lang handling, bgp.py:421).
         dup = [
             c for c in incoming.columns
-            if c.startswith(("__lang_", "__dt_")) and c in base.columns
+            if c.startswith(HIDDEN_PREFIXES) and c in base.columns
         ]
         return incoming.drop(*dup) if dup else incoming
 
@@ -744,7 +788,7 @@ def _eval_group_mn(
         sf = _drop_dup_hidden(sf, bound)
         shared = [
             c for c in sf.columns
-            if c in bound.columns and not c.startswith(("__lang_", "__dt_"))
+            if c in bound.columns and not c.startswith(HIDDEN_PREFIXES)
         ]
         if shared:
             # inner equi-join: NULL keys never match, so the shared
@@ -812,7 +856,7 @@ def _eval_group_mn(
         # every variable the OPTIONAL newly introduces is maybe-null
         mn |= {
             c for c in gdf.columns
-            if c not in shared and not c.startswith(("__lang_", "__dt_"))
+            if c not in shared and not c.startswith(HIDDEN_PREFIXES)
         }
     for expr, var in g.get("binds") or []:
         if var in bound.columns:
@@ -948,7 +992,7 @@ def _drop_hidden(df: DataFrame) -> DataFrame:
     solution frame leaves the group-evaluation recursion (projection,
     DISTINCT, CONSTRUCT/ASK/DESCRIBE) — they must never reach results
     or affect solution multiplicity."""
-    hidden = [c for c in df.columns if c.startswith(("__lang_", "__dt_"))]
+    hidden = [c for c in df.columns if c.startswith(HIDDEN_PREFIXES)]
     return df.drop(*hidden) if hidden else df
 
 
@@ -1109,17 +1153,32 @@ def sparql_construct(
 
     p = _P(_tokenize(query))
     p.expect("CONSTRUCT")
-    p.expect("{")
-    template = _parse_patterns(p)
-    p.expect("}")
-    for _s, _p, _o in template:
-        if not _p.startswith("?") and _parse_path(_p) is not None:
-            raise ValueError(
-                f"CONSTRUCT template predicate cannot be a property "
-                f"path: {_p!r}"
-            )
-    p.expect("WHERE")
-    g = _parse_group(p)
+    if p.kw("WHERE"):
+        # CONSTRUCT WHERE { patterns } shorthand (SPARQL 1.1 §10.2.2):
+        # the template IS the pattern group — restricted to a flat BGP
+        # (no FILTER/OPTIONAL/paths), per spec
+        p.expect("{")
+        template = _parse_patterns(p)
+        p.expect("}")
+        for _s, _pp, _o in template:
+            if not _pp.startswith("?") and _parse_path(_pp) is not None:
+                raise ValueError(
+                    "CONSTRUCT WHERE patterns cannot use property "
+                    f"paths: {_pp!r}"
+                )
+        g = {"patterns": template}
+    else:
+        p.expect("{")
+        template = _parse_patterns(p)
+        p.expect("}")
+        for _s, _p, _o in template:
+            if not _p.startswith("?") and _parse_path(_p) is not None:
+                raise ValueError(
+                    f"CONSTRUCT template predicate cannot be a property "
+                    f"path: {_p!r}"
+                )
+        p.expect("WHERE")
+        g = _parse_group(p)
     if p.peek() is not None:
         raise ValueError(f"SPARQL parse error: trailing {p.peek()!r}")
     sol = _drop_hidden(_eval_group(triples, g, allow_product=allow_product))

@@ -1082,3 +1082,118 @@ def test_order_by_expressions(tri):
         tri, "SELECT ?l WHERE { ?x rdfs:label ?l } ORDER BY DESC(?l) LIMIT 1"
     )
     assert [r["l"] for r in out3.collect()] == ["carl"]
+
+
+# ---------------------------------------------------------------- round-6b:
+# expanded scalar builtins, term-inspection functions, CONSTRUCT WHERE
+
+
+@pytest.fixture()
+def trif(spark):
+    # full-term frame: (s, p, o, o_kind, o_lang, o_datatype)
+    rows = [
+        ("ex:a", "ex:name", "Alice", "literal", "en", ""),
+        ("ex:a", "ex:knows", "ex:b", "iri", "", ""),
+        ("ex:b", "ex:name", "bob", "literal", "en-GB", ""),
+        ("ex:c", "ex:name", "Carol", "literal", "fr", ""),
+        ("ex:d", "ex:name", "dan", "literal", "", ""),
+        ("_:x", "ex:name", "anon", "literal", "", ""),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, o_lang string,"
+        " o_datatype string",
+    )
+
+
+def test_nested_builtins(tri):
+    out = sparql_select(
+        tri,
+        'SELECT ?l (CONCAT(UCASE(SUBSTR(?l, 1, 1)), SUBSTR(?l, 2)) AS ?cap) '
+        'WHERE { ?x rdfs:label ?l }',
+    )
+    assert _rows(out) == {
+        ("alice", "Alice"), ("bob", "Bob"), ("carl", "Carl")
+    }
+
+
+def test_if_and_numeric_builtins(tri):
+    out = sparql_select(
+        tri,
+        'SELECT ?x (IF(xsd:integer(?n) >= 7, "hi", "lo") AS ?band) '
+        '(ABS(xsd:integer(?n) - 10) AS ?d) '
+        '(FLOOR(xsd:integer(?n) / 2) AS ?h) '
+        'WHERE { ?x ex:score ?n }',
+    )
+    assert _rows(out) == {
+        ("ex:a", "hi", 3, 3), ("ex:b", "lo", 8, 1), ("ex:c", "hi", 1, 5)
+    }
+
+
+def test_hash_builtins(tri):
+    import hashlib
+
+    out = sparql_select(
+        tri,
+        'SELECT ?l (MD5(?l) AS ?m) (SHA256(?l) AS ?s) '
+        'WHERE { ex:a rdfs:label ?l }',
+    )
+    [(l, m, s)] = out.collect()
+    assert m == hashlib.md5(l.encode()).hexdigest()
+    assert s == hashlib.sha256(l.encode()).hexdigest()
+
+
+def test_isiri_isliteral_isblank(trif):
+    out = sparql_select(
+        trif, "SELECT ?o WHERE { ?s ex:knows ?o FILTER(isIRI(?o)) }"
+    )
+    assert _rows(out) == {("ex:b",)}
+    out2 = sparql_select(
+        trif,
+        "SELECT ?s WHERE { ?s ex:name ?n FILTER(isLiteral(?n) && isBlank(?s)) }",
+    )
+    assert _rows(out2) == {("_:x",)}
+    # isURI is an alias of isIRI
+    out3 = sparql_select(
+        trif, "SELECT ?s WHERE { ?s ?p ?o FILTER(isURI(?o)) }"
+    )
+    assert _rows(out3) == {("ex:a",)}
+
+
+def test_langmatches(trif):
+    # basic range: exact tag or tag- prefix, case-insensitive
+    out = sparql_select(
+        trif,
+        'SELECT ?s WHERE { ?s ex:name ?n FILTER(LANGMATCHES(LANG(?n), "EN")) }',
+    )
+    assert _rows(out) == {("ex:a",), ("ex:b",)}
+    # '*' matches any non-empty tag
+    out2 = sparql_select(
+        trif,
+        'SELECT ?s WHERE { ?s ex:name ?n FILTER(LANGMATCHES(LANG(?n), "*")) }',
+    )
+    assert _rows(out2) == {("ex:a",), ("ex:b",), ("ex:c",)}
+    with pytest.raises(ValueError, match="LANGMATCHES"):
+        sparql_select(
+            trif,
+            'SELECT ?s WHERE { ?s ex:name ?n FILTER(LANGMATCHES(?n, "en")) }',
+        )
+
+
+def test_construct_where_shorthand(tri):
+    from kgspark.sparql import sparql_construct
+
+    out = sparql_construct(tri, "CONSTRUCT WHERE { ?x rdfs:label ?l }")
+    assert set(out.columns) == {"s", "p", "o"}
+    assert _rows(out) == {
+        ("ex:a", "rdfs:label", "alice"),
+        ("ex:b", "rdfs:label", "bob"),
+        ("ex:c", "rdfs:label", "carl"),
+    }
+    # two-pattern shorthand instantiates both patterns per solution
+    out2 = sparql_construct(
+        tri, "CONSTRUCT WHERE { ?x rdfs:label ?l . ?x ex:score ?n }"
+    )
+    assert ("ex:a", "ex:score", "7") in _rows(out2)
+    with pytest.raises(ValueError, match="paths"):
+        sparql_construct(tri, "CONSTRUCT WHERE { ?x ex:next+ ?y }")
