@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_builtins": Q.kg_sparql_builtins,    # scalar-builtin surface (r6)
         "kg_sparql_term_fns": Q.kg_sparql_term_fns,    # isIRI/LANGMATCHES (r6)
         "kg_sparql_construct_where": Q.kg_sparql_construct_where,  # §10.2.2 shorthand (r6)
+        "kg_sparql_load": Q.kg_sparql_load,            # LOAD file-ingest verb (r6)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_builtins": OS.SPARQL_BUILTINS_SQL,
         "kg_sparql_term_fns": OS.SPARQL_TERM_FNS_SQL,
         "kg_sparql_construct_where": OS.SPARQL_CONSTRUCT_WHERE_SQL,
+        "kg_sparql_load": OS.KG_SPARQL_LOAD_SQL,
         "contamination_check": OS.CONTAMINATION_SQL,
         "entity_pagerank": OS.ENTITY_PAGERANK_SQL,
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,

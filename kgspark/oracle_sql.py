@@ -2022,6 +2022,19 @@ SELECT DISTINCT s, p, o FROM (
 )
 """
 
+# r6: LOAD end state — the seed quad plus the nation table routed into
+# ex:loaded through the N-Triples serialize→LOAD roundtrip.
+KG_SPARQL_LOAD_SQL = """
+SELECT g, s, p, o FROM (
+  SELECT 'ex:loaded' AS g,
+         'ex:nat' || CAST(n_nationkey AS VARCHAR) AS s,
+         'ex:name' AS p, n_name AS o
+  FROM nation
+  UNION ALL
+  SELECT 'urn:x-kgspark:default', 'ex:seed', 'ex:p', 'ex:q'
+) ORDER BY g, s, p, o
+"""
+
 # r6: modify-form end state — WHERE over the merged graph, DELETE
 # scoped to ex:reg1, INSERT of the lower-cased name into ex:reg1 for
 # every solution.

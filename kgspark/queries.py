@@ -1934,6 +1934,37 @@ def kg_sparql_construct_where(spark, sf_dir):
     )
 
 
+def kg_sparql_load(spark, sf_dir):
+    """Round-6: the LOAD verb (SPARQL 1.1 Update §3.1.4 — Twine's
+    file-inject path on the text surface).  The engine serializes the
+    nation table as an N-Triples dataset DIRECTORY (so the load-back
+    is a distributed multi-file scan, the 100 TB shape), then LOADs it
+    into a named graph of a seeded store and reads the end state."""
+    import tempfile
+
+    from . import rdfio
+    from .sparql import store_update
+
+    nat = _t(spark, sf_dir, "nation")
+    triples = nat.select(
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+    base = tempfile.mkdtemp(prefix="kgspark_load_")
+    src = f"{base}/nations.nt"
+    rdfio.to_ntriples(triples).write.mode("overwrite").text(src)
+    store = f"{base}/store"
+    store_update(spark, store, f'''
+        INSERT DATA {{ ex:seed ex:p ex:q }} ;
+        LOAD <file://{src}> INTO GRAPH ex:loaded
+    ''')
+    return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")
+
+
 def kg_sparql_modify(spark, sf_dir):
     """Round-6: the general DELETE/INSERT…WHERE modify form.  WHERE
     matches over the MERGED default graph (all regions' names starting

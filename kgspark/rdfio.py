@@ -1457,6 +1457,37 @@ def jsonld_context_json() -> str:
     )
 
 
+# Extension → parser dispatch for SPARQL UPDATE's LOAD verb (and any
+# file-ingest caller).  Line-shaped formats stream through the line
+# kernels (one Arrow batch per file split — parallel over a directory
+# of files at scale); document-shaped formats read wholetext (one row
+# per FILE, so a directory of documents still parallelizes per-file).
+_RDF_EXT_LINES = {"nt": parse_ntriples, "nq": parse_nquads,
+                  "trig": parse_trig, "rdf": parse_rdfxml,
+                  "xml": parse_rdfxml, "ndjsonld": parse_jsonld,
+                  "ndjson": parse_jsonld}
+
+
+def read_rdf_file(spark, path: str) -> DataFrame:
+    """Parse an RDF file (or a directory of same-format files) into the
+    full-term model, choosing the parser by extension: ``.nt``,
+    ``.nq``/``.trig`` (graph-carrying — returns a ``g`` column),
+    ``.ttl`` (document-level grammar), ``.rdf``/``.xml``, ``.jsonld``
+    (compacted profile, handles inline @context), ``.ndjsonld`` (the
+    NDJSON profile).  Malformed input follows each parser's quarantine
+    policy (dropped rows/documents, never engine errors)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in _RDF_EXT_LINES:
+        lines = spark.read.text(path).withColumnRenamed("value", "line")
+        return _RDF_EXT_LINES[ext](lines)
+    if ext in ("ttl", "jsonld"):
+        docs = spark.read.text(path, wholetext=True) \
+            .withColumnRenamed("value", "text")
+        fn = parse_turtle_docs if ext == "ttl" else parse_jsonld_compacted
+        return fn(docs)
+    raise ValueError(f"unsupported RDF file extension: .{ext} ({path})")
+
+
 # Spark/Hive partition-value escaping (ExternalCatalogUtils.escapePathName
 # semantics): %XX for the reserved set + control chars.  Decoding is
 # plain %XX-unquote, so a directory created with this function reads

@@ -1548,6 +1548,24 @@ def parse_update(update: str) -> list[dict]:
             else:
                 raise ValueError(f"{verb} needs GRAPH <iri> / DEFAULT / "
                                  f"NAMED / ALL (got {p.peek()!r})")
+        elif verb == "LOAD":
+            # LOAD [SILENT] <source-iri> [INTO GRAPH <g>] — the
+            # file-ingest verb (Twine's CLI inject path on the text
+            # surface); source must be a bracketed IRI (file:// or a
+            # plain path inside brackets), format by extension
+            silent = p.kw("SILENT")
+            src = p.take()
+            if not (src.startswith("<") and src.endswith(">")):
+                raise ValueError(
+                    f"LOAD source must be a bracketed IRI, got {src!r}"
+                )
+            src = src[1:-1]
+            graph = None
+            if p.kw("INTO"):
+                p.expect("GRAPH")
+                graph = _ground_term(p.take())
+            ops.append({"op": "load", "src": src, "graph": graph,
+                        "silent": silent})
         elif verb in ("ADD", "MOVE", "COPY"):
             # graph-management verbs (SPARQL 1.1 Update §3.2.3–5):
             # (ADD|MOVE|COPY) [SILENT] (GRAPH <g>|DEFAULT) TO
@@ -1688,6 +1706,45 @@ def _exec_update_op(
             path, [g for g in affected if g not in nonempty]
         )
         return {"op": kind, "graphs": affected, "quads": n_dels}
+
+    if kind == "load":
+        # LOAD: parse the source file with the extension-dispatched
+        # rdfio parser and merge its statements into the store —
+        # additive (set-union) semantics per SPARQL 1.1 Update §3.1.4.
+        # INTO GRAPH overrides any graph the source carries; a
+        # triples-format source without INTO lands in the default
+        # graph.  Scale shape: the parse is a distributed scan of the
+        # source (a directory of files splits per-file), and only the
+        # affected graphs' partitions are read back and rewritten.
+        import os
+
+        src = op["src"]
+        fs = src[7:] if src.startswith("file://") else src
+        if not os.path.exists(fs):
+            if op["silent"]:
+                return {"op": kind, "src": src, "graphs": [], "quads": 0}
+            raise ValueError(f"LOAD: source not found: {src}")
+        parsed = rdfio.read_rdf_file(spark, fs)
+        if "g" in parsed.columns and op["graph"] is None:
+            quads = parsed
+        else:
+            dst = op["graph"] if op["graph"] is not None else default_graph
+            cols = [c for c in parsed.columns if c != "g"]
+            quads = parsed.select(F.lit(dst).alias("g"), *cols)
+        n_new = quads.count()
+        affected = sorted(
+            r["g"] for r in quads.select("g").distinct().collect()
+        )
+        if not affected:
+            return {"op": kind, "src": src, "graphs": [], "quads": 0}
+        dirs = rdfio.store_graph_dirs(path)
+        have = [g for g in affected if g in dirs]
+        new = quads
+        if have:
+            new = rdfio.read_nquads_store(spark, path, graph=have) \
+                .unionByName(quads)
+        rdfio._replace_graphs_unlocked(new.distinct(), path)
+        return {"op": kind, "src": src, "graphs": affected, "quads": n_new}
 
     if kind in ("add", "move", "copy"):
         # Graph management (SPARQL 1.1 Update §3.2.3–5) as

@@ -356,3 +356,64 @@ def test_with_scoped_modify(spark, tmp_path):
     r = store_update(spark, store, '''
         WITH ex:nope DELETE { ?s ex:q ?o } WHERE { ?s ex:q ?o }''')
     assert r["ops"][0]["deleted"] == 0
+
+
+def test_load_ntriples_and_turtle(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, "INSERT DATA { ex:seed ex:p ex:q }")
+    nt = tmp_path / "in.nt"
+    nt.write_text(
+        '<http://example.org/kg#a> <http://example.org/kg#name> "alice"@en .\n'
+        '<http://example.org/kg#a> <http://example.org/kg#knows> '
+        '<http://example.org/kg#b> .\n'
+    )
+    r = store_update(spark, store, f"LOAD <file://{nt}>")
+    assert r["ops"][0]["quads"] == 2
+    st = _state(spark, store)
+    assert (DEFAULT_GRAPH, "ex:a", "ex:name", "alice") in st
+    assert (DEFAULT_GRAPH, "ex:seed", "ex:p", "ex:q") in st  # additive
+    # INTO GRAPH routes a Turtle document into a named graph
+    ttl = tmp_path / "in.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://example.org/kg#> .\n"
+        "ex:c ex:name \"carol\" ; ex:knows ex:a .\n"
+    )
+    store_update(spark, store, f"LOAD <{ttl}> INTO GRAPH ex:g9")
+    st = _state(spark, store)
+    assert ("ex:g9", "ex:c", "ex:name", "carol") in st
+    assert ("ex:g9", "ex:c", "ex:knows", "ex:a") in st
+    # LOAD is idempotent under set semantics
+    n = rdfio.read_nquads_store(spark, store).count()
+    store_update(spark, store, f"LOAD <{ttl}> INTO GRAPH ex:g9")
+    assert rdfio.read_nquads_store(spark, store).count() == n
+
+
+def test_load_nquads_keeps_graphs_unless_into(spark, tmp_path):
+    store = str(tmp_path / "store")
+    nq = tmp_path / "in.nq"
+    nq.write_text(
+        '<http://example.org/kg#a> <http://example.org/kg#p> '
+        '<http://example.org/kg#b> <http://example.org/kg#gA> .\n'
+        '<http://example.org/kg#c> <http://example.org/kg#p> "v" '
+        '<http://example.org/kg#gB> .\n'
+    )
+    store_update(spark, store, f"LOAD <file://{nq}>")
+    assert {g for g, *_ in _state(spark, store)} == {"ex:gA", "ex:gB"}
+    # INTO GRAPH overrides the source's graphs
+    store2 = str(tmp_path / "store2")
+    store_update(spark, store2, f"LOAD <file://{nq}> INTO GRAPH ex:one")
+    assert {g for g, *_ in _state(spark, store2)} == {"ex:one"}
+
+
+def test_load_missing_and_silent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, "INSERT DATA { ex:a ex:p ex:b }")
+    with pytest.raises(ValueError, match="not found"):
+        store_update(spark, store, "LOAD <file:///nope/missing.nt>")
+    r = store_update(spark, store, "LOAD SILENT <file:///nope/missing.nt>")
+    assert r["ops"][0]["quads"] == 0
+    (tmp_path / "x.weird").write_text("")
+    with pytest.raises(ValueError, match="extension"):
+        store_update(spark, store, f"LOAD <{tmp_path / 'x.weird'}>")
+    with pytest.raises(ValueError, match="bracketed"):
+        parse_update("LOAD ex:not-a-file")
