@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": Q.dedup_clusters,                 # near-dup keeper decision
         "dedup_rate_by_source": Q.dedup_rate_by_source,     # per-source drop metric (r5)
         "para_dedup": Q.para_dedup,                         # paragraph boilerplate pairs (r6)
+        "doc_repetition_stats": Q.doc_repetition_stats,     # Gopher repetition flags (r6b)
+        "boilerplate_rate": Q.boilerplate_rate,             # exact cross-doc para dedup (r6b)
         "doc_simhash": Q.doc_simhash,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
@@ -207,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "para_dedup": OS.PARA_DEDUP_SQL,
+        "doc_repetition_stats": OS.DOC_REPETITION_SQL,
+        "boilerplate_rate": OS.BOILERPLATE_RATE_SQL,
         "kg_media_features": OS.MEDIA_FEATURES_SQL,
     }
     out.update(OS.RELATIONAL_SQL)

@@ -286,3 +286,25 @@ PII_RULES = [  # (kind, pattern, replacement)
 # doc_id * PARA_KEY_MUL + para_id (para_id < PARA_KEY_MUL asserted).
 PARA_TOKENS = 12
 PARA_KEY_MUL = 1000
+
+# Gopher-style repetition-quality thresholds (round 6b): a doc is
+# flagged when its most-frequent token exceeds REP_TOP_TOKEN_E6 of all
+# tokens, or its duplicate-bigram mass (n_bigrams - distinct bigrams)
+# exceeds REP_DUP_BIGRAM_E6 — both in 1e6 fixed-point so the flag is a
+# pure integer comparison on every engine.  Values sit at ~p90 of the
+# fixture corpus distribution (measured sf0.01), giving the flag a
+# discriminative split.
+REP_TOP_TOKEN_E6 = 140_000
+REP_DUP_BIGRAM_E6 = 65_000
+
+# Corpus-level exact paragraph dedup (round 6b, C4-style boilerplate
+# removal): a paragraph occurring in >= LINE_DUP_MIN_DOCS distinct
+# documents is boilerplate.  The soup corpus never repeats a 12-token
+# window across documents, so the contract query prepends BOILER_TEXT
+# (exactly PARA_TOKENS tokens — one full window) to docs with
+# doc_id % 3 != 1, identically on both engines.
+LINE_DUP_MIN_DOCS = 2
+BOILER_TEXT = (
+    "subscribe newsletter footer nav copyright contact"
+    " about privacy terms search login home"
+)

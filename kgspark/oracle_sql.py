@@ -2022,6 +2022,81 @@ SELECT DISTINCT s, p, o FROM (
 )
 """
 
+# r6b: Gopher-style repetition metrics — two-level (doc, term) then
+# (doc) aggregates per granularity, e6 fixed-point, grammar-threshold
+# flag.  Identical IEEE op order to the Spark side (1e6*num then /den).
+DOC_REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tc AS (SELECT doc_id, t, count(*) c FROM tok GROUP BY 1, 2),
+td AS (
+  SELECT doc_id, sum(c) n, max(c) topc, count(*) ntypes FROM tc GROUP BY 1
+),
+bl AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS b
+  FROM bl WHERE len(ts) >= 2
+),
+bc AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2),
+bd AS (
+  SELECT doc_id, sum(c) nb, max(c) topb, count(*) nbtypes FROM bc GROUP BY 1
+)
+SELECT td.doc_id,
+       CAST(td.n AS BIGINT) AS n_tokens,
+       CAST(floor(1e6 * td.topc / td.n) AS BIGINT) AS top_token_e6,
+       CAST(floor(1e6 * (td.n - td.ntypes) / td.n) AS BIGINT) AS dup_token_e6,
+       CAST(coalesce(floor(1e6 * bd.topb / bd.nb), 0) AS BIGINT)
+         AS top_bigram_e6,
+       CAST(coalesce(floor(1e6 * (bd.nb - bd.nbtypes) / bd.nb), 0) AS BIGINT)
+         AS dup_bigram_e6,
+       (CAST(floor(1e6 * td.topc / td.n) AS BIGINT) > {G.REP_TOP_TOKEN_E6}
+        OR CAST(coalesce(floor(1e6 * (bd.nb - bd.nbtypes) / bd.nb), 0)
+                AS BIGINT) > {G.REP_DUP_BIGRAM_E6}) AS rep_flagged
+FROM td LEFT JOIN bd ON bd.doc_id = td.doc_id
+ORDER BY td.doc_id
+"""
+
+# r6b: corpus-level exact paragraph dedup — BOILER_TEXT prepended for
+# doc_id % 3 != 1, PARA_TOKENS windows, >= LINE_DUP_MIN_DOCS distinct
+# docs = boilerplate.
+BOILERPLATE_RATE_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 != 1
+              THEN '{G.BOILER_TEXT} ' || text ELSE text END AS text
+  FROM documents
+),
+dtokp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+pidx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           1, greatest(CAST(ceil(len(toks) / {G.PARA_TOKENS}.0) AS BIGINT), 1)
+         )) AS i
+  FROM dtokp
+),
+paras AS (
+  SELECT doc_id, i - 1 AS para_id,
+         array_to_string(
+           list_slice(toks, (i - 1) * {G.PARA_TOKENS} + 1,
+                      (i - 1) * {G.PARA_TOKENS} + {G.PARA_TOKENS}), ' ')
+           AS text
+  FROM pidx
+),
+counts AS (SELECT text, count(DISTINCT doc_id) AS ndocs FROM paras GROUP BY 1),
+flagged AS (
+  SELECT p.doc_id,
+         CASE WHEN c.ndocs >= {G.LINE_DUP_MIN_DOCS} THEN 1 ELSE 0 END AS dup
+  FROM paras p JOIN counts c ON c.text = p.text
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(dup) AS BIGINT) AS n_boiler,
+       CAST(floor(1e6 * sum(dup) / count(*)) AS BIGINT) AS boiler_rate_e6
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
 # r6: LOAD end state — the seed quad plus the nation table routed into
 # ex:loaded through the N-Triples serialize→LOAD roundtrip.
 KG_SPARQL_LOAD_SQL = """

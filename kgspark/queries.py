@@ -1793,6 +1793,35 @@ def pii_rate_by_source(spark, sf_dir):
     return curation.pii_rate_by_source(df, "aug_text")
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality (round 6b): per-doc top-token /
+    duplicate-bigram mass in e6 fixed-point + the grammar-thresholded
+    flag — the repetition-removal signal of an LLM curation pipeline."""
+    from . import curation
+
+    return curation.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def boilerplate_rate(spark, sf_dir):
+    """Corpus-level EXACT paragraph dedup (round 6b, C4-style
+    boilerplate removal).  The soup corpus never repeats a 12-token
+    window across documents, so docs with doc_id % 3 != 1 get
+    grammar.BOILER_TEXT prepended (one full paragraph window) — those
+    documents must come back with n_boiler >= 1, the rest 0."""
+    from . import curation
+    from . import grammar as G
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", "lang", "source",
+        F.when(
+            F.col("doc_id") % 3 != 1,
+            F.concat(F.lit(G.BOILER_TEXT + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return curation.line_dup_stats(aug)
+
+
 def para_dedup(spark, sf_dir):
     """Paragraph-granularity near-dup pairs (boilerplate removal,
     round 6): deterministic token-window paragraphs → composite-keyed

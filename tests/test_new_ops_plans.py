@@ -170,3 +170,55 @@ def test_pii_rule_order_is_sequential(spark):
     row = scrub_pii(df).select("clean_text", "n_email", "n_idnum").collect()[0]
     assert row["clean_text"] == "mail <EMAIL> and ref <ID> end"
     assert (row["n_email"], row["n_idnum"]) == (1, 2)  # counts on ORIGINAL
+
+
+def test_repetition_stats_values(spark):
+    """Hand-computable repetition metrics: 'a a a b' → top token 3/4,
+    dup tokens 2/4; bigrams ('a a','a a','a b') → top 2/3, dup 1/3.
+    Single-token doc gets zeroed bigram metrics, not NULL."""
+    from kgspark.curation import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["top_token_e6"] == 750000
+    assert r1["dup_token_e6"] == 500000
+    assert r1["top_bigram_e6"] == 666666
+    assert r1["dup_bigram_e6"] == 333333
+    assert r1["rep_flagged"]  # 0.75 > 0.14 threshold
+    r2 = rows[2]
+    assert (r2["top_bigram_e6"], r2["dup_bigram_e6"]) == (0, 0)
+    assert r2["top_token_e6"] == 1000000 and r2["rep_flagged"]
+
+
+def test_repetition_stats_plan_two_level_agg(spark, sf_dir):
+    """The repetition metrics must aggregate (doc, term)->(doc) with
+    map-side partial aggregation and never evaluate Python."""
+    p = _plan(Q.doc_repetition_stats(spark, sf_dir))
+    assert "HashAggregate" in p
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert bad not in p, f"repetition_stats fell off the JVM: {bad}"
+
+
+def test_line_dup_stats_detects_shared_paragraph(spark):
+    """Two docs sharing an identical 12-token window are flagged; the
+    unique doc is not."""
+    from kgspark.curation import line_dup_stats
+    import kgspark.grammar as G
+
+    boiler = G.BOILER_TEXT
+    df = spark.createDataFrame(
+        [
+            (1, "en", "s", boiler + " unique tail one two"),
+            (2, "en", "s", boiler + " other words here now"),
+            (3, "en", "s", "completely different text with no shared window"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dup_stats(df).collect()}
+    assert rows[1]["n_boiler"] == 1 and rows[2]["n_boiler"] == 1
+    assert rows[3]["n_boiler"] == 0
+    assert rows[1]["boiler_rate_e6"] == 500000  # 1 of 2 windows
