@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": Q.kg_entity_cooccurrence,  # entity graph edges (r3)
         "entity_pagerank": Q.entity_pagerank,       # int-exact centrality (r5)
         "entity_triangle_counts": Q.entity_triangle_counts,  # clustering signal (r5)
+        "entity_kcore": Q.entity_kcore,                      # 3-core peeling fixpoint (r6b)
+        "entity_communities": Q.entity_communities,          # sync LPA communities (r6b)
         "kg_bgp_match": Q.kg_bgp_match,             # SPARQL BGP over triples (r3)
         "kg_bgp_optional": Q.kg_bgp_optional,       # SPARQL OPTIONAL (r3)
         "kg_bgp_filter": Q.kg_bgp_filter,           # SPARQL FILTER+SELECT DISTINCT (r4)
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": OS.CONTAMINATION_SQL,
         "entity_pagerank": OS.ENTITY_PAGERANK_SQL,
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,
+        "entity_kcore": OS.ENTITY_KCORE_SQL,
+        "entity_communities": OS.ENTITY_COMMUNITIES_SQL,
         "training_export_clean": OS.TRAINING_EXPORT_CLEAN_SQL,
         "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,

@@ -348,3 +348,98 @@ def pagerank_int(
             ).cast("bigint").alias("score"),
         ).localCheckpoint(eager=False)
     return score
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    node_col: str = "node",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core membership by iterative peeling: repeatedly drop nodes
+    whose degree over the SURVIVING subgraph is < k, until a fixpoint.
+    ``edges`` directed both ways (src, dst) — an undirected pair
+    appears in both orientations, so groupBy(src) counts full degree.
+
+    Each round is two semi-joins (restrict edges to survivors) + one
+    map-side-combined degree aggregate — O(E) per round, lineage cut
+    per round, ONE scalar count per round on the driver (the
+    fixpoint/early-stop test; bounded by max_rounds).  Peeling depth
+    is typically tiny (≤5 on the fixture graph); the DuckDB oracle
+    unrolls a fixed 8 rounds, which the fixpoint semantics here make
+    identical once converged."""
+    e0 = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint(eager=False)
+    cur = e0
+    n_prev = -1
+    for _ in range(max_rounds):
+        survivors = (
+            cur.groupBy("src").agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        n = survivors.count()
+        if n == n_prev:
+            break
+        n_prev = n
+        cur = (
+            e0.join(
+                survivors.withColumnRenamed("node", "src"), "src", "left_semi"
+            )
+            .join(
+                survivors.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return survivors.select(F.col("node").alias(node_col))
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 4,
+    node_col: str = "node",
+) -> DataFrame:
+    """SYNCHRONOUS label propagation, deterministic variant: labels
+    start as the node id; each round every node adopts the most
+    frequent label among its neighbors, ties broken by MINIMUM label
+    (so the result is a pure function of the graph — classic async
+    LPA is run-order dependent).  Fixed n_iter rounds on every engine
+    — sync LPA can oscillate, so the round count is part of the
+    operator's definition, not a convergence knob.
+
+    Each round: one edge join + (node, label) count aggregate + a
+    per-node top-1 window (rn <= 1 keeps WindowGroupLimit) + a left
+    join back (isolated nodes keep their label) — O(E) per round."""
+    from pyspark.sql import Window
+
+    nd = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint(eager=False)
+    lab = nd.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(n_iter):
+        neigh = (
+            e.join(
+                lab.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        win = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        lab = (
+            lab.join(win, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab.select(F.col("node").alias(node_col), "label")

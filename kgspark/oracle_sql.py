@@ -1732,6 +1732,72 @@ GROUP BY entity_id
 """
 
 
+# r6b: graph analytics over the same co-occurrence edge frame the
+# pagerank/triangles oracles build.
+_GRAPH_EDGE_CTES = f"""{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+pr_edges AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL
+  SELECT entity_b AS src, entity_a AS dst FROM coocc
+),
+pr_nodes AS MATERIALIZED (SELECT DISTINCT entity_id FROM eids)"""
+
+_KC_ITER = """,
+kc{k} AS MATERIALIZED (
+  SELECT e.src AS entity_id FROM pr_edges e
+  JOIN kc{km1} a ON a.entity_id = e.src
+  JOIN kc{km1} b ON b.entity_id = e.dst
+  GROUP BY e.src HAVING count(*) >= 3
+)"""
+
+# 8 unrolled peeling rounds ≥ the fixture's convergence depth (5 at
+# sf0.01); the Spark side peels to the fixpoint, which coincides.
+ENTITY_KCORE_SQL = (
+    _GRAPH_EDGE_CTES
+    + ",\nkc0 AS MATERIALIZED (SELECT entity_id FROM pr_nodes)"
+    + "".join(_KC_ITER.format(k=k, km1=k - 1) for k in range(1, 9))
+    + """
+SELECT entity_id FROM kc8 ORDER BY entity_id
+"""
+)
+
+_LP_ITER = """,
+lp{k} AS MATERIALIZED (
+  SELECT p.entity_id, coalesce(w.label, p.label) AS label
+  FROM lp{km1} p
+  LEFT JOIN (
+    SELECT entity_id, label FROM (
+      SELECT e.src AS entity_id, l.label,
+             row_number() OVER (PARTITION BY e.src
+                                ORDER BY count(*) DESC, l.label) AS rn
+      FROM pr_edges e JOIN lp{km1} l ON l.entity_id = e.dst
+      GROUP BY e.src, l.label
+    ) WHERE rn = 1
+  ) w ON w.entity_id = p.entity_id
+)"""
+
+# 4 fixed synchronous rounds — part of the operator definition.
+ENTITY_COMMUNITIES_SQL = (
+    _GRAPH_EDGE_CTES
+    + ",\nlp0 AS MATERIALIZED "
+    + "(SELECT entity_id, entity_id AS label FROM pr_nodes)"
+    + "".join(_LP_ITER.format(k=k, km1=k - 1) for k in range(1, 5))
+    + """
+SELECT entity_id, label FROM lp4 ORDER BY entity_id
+"""
+)
+
+
 # r5: training_export with the contamination gate spliced into the
 # kept set (same composed-oracle pattern; eval docs and ≥8-shared-code
 # documents drop before split+pack).

@@ -863,6 +863,41 @@ def kg_entity_cooccurrence(spark, sf_dir):
     )
 
 
+def _coocc_edges(spark, sf_dir):
+    """Co-occurrence pairs in both orientations — the undirected edge
+    frame the graph-analytics family (pagerank/triangles/kcore/LPA)
+    shares."""
+    pairs = kg_entity_cooccurrence(spark, sf_dir).select("entity_a", "entity_b")
+    return pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+
+
+def entity_kcore(spark, sf_dir):
+    """Round-6b: 3-core membership over the entity co-occurrence graph
+    — iterative peeling to a fixpoint (cc.kcore; the DuckDB oracle
+    unrolls 8 rounds, ≥ the fixture's peeling depth, and the fixpoint
+    makes the two identical once converged)."""
+    return cc_mod.kcore(
+        _coocc_edges(spark, sf_dir), k=3, node_col="entity_id"
+    )
+
+
+def entity_communities(spark, sf_dir):
+    """Round-6b: deterministic synchronous label propagation (4 fixed
+    rounds, most-frequent neighbor label, min-label tie-break) — the
+    community-detection companion to entity_pagerank; round count is
+    part of the operator definition, identical on both engines."""
+    m, labels = _labels(spark, sf_dir)
+    members = gen.entity_membership(m, labels)
+    nodes = members.select("entity_id").distinct()
+    return cc_mod.label_propagation(
+        _coocc_edges(spark, sf_dir), nodes, n_iter=4, node_col="entity_id"
+    )
+
+
 def kg_bgp_match(spark, sf_dir):
     """SPARQL BGP over the constructed graph (the store's query side):
     every Commerce-class entity with its label and score —
@@ -1604,14 +1639,8 @@ def entity_pagerank(spark, sf_dir, n_iter: int = 5):
     m, labels = _labels(spark, sf_dir)
     members = gen.entity_membership(m, labels)
     nodes = members.select("entity_id").distinct()
-    pairs = kg_entity_cooccurrence(spark, sf_dir).select("entity_a", "entity_b")
-    edges = pairs.select(
-        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
-    )
     return cc_mod.pagerank_int(
-        edges, nodes, n_iter=n_iter, node_col="entity_id"
+        _coocc_edges(spark, sf_dir), nodes, n_iter=n_iter, node_col="entity_id"
     ).withColumnRenamed("node", "entity_id")
 
 

@@ -100,3 +100,72 @@ def test_pagerank_int_star_graph(spark):
         for r in pagerank_int(edges.repartition(7), nodes.repartition(3)).collect()
     }
     assert out == out2
+
+
+# ---------------------------------------------------------------- round-6b:
+# k-core peeling and deterministic synchronous label propagation
+
+
+def _both_ways(spark, pairs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    return df.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(df.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def test_kcore_peels_pendants_and_keeps_clique(spark):
+    from kgspark.cc import kcore
+
+    # K4 (abcd) with a pendant chain e-f hanging off a
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("a", "e"), ("e", "f")]
+    out = {r["node"] for r in kcore(_both_ways(spark, pairs), k=3).collect()}
+    assert out == {"a", "b", "c", "d"}
+
+
+def test_kcore_empty_when_everything_peels(spark):
+    from kgspark.cc import kcore
+
+    # a path has no 3-core; cascading peel must reach the empty fixpoint
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert kcore(_both_ways(spark, pairs), k=3).count() == 0
+
+
+def test_label_propagation_converges_to_min_label(spark):
+    from kgspark.cc import kcore, label_propagation
+    from pyspark.sql import functions as F
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c")]  # triangle + isolated z
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], "node string"
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _both_ways(spark, pairs), nodes, n_iter=4
+        ).collect()
+    }
+    # sync LPA with min-label tie-break floods the triangle with "a";
+    # the isolated node keeps its own label
+    assert out == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_label_propagation_two_communities(spark):
+    from kgspark.cc import label_propagation
+
+    # two disjoint triangles: each floods with its own min label
+    # (a bridge edge would let min labels leak across — by design)
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z")]
+    nodes = [(n,) for n in "abcxyz"]
+    nd = spark.createDataFrame(nodes, "node string")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _both_ways(spark, pairs), nd, n_iter=4
+        ).collect()
+    }
+    assert {out[n] for n in "ab"} == {"a"}
+    assert {out[n] for n in "yz"} == {"x"}
