@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_term_fns": Q.kg_sparql_term_fns,    # isIRI/LANGMATCHES (r6)
         "kg_sparql_construct_where": Q.kg_sparql_construct_where,  # §10.2.2 shorthand (r6)
         "kg_sparql_load": Q.kg_sparql_load,            # LOAD file-ingest verb (r6)
+        "kg_sparql_from": Q.kg_sparql_from,            # FROM/FROM NAMED dataset (r6)
         "kg_media_features": Q.kg_media_features,   # O3 multimodal stub
         # relational operator coverage (SURVEY.md §2 oracle sketches)
         "tpch_q1": Q.tpch_q1,                                       # O26 agg
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_group_concat": OS.SPARQL_GROUP_CONCAT_SQL,
         "kg_sparql_update": OS.KG_SPARQL_UPDATE_SQL,
         "kg_sparql_modify": OS.KG_SPARQL_MODIFY_SQL,
+        "kg_sparql_from": OS.KG_SPARQL_FROM_SQL,
         "kg_sparql_select_expr": OS.SPARQL_SELECT_EXPR_SQL,
         "kg_sparql_optional_exists": OS.SPARQL_OPTIONAL_EXISTS_SQL,
         "kg_sparql_builtins": OS.SPARQL_BUILTINS_SQL,

@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 # DATATYPE(?v), isIRI/isLiteral(?v); stripped before results surface.
 HIDDEN_PREFIXES = ("__lang_", "__dt_", "__kind_")
 
+# Sentinel graph value marking DEFAULT-graph rows of an explicitly
+# constructed dataset (SPARQL FROM / FROM NAMED — store_sparql builds
+# the frame with a ``__ds`` marker column): 3-term patterns then match
+# ONLY sentinel rows (the FROM merge) and GRAPH patterns ONLY the
+# non-sentinel rows (the FROM NAMED set), per spec.  Without the
+# marker, the engine keeps its union-default convention (3-term = all
+# graphs merged, GRAPH ranges over every graph).
+DATASET_DEFAULT = "urn:x-kgspark:dataset-default"
+
 # predicate-position property-path syntax accepted in a triple pattern
 # (SPARQL 1.1 path subset — parsed by _parse_path):
 #   "pred+"            → directed transitive closure (one or more steps)
@@ -343,7 +352,10 @@ def _pattern_frame(
     elif len(pat) == 3:
         s_term, p_term, o_term = pat
         if "g" in triples.columns:
-            # default graph = RDF merge of all named graphs (set union)
+            if "__ds" in triples.columns:
+                # explicit dataset: default graph = the FROM merge only
+                triples = triples.filter(F.col("g") == DATASET_DEFAULT)
+            # default graph = RDF merge (set union)
             triples = triples.select("s", "p", "o").distinct()
     else:
         raise ValueError(f"triple pattern must have 3 or 4 terms: {pat!r}")
@@ -360,12 +372,21 @@ def _pattern_frame(
                     "(per-variable-graph closure is unsupported)"
                 )
             triples = triples.filter(F.col("g") == g_term).select("s", "p", "o")
+        elif "g" in triples.columns:
+            # default-graph path over a quad frame: merge first (the
+            # FROM merge when the frame is an explicit dataset)
+            if "__ds" in triples.columns:
+                triples = triples.filter(F.col("g") == DATASET_DEFAULT)
+            triples = triples.select("s", "p", "o").distinct()
         consts = [t for t in (s_term, o_term) if not t.startswith("?")]
         t = _path_frame(triples, path, consts, max_pairs)
         cols = ["src", "dst"]
         terms = [s_term, o_term]
     elif g_term is not None:
         t = triples
+        if "__ds" in t.columns:
+            # explicit dataset: GRAPH ranges over FROM NAMED only
+            t = t.filter(F.col("g") != DATASET_DEFAULT)
         cols = ["g", "s", "p", "o"]
         terms = [g_term, s_term, p_term, o_term]
     else:

@@ -2198,3 +2198,20 @@ SELECT g, s, p, o FROM kept
 UNION
 SELECT 'ex:reg1', s, 'ex:lname', u FROM sol
 """
+
+# kg_sparql_from — dataset clauses: default graph = RDF merge of the
+# FROM graphs (regions 1+2, g coalesced to ''), GRAPH branch = exactly
+# the FROM NAMED set (region 3); SPARQL UNION is bag union.
+KG_SPARQL_FROM_SQL = """
+WITH quads AS (
+  SELECT 'ex:reg' || CAST(n_regionkey AS VARCHAR) AS g,
+         'ex:nat' || CAST(n_nationkey AS VARCHAR) AS s,
+         n_name AS o
+  FROM nation
+)
+SELECT '' AS g, s, o FROM (
+  SELECT DISTINCT s, o FROM quads WHERE g IN ('ex:reg1', 'ex:reg2')
+)
+UNION ALL
+SELECT g, s, o FROM quads WHERE g = 'ex:reg3'
+"""

@@ -2023,6 +2023,43 @@ def kg_sparql_load(spark, sf_dir):
     return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")
 
 
+def kg_sparql_from(spark, sf_dir):
+    """Round-6: FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2)
+    on the store surface.  The store holds one graph per region; the
+    query's dataset makes regions 1+2 the merged default graph and
+    region 3 the only GRAPH-visible named graph.  Each side of the
+    dataset is a partition-PRUNED read of only its graphs'
+    directories — at 100 TB the dataset clause is what turns a
+    whole-store scan into a few-directory scan."""
+    import tempfile
+
+    from . import rdfio
+    from .sparql import store_sparql
+
+    nat = _t(spark, sf_dir, "nation")
+    quads = nat.select(
+        F.concat(F.lit("ex:reg"), F.col("n_regionkey").cast("string")).alias("g"),
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+    store = tempfile.mkdtemp(prefix="kgspark_from_")
+    rdfio.write_nquads_store(quads, store)
+    out = store_sparql(spark, store, """
+        SELECT ?g ?s ?o
+        FROM ex:reg1
+        FROM ex:reg2
+        FROM NAMED ex:reg3
+        WHERE { { ?s ex:name ?o } UNION { GRAPH ?g { ?s ex:name ?o } } }
+    """)
+    return out.select(
+        F.coalesce(F.col("g"), F.lit("")).alias("g"), "s", "o"
+    )
+
+
 def kg_sparql_modify(spark, sf_dir):
     """Round-6: the general DELETE/INSERT…WHERE modify form.  WHERE
     matches over the MERGED default graph (all regions' names starting

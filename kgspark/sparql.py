@@ -1224,15 +1224,76 @@ def store_sparql(
     4-term patterns can see the named graphs (round-4 ADVICE: the
     unconditional merge made the documented GRAPH support fail on the
     store surface)."""
+    from .bgp import DATASET_DEFAULT
     from .rdfio import read_nquads_store
 
     toks = _tokenize(query)
+    from_g, named_g, toks = _strip_dataset(toks)
+    if from_g or named_g:
+        # explicit dataset (SPARQL §13.2): default graph = RDF merge
+        # of the FROM graphs (rows re-labelled with the sentinel),
+        # named graphs = exactly the FROM NAMED set.  Each side is a
+        # partition-PRUNED read of only its graphs' directories.
+        if graph is not None:
+            raise ValueError(
+                "pass either a graph= scope or FROM/FROM NAMED clauses,"
+                " not both"
+            )
+        parts = []
+        if from_g:
+            parts.append(
+                read_nquads_store(spark, path, graph=sorted(set(from_g)))
+                .withColumn("g", F.lit(DATASET_DEFAULT))
+            )
+        if named_g:
+            parts.append(
+                read_nquads_store(spark, path, graph=sorted(set(named_g)))
+            )
+        ds = parts[0]
+        for p_ in parts[1:]:
+            ds = ds.unionByName(p_)
+        triples = ds.withColumn("__ds", F.lit(True))
+        return sparql_query(
+            triples, " ".join(toks), allow_product=allow_product
+        )
     quads = read_nquads_store(spark, path, graph=graph)
     if any(t.upper() == "GRAPH" for t in toks):
         triples = quads.select("g", "s", "p", "o")
     else:
         triples = quads.select("s", "p", "o").distinct()
     return sparql_query(triples, query, allow_product=allow_product)
+
+
+def _strip_dataset(toks: list[str]) -> tuple[list[str], list[str], list[str]]:
+    """Extract ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses from a
+    token stream (they sit between the projection and WHERE) and
+    return (from_graphs, named_graphs, remaining_tokens).  Inside a
+    brace group FROM cannot occur in the supported grammar, so a flat
+    scan outside braces is exact."""
+    from_g: list[str] = []
+    named_g: list[str] = []
+    out: list[str] = []
+    i, depth = 0, 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "{":
+            depth += 1
+        elif t == "}":
+            depth -= 1
+        if depth == 0 and t.upper() == "FROM":
+            i += 1
+            tgt = from_g
+            if i < len(toks) and toks[i].upper() == "NAMED":
+                tgt = named_g
+                i += 1
+            if i >= len(toks):
+                raise ValueError("FROM needs a graph IRI")
+            tgt.append(_ground_term(toks[i]))
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return from_g, named_g, out
 
 
 def sparql_query(

@@ -628,6 +628,73 @@ def test_store_sparql_graph_clause_on_store_surface(spark, tmp_path):
     assert _rows(out2) == {("ex:a",), ("ex:b",)}
 
 
+def test_store_sparql_from_dataset(spark, tmp_path):
+    """Round-6: FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2)
+    on the store surface — the default graph becomes the RDF merge of
+    exactly the FROM graphs, and GRAPH patterns range over exactly the
+    FROM NAMED set.  Each side is a partition-pruned read."""
+    from kgspark import rdfio
+    from kgspark.sparql import store_sparql
+
+    rows = [
+        ("doc://1", "ex:a", "ex:name", "alice", "literal", "", ""),
+        ("doc://2", "ex:b", "ex:name", "bob", "literal", "", ""),
+        # duplicate across the two FROM graphs → ONE merged solution
+        ("doc://2", "ex:a", "ex:name", "alice", "literal", "", ""),
+        ("doc://3", "ex:c", "ex:name", "carol", "literal", "", ""),
+    ]
+    quads = spark.createDataFrame(rows, "g string, " + rdfio.PARSED_DDL)
+    path = str(tmp_path / "store")
+    rdfio.write_nquads_store(quads, path)
+
+    # FROM merge: default graph = doc://1 ∪ doc://2 only, set semantics
+    out = store_sparql(
+        spark, path,
+        "SELECT ?s ?o FROM <doc://1> FROM <doc://2> "
+        "WHERE { ?s ex:name ?o }",
+    )
+    assert _rows(out) == {("ex:a", "alice"), ("ex:b", "bob")}
+
+    # FROM NAMED: GRAPH ranges over exactly the named set — the FROM
+    # graphs are NOT visible to GRAPH patterns, nor vice versa
+    out2 = store_sparql(
+        spark, path,
+        "SELECT ?g ?s FROM <doc://1> FROM NAMED <doc://3> "
+        "WHERE { GRAPH ?g { ?s ex:name ?o } }",
+    )
+    assert _rows(out2) == {("doc://3", "ex:c")}
+
+    # both surfaces in one query: UNION of a default-graph branch
+    # (g unbound → NULL) and a GRAPH branch
+    out3 = store_sparql(
+        spark, path,
+        "SELECT ?g ?s ?o FROM <doc://1> FROM NAMED <doc://3> WHERE {"
+        " { ?s ex:name ?o } UNION { GRAPH ?g { ?s ex:name ?o } } }",
+    )
+    got = sorted(
+        ((r["g"] or ""), r["s"], r["o"]) for r in out3.collect()
+    )
+    assert got == [
+        ("", "ex:a", "alice"),
+        ("doc://3", "ex:c", "carol"),
+    ]
+
+    # FROM NAMED only: the default graph is EMPTY (no FROM clause)
+    out4 = store_sparql(
+        spark, path,
+        "SELECT ?s FROM NAMED <doc://1> WHERE { ?s ex:name ?o }",
+    )
+    assert out4.count() == 0
+
+    # a graph= scope and dataset clauses are mutually exclusive
+    with pytest.raises(ValueError, match="FROM"):
+        store_sparql(
+            spark, path,
+            "SELECT ?s FROM <doc://1> WHERE { ?s ?p ?o }",
+            graph="doc://1",
+        )
+
+
 # ---- round-5: extra FILTER functions + negated property sets ----
 
 def test_bound_with_optional(tri):
