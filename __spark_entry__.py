@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_triangle_counts": Q.entity_triangle_counts,  # clustering signal (r5)
         "entity_kcore": Q.entity_kcore,                      # 3-core peeling fixpoint (r6b)
         "entity_communities": Q.entity_communities,          # sync LPA communities (r6b)
+        "entity_hops": Q.entity_hops,                        # multi-source BFS, 4 rounds (r6)
         "kg_bgp_match": Q.kg_bgp_match,             # SPARQL BGP over triples (r3)
         "kg_bgp_optional": Q.kg_bgp_optional,       # SPARQL OPTIONAL (r3)
         "kg_bgp_filter": Q.kg_bgp_filter,           # SPARQL FILTER+SELECT DISTINCT (r4)
@@ -133,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
         "doc_quota_sample": Q.doc_quota_sample,             # balanced per-stratum top-k (r5)
+        "doc_resample": Q.doc_resample,                     # source-weighted resampling (r6)
+        "doc_bigram_surprisal": Q.doc_bigram_surprisal,     # integer perplexity proxy (r6)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
@@ -211,8 +214,11 @@ def oracle_sql() -> dict[str, str]:
         "entity_triangle_counts": OS.ENTITY_TRIANGLES_SQL,
         "entity_kcore": OS.ENTITY_KCORE_SQL,
         "entity_communities": OS.ENTITY_COMMUNITIES_SQL,
+        "entity_hops": OS.ENTITY_HOPS_SQL,
         "training_export_clean": OS.TRAINING_EXPORT_CLEAN_SQL,
         "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
+        "doc_resample": OS.DOC_RESAMPLE_SQL,
+        "doc_bigram_surprisal": OS.DOC_BIGRAM_SURPRISAL_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "para_dedup": OS.PARA_DEDUP_SQL,
         "doc_repetition_stats": OS.DOC_REPETITION_SQL,

@@ -443,3 +443,46 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return lab.select(F.col("node").alias(node_col), "label")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance with a FIXED round count (the
+    round count is part of the operator definition — the DuckDB
+    oracle unrolls the same rounds, so truncation at the horizon is
+    identical on both engines).  ``edges`` directed both ways for an
+    undirected graph; ``seeds`` one column of start nodes (dist 0);
+    nodes unreached within ``n_rounds`` are absent from the output.
+
+    Frontier form: each round restricts the edge frame to the
+    newly-settled frontier (semi-join), anti-joins the expansion
+    against the settled set, and cuts lineage — O(E_frontier) per
+    round with no driver-side state, the textbook distributed-BFS
+    shape (both the frontier and the settled set are node-id-keyed
+    shuffles that survive a 100× scale-up)."""
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint(eager=False)
+    settled = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = settled.select("node")
+    for r in range(1, n_rounds + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.unionByName(nxt)
+        frontier = nxt.select("node")
+    return settled.select(F.col("node").alias(node_col), "dist")

@@ -2215,3 +2215,91 @@ SELECT '' AS g, s, o FROM (
 UNION ALL
 SELECT g, s, o FROM quads WHERE g = 'ex:reg3'
 """
+
+
+# r6: multi-source BFS hop distance — 4 unrolled rounds (same fixed
+# horizon as cc.bfs_hops); seeds = entity_id % 17 == 0.
+_BFS_ITER = """,
+bf{k} AS MATERIALIZED (
+  SELECT e.dst AS entity_id, {k} AS dist
+  FROM pr_edges e JOIN bf{km1} f ON f.entity_id = e.src
+  WHERE e.dst NOT IN (SELECT entity_id FROM st{km1})
+  GROUP BY e.dst
+),
+st{k} AS MATERIALIZED (
+  SELECT entity_id FROM st{km1} UNION ALL SELECT entity_id FROM bf{k}
+)"""
+
+ENTITY_HOPS_SQL = (
+    _GRAPH_EDGE_CTES
+    + """,
+bf0 AS MATERIALIZED (
+  SELECT entity_id, 0 AS dist FROM pr_nodes
+  WHERE substring(entity_id, 13, 1) IN ('0', '1')
+),
+st0 AS (SELECT entity_id FROM bf0)"""
+    + "".join(_BFS_ITER.format(k=k, km1=k - 1) for k in range(1, 5))
+    + """
+SELECT entity_id, CAST(dist AS INT) AS dist FROM (
+  SELECT * FROM bf0 UNION ALL SELECT * FROM bf1 UNION ALL
+  SELECT * FROM bf2 UNION ALL SELECT * FROM bf3 UNION ALL
+  SELECT * FROM bf4
+)
+"""
+)
+
+
+# r6: deterministic source-weighted resampling — one row per emitted
+# copy; weights {0.5, 1, 1.5, 2}× by srcnum % 4, fractional copy via
+# the grammar affine hash (index 200).
+DOC_RESAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         500000 + (CAST(substring(source, 4) AS BIGINT) % 4) * 500000 AS w_e6,
+         (({G.hash_a(200)} * doc_id + {G.hash_b(200)}) % {G.HASH_P})
+           % 1000000 AS h
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, source, w_e6,
+         w_e6 // 1000000
+           + CASE WHEN h < w_e6 % 1000000 THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source, CAST(w_e6 AS BIGINT) AS weight_e6,
+       CAST(copy_id AS INT) AS copy_id
+FROM (
+  SELECT doc_id, source, w_e6,
+         unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS copy_id
+  FROM counted
+)
+"""
+
+
+# r6: integer-exact bigram surprisal (perplexity proxy) — bitlen of
+# prefix/bigram count ratio, exact integer mean ×1e6.
+DOC_BIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+    FROM toks WHERE len(toks) >= 2
+  )
+),
+db AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS bt FROM db GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(sum(bt) AS BIGINT) AS ut FROM bc GROUP BY 1),
+sc AS (
+  SELECT db.doc_id, db.tf,
+         db.tf * length(bin(CAST(uc.ut // bc.bt AS BIGINT))) AS s
+  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) AS BIGINT) AS surprisal,
+       CAST((1000000 * sum(s)) // sum(tf) AS BIGINT) AS avg_surprisal_e6
+FROM sc GROUP BY doc_id
+"""

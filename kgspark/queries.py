@@ -2092,3 +2092,115 @@ def kg_sparql_modify(spark, sf_dir):
                 BIND(LCASE(?o) AS ?u) }
     ''')
     return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")
+
+
+def entity_hops(spark, sf_dir):
+    """Round-6: multi-source BFS hop distance (4 fixed rounds) over
+    the entity co-occurrence graph from a deterministic seed set
+    (first hex digit of the minted id hash ∈ {0, 1} — entity ids are
+    IRI strings 'ex://entity/<32hex>#id') — the graph-exploration
+    companion to
+    pagerank/k-core/LPA (cc.bfs_hops: frontier semi-join + settled
+    anti-join per round; the DuckDB oracle unrolls the same 4
+    rounds, so horizon truncation is identical)."""
+    m, labels = _labels(spark, sf_dir)
+    members = gen.entity_membership(m, labels)
+    nodes = members.select("entity_id").distinct()
+    seeds = nodes.filter(
+        F.substring("entity_id", 13, 1).isin("0", "1")
+    )
+    return cc_mod.bfs_hops(
+        _coocc_edges(spark, sf_dir), seeds, n_rounds=4, node_col="entity_id"
+    )
+
+
+def doc_resample(spark, sf_dir):
+    """Round-6: deterministic source-weighted corpus resampling — the
+    mixture-reweighting stage of a training-data pipeline (up-sample
+    valuable sources, down-sample the rest) with NO randomness:
+    weight_e6 = 500k + (srcnum % 4)·500k ∈ {0.5, 1, 1.5, 2}×; integer
+    copies = weight div 1e6; the fractional copy decided per doc by
+    the grammar affine hash (family index 200 — clear of the
+    minhash/simhash perm range 0..127).  One
+    output row per emitted copy — explode(sequence) keeps the blow-up
+    vectorized and bounded by the weight table, and the whole stage
+    is map-only (zero shuffle) at any scale."""
+    a, b = G.hash_a(200), G.hash_b(200)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "500000 + (CAST(substring(source, 4) AS BIGINT) % 4) * 500000"
+        ).alias("w_e6"),
+        F.expr(f"(({a} * doc_id + {b}) % {G.HASH_P}) % 1000000").alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "w_e6",
+        F.expr("w_e6 DIV 1000000 + IF(h < w_e6 % 1000000, 1, 0)").alias(
+            "n_copies"
+        ),
+    ).filter(F.col("n_copies") > 0)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("w_e6").cast("bigint").alias("weight_e6"),
+        F.explode(F.expr("sequence(1, n_copies)")).alias("copy_id"),
+    ).withColumn("copy_id", F.col("copy_id").cast("int"))
+
+
+def doc_bigram_surprisal(spark, sf_dir):
+    """Round-6: corpus-trained bigram surprisal — an integer-exact
+    perplexity proxy for quality filtering.  Per-bigram surprisal =
+    bitlen(prefix_count div bigram_count) ≈ log2 of the inverse
+    conditional probability (the same log2-quantized-idf trick as
+    top_terms_tfidf — a float ln() would flap across engines); the
+    doc score is the exact integer mean ×1e6.  Scale shape: per-doc
+    bigram counts FIRST (map-side combine slims every later shuffle),
+    corpus counts derived from those (never re-reads text), then two
+    shuffle joins on the open-vocabulary bigram key — no broadcast,
+    no Python, no arrays carried through any join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id", F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2")
+        )
+    )
+    db = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    bc = db.groupBy("w1", "w2").agg(F.sum("tf").alias("bt"))
+    uc = bc.groupBy("w1").agg(F.sum("bt").alias("ut"))
+    sc = (
+        db.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.length(F.bin(F.expr("ut DIV bt")))).alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.sum("tf").alias("nb"), F.sum("s").alias("sp"))
+        .select(
+            "doc_id",
+            F.col("nb").cast("bigint").alias("n_bigrams"),
+            F.col("sp").cast("bigint").alias("surprisal"),
+            F.expr("CAST((1000000 * sp) DIV nb AS BIGINT)").alias(
+                "avg_surprisal_e6"
+            ),
+        )
+    )

@@ -222,3 +222,86 @@ def test_line_dup_stats_detects_shared_paragraph(spark):
     assert rows[1]["n_boiler"] == 1 and rows[2]["n_boiler"] == 1
     assert rows[3]["n_boiler"] == 0
     assert rows[1]["boiler_rate_e6"] == 500000  # 1 of 2 windows
+
+
+def test_bfs_hops_chain_and_horizon(spark):
+    """cc.bfs_hops on a 7-node chain seeded at one end: dist = node
+    index up to the 4-round horizon; nodes past the horizon are
+    absent; a disconnected seedless node never appears."""
+    from kgspark.cc import bfs_hops
+    import pyspark.sql.functions as F
+
+    chain = [(i, i + 1) for i in range(6)]  # 0-1-2-3-4-5-6
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, seeds, n_rounds=4).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)}  # 5,6 past horizon
+
+    # multi-source: min distance wins, frontier union is exact
+    seeds2 = spark.createDataFrame([(0,), (6,)], "node long")
+    got2 = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, seeds2, n_rounds=4).collect()
+    }
+    assert got2 == {
+        (0, 0), (6, 0), (1, 1), (5, 1), (2, 2), (4, 2), (3, 3),
+    }
+
+
+def test_doc_resample_is_map_only(spark, sf_dir):
+    """Resampling must be a pure map stage: no Exchange, no Python —
+    the copy expansion is explode(sequence) over native columns."""
+    p = _plan(Q.doc_resample(spark, sf_dir))
+    assert "Exchange" not in p, "doc_resample must not shuffle"
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert bad not in p, f"doc_resample fell off the JVM: {bad}"
+
+
+def test_doc_resample_weights(spark, sf_dir):
+    """Every source's emitted copy count stays within the fractional
+    envelope of its weight: floor(w) ≤ copies/doc ≤ ceil(w), and a
+    weight-2.0 source emits exactly 2 copies of every doc."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        Q.doc_resample(spark, sf_dir)
+        .groupBy("doc_id", "source", "weight_e6")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        lo, hi = r["weight_e6"] // 1_000_000, -(-r["weight_e6"] // 1_000_000)
+        assert max(lo, 1) <= r["n"] <= max(hi, 1), r
+        if r["weight_e6"] == 2_000_000:
+            assert r["n"] == 2, r
+
+
+def test_bigram_surprisal_values(spark):
+    """Hand-checked corpus: bigram 'a b' occurs 3× of 4 prefix-'a'
+    bigrams → bitlen(4 div 3) = 1; 'a c' once → bitlen(4) = 3."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b x"), (2, "a b a c")],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: docs):
+        out = {r["doc_id"]: r for r in Q.doc_bigram_surprisal(spark, "x").collect()}
+    # doc 1 bigrams: (a,b),(b,a),(a,b),(b,x) ; doc 2: (a,b),(b,a),(a,c)
+    # prefix a: 4 total → 'a b' bt=3 s=bitlen(4//3)=1 ; 'a c' bt=1 s=bitlen(4)=3
+    # prefix b: 3 total → 'b a' bt=2 s=bitlen(3//2)=1 ; 'b x' bt=1 s=bitlen(3)=2
+    d1 = out[1]
+    assert d1["n_bigrams"] == 4
+    assert d1["surprisal"] == 2 * 1 + 1 + 2  # 2×(a,b) + (b,a) + (b,x)
+    assert d1["avg_surprisal_e6"] == (1_000_000 * 5) // 4
+    d2 = out[2]
+    assert d2["n_bigrams"] == 3
+    assert d2["surprisal"] == 1 + 1 + 3  # (a,b) + (b,a) + (a,c)
+    assert d2["avg_surprisal_e6"] == (1_000_000 * 5) // 3
