@@ -1531,6 +1531,21 @@ def _parse_quad_patterns(p: _P) -> list[tuple]:
     return pats
 
 
+def _parse_using(p: _P) -> tuple[list[str], list[str]]:
+    """``USING <g>`` / ``USING NAMED <g>`` clauses of the modify form
+    (SPARQL 1.1 Update §3.1.3) — the FROM / FROM NAMED equivalent for
+    the WHERE dataset; they sit between the templates and WHERE."""
+    using: list[str] = []
+    named: list[str] = []
+    while (p.peek() or "").upper() == "USING":
+        p.take()
+        if p.kw("NAMED"):
+            named.append(_ground_term(p.take()))
+        else:
+            using.append(_ground_term(p.take()))
+    return using, named
+
+
 def parse_update(update: str) -> list[dict]:
     """Parse an UPDATE request (operations chained with ';') → op
     specs: {"op": "insert_data"|"delete_data", "quads": […]},
@@ -1556,16 +1571,20 @@ def parse_update(update: str) -> list[dict]:
                 ins = _parse_quad_templates(p)
             else:
                 raise ValueError("WITH needs DELETE/INSERT template blocks")
+            using, using_named = _parse_using(p)
             p.expect("WHERE")
             ops.append({"op": "modify", "delete": dels, "insert": ins,
-                        "where": _parse_group(p), "with": with_g})
+                        "where": _parse_group(p), "with": with_g,
+                        "using": using, "using_named": using_named})
         elif verb == "INSERT":
             if p.peek() == "{":
                 # insert-only modify form: INSERT { tpl } WHERE { g }
                 ins = _parse_quad_templates(p)
+                using, using_named = _parse_using(p)
                 p.expect("WHERE")
                 ops.append({"op": "modify", "delete": [], "insert": ins,
-                            "where": _parse_group(p)})
+                            "where": _parse_group(p),
+                            "using": using, "using_named": using_named})
             else:
                 p.expect("DATA")
                 ops.append(
@@ -1582,14 +1601,26 @@ def parse_update(update: str) -> list[dict]:
                 # modify form: DELETE { tpl } [INSERT { tpl }] WHERE { g }
                 dels = _parse_quad_templates(p)
                 ins = _parse_quad_templates(p) if p.kw("INSERT") else []
+                using, using_named = _parse_using(p)
                 p.expect("WHERE")
                 ops.append({"op": "modify", "delete": dels, "insert": ins,
-                            "where": _parse_group(p)})
+                            "where": _parse_group(p),
+                            "using": using, "using_named": using_named})
             else:
                 raise ValueError(
                     "DELETE needs DATA / WHERE / a template block "
                     f"(got DELETE {p.peek()!r})"
                 )
+        elif verb == "CREATE":
+            # CREATE [SILENT] GRAPH <g> (§3.2.1): the partitioned
+            # store has no representation for an EMPTY named graph (a
+            # graph exists iff it has statements), so creation itself
+            # is a no-op — but the spec's already-exists error is
+            # still honored unless SILENT
+            silent = p.kw("SILENT")
+            p.expect("GRAPH")
+            ops.append({"op": "create", "graph": _ground_term(p.take()),
+                        "silent": silent})
         elif verb in ("CLEAR", "DROP"):
             silent = p.kw("SILENT")
             if p.kw("GRAPH"):
@@ -1733,6 +1764,16 @@ def _exec_update_op(
             rdfio._replace_graphs_unlocked(remaining, path)
         rdfio._remove_graph_dirs(path, [g for g in have if g not in nonempty])
         return {"op": kind, "graphs": have, "quads": len(rows)}
+
+    if kind == "create":
+        # CREATE GRAPH: graphs exist iff they hold statements in this
+        # store, so creation is metadata-only — just the spec's
+        # already-exists check (suppressed by SILENT)
+        if op["graph"] in rdfio.store_graph_dirs(path) and not op["silent"]:
+            raise ValueError(
+                f"CREATE: graph already in store: {op['graph']}"
+            )
+        return {"op": kind, "graphs": [], "quads": 0}
 
     if kind == "delete_where":
         dirs = rdfio.store_graph_dirs(path)
@@ -1971,31 +2012,70 @@ def _exec_modify(
     same affected-graph partition rewrite as every other update op."""
     from . import rdfio
 
+    from .bgp import DATASET_DEFAULT
+
     with_g = op.get("with")
     if with_g is not None:
         # WITH <g>: both the WHERE dataset and the bare-template target
         # become that one graph
         default_graph = with_g
+    using = op.get("using") or []
+    using_named = op.get("using_named") or []
     dirs = rdfio.store_graph_dirs(path)
     if not dirs and op["delete"]:
         return {"op": "modify", "graphs": [], "deleted": 0, "inserted": 0}
     for pat in op["where"].get("patterns") or []:
-        if len(pat) == 4:
+        if len(pat) == 4 and not using_named:
+            # with an explicit USING NAMED dataset the WHERE frame
+            # carries g, so GRAPH clauses are well-defined; without
+            # one the WHERE evaluates over the merged default graph
             raise ValueError(
-                "GRAPH clauses are not supported in a modify-form WHERE "
-                "(evaluated over the merged default graph) — use "
-                "DELETE WHERE for graph-scoped pattern deletes"
+                "GRAPH clauses in a modify-form WHERE need a "
+                "USING NAMED dataset (otherwise the WHERE evaluates "
+                "over the merged default graph) — or use DELETE WHERE "
+                "for graph-scoped pattern deletes"
             )
-    src_graphs = [with_g] if with_g is not None else None
-    have_src = with_g is None or with_g in dirs
-    quads = (
-        rdfio.read_nquads_store(spark, path, graph=src_graphs)
-        if dirs and have_src else None
-    )
-    if quads is None:
-        triples = spark.createDataFrame([], "s string, p string, o string")
+    if using or using_named:
+        # USING / USING NAMED override the WHERE dataset (the FROM /
+        # FROM NAMED of the update surface — same sentinel mechanism
+        # as store_sparql's explicit dataset); WITH still names the
+        # bare-template target graph.  Each side is a partition-pruned
+        # read of only its graphs' directories.
+        parts = []
+        have_u = [g for g in sorted(set(using)) if g in dirs]
+        if have_u:
+            parts.append(
+                rdfio.read_nquads_store(spark, path, graph=have_u)
+                .withColumn("g", F.lit(DATASET_DEFAULT))
+            )
+        have_n = [g for g in sorted(set(using_named)) if g in dirs]
+        if have_n:
+            parts.append(rdfio.read_nquads_store(spark, path, graph=have_n))
+        if parts:
+            ds = parts[0]
+            for p_ in parts[1:]:
+                ds = ds.unionByName(p_)
+            triples = ds.withColumn("__ds", F.lit(True))
+            # object-term resolution (below) sees the dataset's terms
+            quads = ds
+        else:
+            triples = spark.createDataFrame(
+                [], "s string, p string, o string"
+            )
+            quads = None
     else:
-        triples = quads.select("s", "p", "o").distinct()
+        src_graphs = [with_g] if with_g is not None else None
+        have_src = with_g is None or with_g in dirs
+        quads = (
+            rdfio.read_nquads_store(spark, path, graph=src_graphs)
+            if dirs and have_src else None
+        )
+        if quads is None:
+            triples = spark.createDataFrame(
+                [], "s string, p string, o string"
+            )
+        else:
+            triples = quads.select("s", "p", "o").distinct()
     sol = _drop_hidden(_eval_group(triples, op["where"], allow_product))
 
     def col_of(t, default=None):

@@ -288,7 +288,7 @@ def test_modify_rejections(spark, tmp_path):
     with pytest.raises(ValueError, match="not bound"):
         store_update(spark, store,
                      "INSERT { ex:a ex:p ?nope } WHERE { ?s ex:p ?o }")
-    with pytest.raises(ValueError, match="GRAPH clauses are not supported"):
+    with pytest.raises(ValueError, match="USING NAMED"):
         store_update(spark, store, '''
             DELETE { ?s ex:p ?o } WHERE { GRAPH ex:g1 { ?s ex:p ?o } }''')
     with pytest.raises(ValueError, match="property path"):
@@ -417,3 +417,57 @@ def test_load_missing_and_silent(spark, tmp_path):
         store_update(spark, store, f"LOAD <{tmp_path / 'x.weird'}>")
     with pytest.raises(ValueError, match="bracketed"):
         parse_update("LOAD ex:not-a-file")
+
+
+def test_modify_using_dataset(spark, tmp_path):
+    """USING / USING NAMED (§3.1.3): the WHERE dataset becomes the
+    explicit dataset — USING graphs merge into the default graph,
+    USING NAMED graphs are the only ones GRAPH clauses see — while
+    templates still target their own graphs."""
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:g1 { ex:a ex:tag "one" }
+                      GRAPH ex:g2 { ex:b ex:tag "two" }
+                      GRAPH ex:g3 { ex:c ex:tag "three" } }''')
+    # WHERE sees ONLY ex:g1 via USING: ex:b/ex:c do not match
+    store_update(spark, store, '''
+        INSERT { ex:hit ex:saw ?s } USING ex:g1 WHERE { ?s ex:tag ?o }
+    ''')
+    st = _state(spark, store)
+    assert (DEFAULT_GRAPH, "ex:hit", "ex:saw", "ex:a") in st
+    assert not any(q[3] in ("ex:b", "ex:c") for q in st if q[2] == "ex:saw")
+
+    # USING NAMED: GRAPH ?g in the WHERE ranges over exactly that set,
+    # and the bound graph variable can drive a variable-graph template
+    store_update(spark, store, '''
+        DELETE { GRAPH ?g { ?s ex:tag ?o } }
+        USING NAMED ex:g2
+        WHERE { GRAPH ?g { ?s ex:tag ?o } }
+    ''')
+    st2 = _state(spark, store)
+    assert not any(q[0] == "ex:g2" for q in st2)          # g2 emptied
+    assert any(q[0] == "ex:g3" for q in st2)              # g3 untouched
+    assert any(q[0] == "ex:g1" for q in st2)              # g1 untouched
+
+
+def test_modify_graph_clause_needs_using_named(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, "INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b } }")
+    with pytest.raises(ValueError, match="USING NAMED"):
+        store_update(spark, store, '''
+            INSERT { ex:x ex:q ?g } WHERE { GRAPH ?g { ?s ex:p ?o } }
+        ''')
+
+
+def test_create_graph(spark, tmp_path):
+    store = str(tmp_path / "store")
+    store_update(spark, store, "INSERT DATA { GRAPH ex:g1 { ex:a ex:p ex:b } }")
+    # creating a fresh graph is a metadata no-op
+    r = store_update(spark, store, "CREATE GRAPH ex:new")
+    assert r["ops"][0]["op"] == "create"
+    # existing graph: spec error, suppressed by SILENT
+    with pytest.raises(ValueError, match="already in store"):
+        store_update(spark, store, "CREATE GRAPH ex:g1")
+    store_update(spark, store, "CREATE SILENT GRAPH ex:g1")
+    # store contents untouched throughout
+    assert _state(spark, store) == {("ex:g1", "ex:a", "ex:p", "ex:b")}
