@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quota_sample": Q.doc_quota_sample,             # balanced per-stratum top-k (r5)
         "doc_resample": Q.doc_resample,                     # source-weighted resampling (r6)
         "doc_bigram_surprisal": Q.doc_bigram_surprisal,     # integer perplexity proxy (r6)
+        "doc_chunk": Q.doc_chunk,                           # RAG token-window chunking (r6)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quota_sample": OS.DOC_QUOTA_SAMPLE_SQL,
         "doc_resample": OS.DOC_RESAMPLE_SQL,
         "doc_bigram_surprisal": OS.DOC_BIGRAM_SURPRISAL_SQL,
+        "doc_chunk": OS.DOC_CHUNK_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "para_dedup": OS.PARA_DEDUP_SQL,
         "doc_repetition_stats": OS.DOC_REPETITION_SQL,

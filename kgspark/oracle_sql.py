@@ -2303,3 +2303,29 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST((1000000 * sum(s)) // sum(tf) AS BIGINT) AS avg_surprisal_e6
 FROM sc GROUP BY doc_id
 """
+
+
+# r6: overlapping token-window chunking — 16-token chunks, stride 12.
+DOC_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+),
+nn AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) >= 1
+),
+ch AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + CASE WHEN n <= 16 THEN 0
+                               ELSE (n - 16 + 11) // 12 END)) AS chunk_id
+  FROM nn
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * 12 + 1 AS INT) AS start_tok,
+       CAST(len(list_slice(toks, chunk_id * 12 + 1, chunk_id * 12 + 16))
+            AS INT) AS n_tok,
+       array_to_string(
+         list_slice(toks, chunk_id * 12 + 1, chunk_id * 12 + 16), ' '
+       ) AS chunk_text
+FROM ch
+"""

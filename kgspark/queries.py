@@ -2204,3 +2204,37 @@ def doc_bigram_surprisal(spark, sf_dir):
             ),
         )
     )
+
+
+def doc_chunk(spark, sf_dir):
+    """Round-6: overlapping token-window chunking (the RAG /
+    context-window prep stage): chunks of 16 tokens at stride 12
+    (4-token overlap), n_chunks = 1 + ceil(max(0, n-16)/12) so the
+    final partial chunk is kept and no chunk starts past the end.
+    Pure per-document explode(sequence) + slice/array_join — map-only
+    (zero shuffle) at any corpus size, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    C, S = 16, 12
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+    ).filter(F.size("toks") >= 1)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(0, CASE WHEN size(toks) <= {C} THEN 0 "
+                f"ELSE (size(toks) - {C} + {S} - 1) DIV {S} END)"
+            )
+        ).alias("chunk_id"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * S + 1).cast("int").alias("start_tok"),
+        F.expr(f"size(slice(toks, chunk_id * {S} + 1, {C}))")
+        .cast("int").alias("n_tok"),
+        F.expr(f"array_join(slice(toks, chunk_id * {S} + 1, {C}), ' ')")
+        .alias("chunk_text"),
+    )

@@ -305,3 +305,36 @@ def test_bigram_surprisal_values(spark):
     assert d2["n_bigrams"] == 3
     assert d2["surprisal"] == 1 + 1 + 3  # (a,b) + (b,a) + (a,c)
     assert d2["avg_surprisal_e6"] == (1_000_000 * 5) // 3
+
+
+def test_doc_chunk_is_map_only(spark, sf_dir):
+    p = _plan(Q.doc_chunk(spark, sf_dir))
+    assert "Exchange" not in p, "doc_chunk must not shuffle"
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert bad not in p, f"doc_chunk fell off the JVM: {bad}"
+
+
+def test_doc_chunk_boundaries(spark):
+    """20 tokens at (C=16, S=12): two chunks — [1..16] and the kept
+    partial [13..20]; 16 tokens: exactly one chunk; 1 token: one
+    1-token chunk."""
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(1, 21))),
+            (2, " ".join(f"u{i}" for i in range(1, 17))),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: docs):
+        rows = Q.doc_chunk(spark, "x").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_tok"]) for r in d1] == [(1, 16), (13, 8)]
+    assert d1[1]["chunk_text"].split(" ") == [f"t{i}" for i in range(13, 21)]
+    assert [(r["start_tok"], r["n_tok"]) for r in by_doc[2]] == [(1, 16)]
+    assert [(r["n_tok"], r["chunk_text"]) for r in by_doc[3]] == [(1, "solo")]
