@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_resample": Q.doc_resample,                     # source-weighted resampling (r6)
         "doc_bigram_surprisal": Q.doc_bigram_surprisal,     # integer perplexity proxy (r6)
         "doc_chunk": Q.doc_chunk,                           # RAG token-window chunking (r6)
+        "event_session_stats": Q.event_session_stats,       # per-session rollup (r6)
+        "dedup_ngram_coverage": Q.dedup_ngram_coverage,     # dup-shingle fraction (r6)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
@@ -221,6 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_resample": OS.DOC_RESAMPLE_SQL,
         "doc_bigram_surprisal": OS.DOC_BIGRAM_SURPRISAL_SQL,
         "doc_chunk": OS.DOC_CHUNK_SQL,
+        "event_session_stats": OS.EVENT_SESSION_STATS_SQL,
+        "dedup_ngram_coverage": OS.DEDUP_NGRAM_COVERAGE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "para_dedup": OS.PARA_DEDUP_SQL,
         "doc_repetition_stats": OS.DOC_REPETITION_SQL,

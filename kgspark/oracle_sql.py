@@ -2329,3 +2329,54 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        ) AS chunk_text
 FROM ch
 """
+
+
+# r6: session-level rollup — same 30-minute gap rule as event_sessions,
+# aggregated to one row per (user, session).  Sums are per-row e6 ints
+# before aggregation; CAST AS BIGINT defeats DuckDB's HUGEINT widening.
+EVENT_SESSION_STATS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, {_e6('value')} AS v,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seq AS (
+  SELECT user_id, ts_us, v,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(sum(v) AS BIGINT) AS sum_value_e6
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
+# r6: duplicated-n-gram coverage — per doc, the fraction of its
+# distinct 3-token shingles (the engine-shared code family in
+# SHINGLES_CTE) that occur in >= 2 documents.  with_shingles emits
+# DISTINCT codes per doc, so COUNT(*) per code == doc frequency.
+DEDUP_NGRAM_COVERAGE_SQL = f"""
+WITH {SHINGLES_CTE},
+ex AS (
+  SELECT doc_id, unnest(shingles) AS code FROM shingled
+),
+dfc AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY code
+)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST((1000000 * sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS dup_frac_e6
+FROM ex JOIN dfc USING (code)
+GROUP BY ex.doc_id
+"""

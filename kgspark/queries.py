@@ -2238,3 +2238,94 @@ def doc_chunk(spark, sf_dir):
         F.expr(f"array_join(slice(toks, chunk_id * {S} + 1, {C}), ' ')")
         .alias("chunk_text"),
     )
+
+
+def event_session_stats(spark, sf_dir):
+    """Round-6: session-level rollup on top of the gap sessionization
+    (event_sessions assigns per-event ids; this emits one row per
+    session).  Per user (ordered by ts, event_id for determinism) a new
+    session starts at the first event or when the gap from the previous
+    event exceeds 30 minutes; session_seq is the running count of
+    session starts.  Emits count / span / value-sum per session.
+
+    Scale shape: ONE shuffle.  The lag/cumsum window hash-partitions by
+    user_id; the final groupBy(user_id, session_seq) is satisfied by
+    that same partitioning (HashPartitioning(user_id) clusters every
+    (user_id, session_seq) group), so Catalyst plans no second
+    Exchange.  Value sums use the per-row floor(1e6*x) convention
+    before aggregation (int-exact both engines)."""
+    _ensure_utc(spark)
+    GAP_US = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        e6(F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum("v").cast("bigint").alias("sum_value_e6"),
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events", "start_us", "end_us", "duration_us", "sum_value_e6",
+    )
+
+
+def dedup_ngram_coverage(spark, sf_dir):
+    """Round-6: duplicated-n-gram coverage (the approximate
+    substring-dedup *metric* of Lee et al.'s "Deduplicating Training
+    Data" — per document, what fraction of its 3-token shingles also
+    occur in some other document).  Reuses the engine-shared shingle
+    code family (dedup.with_shingles / oracle SHINGLES_CTE), so both
+    engines group by identical BIGINT codes.
+
+    Scale shape: strictly linear — explode distinct shingles to slim
+    (doc_id, code) rows, doc-frequency per code via one groupBy, join
+    the df back on code (output rows == input rows, no pair
+    enumeration), then one per-doc aggregate.  No arrays ride any
+    shuffle past the explode."""
+    from . import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = (
+        dedup.with_shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("code"))
+    )
+    df_per_code = ex.groupBy("code").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    per_doc = (
+        ex.join(df_per_code, "code")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        F.expr("CAST((1000000 * n_dup) DIV n_shingles AS BIGINT)").alias(
+            "dup_frac_e6"
+        ),
+    )

@@ -338,3 +338,77 @@ def test_doc_chunk_boundaries(spark):
     assert d1[1]["chunk_text"].split(" ") == [f"t{i}" for i in range(13, 21)]
     assert [(r["start_tok"], r["n_tok"]) for r in by_doc[2]] == [(1, 16)]
     assert [(r["n_tok"], r["chunk_text"]) for r in by_doc[3]] == [(1, "solo")]
+
+
+def test_session_stats_single_shuffle(spark, sf_dir):
+    """The per-session rollup must reuse the window's user_id hash
+    partitioning for the (user_id, session_seq) groupBy — exactly one
+    Exchange in the whole plan (plus nothing Python-side)."""
+    p = _plan(Q.event_session_stats(spark, sf_dir))
+    n_ex = p.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"expected 1 shuffle, plan has {n_ex}:\n{p}"
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]:
+        assert bad not in p
+
+
+def test_session_stats_gap_rule(spark):
+    """3 events 10 min apart = one session; a 31-min gap splits; the
+    per-session aggregates line up with the raw rows."""
+    from unittest import mock
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t0, 1.5),
+            (2, 7, t0 + dt.timedelta(minutes=10), 2.0),
+            (3, 7, t0 + dt.timedelta(minutes=20), 0.25),
+            (4, 7, t0 + dt.timedelta(minutes=51, seconds=1), 4.0),
+            (5, 8, t0, 1.0),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: ev):
+        rows = {(r["user_id"], r["session_seq"]): r
+                for r in Q.event_session_stats(spark, "x").collect()}
+    assert set(rows) == {(7, 1), (7, 2), (8, 1)}
+    s1 = rows[(7, 1)]
+    assert s1["n_events"] == 3
+    assert s1["duration_us"] == 20 * 60 * 1_000_000
+    assert s1["sum_value_e6"] == 3_750_000
+    s2 = rows[(7, 2)]
+    assert s2["n_events"] == 1 and s2["duration_us"] == 0
+    assert s2["sum_value_e6"] == 4_000_000
+
+
+def test_ngram_coverage_is_linear(spark, sf_dir):
+    """Coverage metric must never enumerate doc pairs: no nested-loop
+    join, and the only joins are the df-per-code equi-join."""
+    p = _plan(Q.dedup_ngram_coverage(spark, sf_dir))
+    for bad in ["CartesianProduct", "BroadcastNestedLoopJoin"]:
+        assert bad not in p
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert bad not in p, f"coverage fell off the JVM: {bad}"
+
+
+def test_ngram_coverage_values(spark):
+    """Two docs sharing one shingle, one doc disjoint: shared shingle
+    counts as dup on both sides, disjoint doc has dup_frac 0."""
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s1"),      # shingles: abc, bcd
+            (2, "a b c x", "en", "s1"),      # shingles: abc, bcx
+            (3, "p q r", "en", "s2"),        # shingle: pqr
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: docs):
+        out = {r["doc_id"]: r
+               for r in Q.dedup_ngram_coverage(spark, "x").collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["n_dup"] == 1
+    assert out[1]["dup_frac_e6"] == 500_000
+    assert out[2]["n_shingles"] == 2 and out[2]["n_dup"] == 1
+    assert out[3]["n_shingles"] == 1 and out[3]["n_dup"] == 0
+    assert out[3]["dup_frac_e6"] == 0
