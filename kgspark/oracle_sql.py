@@ -2380,3 +2380,36 @@ SELECT ex.doc_id,
 FROM ex JOIN dfc USING (code)
 GROUP BY ex.doc_id
 """
+
+
+# r6: expected label-erased triple multiset for the Turtle bnode /
+# collection roundtrip — 8 triples per document row (see the query
+# docstring), aggregated the same way the Spark side aggregates its
+# parse output.
+RDF_TURTLE_BNODE_SQL = """
+WITH raw AS (
+  SELECT 'ex:d' || CAST(doc_id AS VARCHAR) AS s, 'ex:meta' AS p,
+         '_:' AS o, 'iri' AS o_kind, '' AS o_lang, '' AS o_datatype
+  FROM documents
+  UNION ALL
+  SELECT '_:', 'ex:lang', lang, 'literal', '', '' FROM documents
+  UNION ALL
+  SELECT '_:', 'ex:source', source, 'literal', '', '' FROM documents
+  UNION ALL
+  SELECT 'ex:d' || CAST(doc_id AS VARCHAR), 'ex:sig',
+         '_:', 'iri', '', '' FROM documents
+  UNION ALL
+  SELECT '_:', 'rdf:first', CAST(n_chars AS VARCHAR),
+         'literal', '', 'xsd:integer' FROM documents
+  UNION ALL
+  SELECT '_:', 'rdf:rest', '_:', 'iri', '', '' FROM documents
+  UNION ALL
+  SELECT '_:', 'rdf:first', 'true', 'literal', '', 'xsd:boolean'
+  FROM documents
+  UNION ALL
+  SELECT '_:', 'rdf:rest', 'rdf:nil', 'iri', '', '' FROM documents
+)
+SELECT s, p, o, o_kind, o_lang, o_datatype,
+       CAST(count(*) AS BIGINT) AS n
+FROM raw GROUP BY ALL
+"""

@@ -2329,3 +2329,56 @@ def dedup_ngram_coverage(spark, sf_dir):
             "dup_frac_e6"
         ),
     )
+
+
+def rdf_turtle_bnode_roundtrip(spark, sf_dir):
+    """Round-6: Turtle anonymous-bnode property lists "[ p o ; ... ]"
+    and collections "( ... )" end-to-end.  Each document row is
+    serialized as one statement
+        ex:d<id> ex:meta [ ex:lang "<lang>" ; ex:source "<src>" ] ;
+                 ex:sig ( <n_chars> true ) .
+    sharded into 16 multi-statement documents, re-parsed by the
+    document parser (mapInPandas), and aggregated with anon labels
+    normalized to "_:" (labels are document-scoped and order-minted;
+    the multiset of label-erased triples is the deterministic
+    contract).  Exercises: nested bracket under ';', ','-free lists,
+    integer/boolean shorthand inside a collection, rdf:nil tail."""
+    from . import rdfio
+
+    docs = _t(spark, sf_dir, "documents")
+    stmt = F.format_string(
+        'ex:d%s ex:meta [ ex:lang "%s" ; ex:source "%s" ] ; '
+        "ex:sig ( %s true ) .",
+        F.col("doc_id").cast("string"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("string"),
+    )
+    header = "@prefix ex: <http://example.org/kg#> .\n"
+    sharded = (
+        docs.select(stmt.alias("line"))
+        .withColumn("shard", F.pmod(F.xxhash64("line"), F.lit(16)))
+        .groupBy("shard")
+        .agg(
+            F.concat(
+                F.lit(header), F.concat_ws("\n", F.collect_list("line"))
+            ).alias("text")
+        )
+    )
+    parsed = rdfio.parse_turtle_docs(sharded)
+    norm = lambda c: F.when(  # noqa: E731
+        (F.col("o_kind") == "iri") & F.col(c).startswith("_:"), F.lit("_:")
+    ).otherwise(F.col(c))
+    return (
+        parsed.select(
+            F.when(F.col("s").startswith("_:"), F.lit("_:"))
+            .otherwise(F.col("s")).alias("s"),
+            "p",
+            norm("o").alias("o"),
+            "o_kind",
+            "o_lang",
+            "o_datatype",
+        )
+        .groupBy("s", "p", "o", "o_kind", "o_lang", "o_datatype")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

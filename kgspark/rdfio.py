@@ -896,8 +896,11 @@ def parse_jsonld(lines: DataFrame) -> DataFrame:
 # row, dropping malformed documents (the quarantine filter runs
 # upstream at scale, same policy as the line kernels).
 #
-# Documented subset exclusions: collections "( )", anonymous bnode
-# property lists "[ ]", triple-quoted strings, and PN_LOCAL dots.
+# Round-6: anonymous bnode property lists "[ p o ; ... ]" and
+# collections "( o1 o2 ... )" (rdf:first/rdf:rest/rdf:nil chains with
+# document-scoped _:anon_N labels) are now parsed, as subject or
+# object.  Remaining documented exclusions: triple-quoted strings and
+# PN_LOCAL dots.
 
 _TTL_TOKEN = re.compile(
     r"""
@@ -953,6 +956,19 @@ def _turtle_doc_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
     base = ""
     out: list[tuple[str, str, str, str, str, str]] = []
     i = 0
+    anon_n = 0
+    depth = 0  # bracket-nesting guard: ValueError (not RecursionError)
+
+    def new_bnode() -> str:
+        nonlocal anon_n
+        anon_n += 1
+        return f"_:anon_{anon_n}"
+
+    def push_depth() -> None:
+        nonlocal depth
+        depth += 1
+        if depth > 100:
+            raise ValueError("Turtle parse error: bracket nesting too deep")
 
     def peek(k: int = 0):
         j = i + k
@@ -989,12 +1005,20 @@ def _turtle_doc_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
             return tok  # already in the canonical compact form
         raise ValueError(f"Turtle parse error: undeclared prefix {pref!r}")
 
-    def parse_subject() -> str:
+    def parse_subject() -> tuple[str, bool]:
+        """Returns (subject term, was_bracket) — a bracketed subject
+        ([ ... ] or ( ... )) may legally be followed directly by '.'."""
+        pk, pt = peek()
+        if pk == "punct" and pt in ("[", "("):
+            o, okind, _, _ = parse_object()
+            if okind != "iri":
+                raise ValueError("Turtle parse error: bad subject form")
+            return o, True
         kind, tok = take()
         if kind == "iri":
-            return resolve_iriref(tok)
+            return resolve_iriref(tok), False
         if kind == "word":
-            return resolve_pname(tok)
+            return resolve_pname(tok), False
         raise ValueError(f"Turtle parse error: bad subject {tok!r}")
 
     def parse_predicate() -> str:
@@ -1041,7 +1065,61 @@ def _turtle_doc_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
             if tok in ("true", "false"):
                 return tok, "literal", "", "xsd:boolean"
             return resolve_pname(tok), "iri", "", ""
+        if kind == "punct" and tok == "[":
+            nonlocal depth
+            push_depth()
+            b = new_bnode()
+            if peek() == ("punct", "]"):
+                take()
+                depth -= 1
+                return b, "iri", "", ""
+            parse_pred_obj_list(b)
+            k2, t2 = take()
+            if (k2, t2) != ("punct", "]"):
+                raise ValueError(
+                    f"Turtle parse error: expected ']', got {t2!r}"
+                )
+            depth -= 1
+            return b, "iri", "", ""
+        if kind == "punct" and tok == "(":
+            push_depth()
+            items: list[tuple[str, str, str, str]] = []
+            while peek() != ("punct", ")"):
+                items.append(parse_object())
+            take()  # ')'
+            depth -= 1
+            if not items:
+                return "rdf:nil", "iri", "", ""
+            head = new_bnode()
+            cur = head
+            for idx, (o, okind, lang, dtype) in enumerate(items):
+                out.append((cur, "rdf:first", o, okind, lang, dtype))
+                nxt = new_bnode() if idx < len(items) - 1 else "rdf:nil"
+                out.append((cur, "rdf:rest", nxt, "iri", "", ""))
+                cur = nxt
+            return head, "iri", "", ""
         raise ValueError(f"Turtle parse error: bad object {tok!r}")
+
+    def parse_pred_obj_list(s: str) -> None:
+        """p o (, o)* (; p o ...)* — stops before (never consumes) the
+        closing '.' / ']' terminator; trailing ';' is legal Turtle."""
+        while True:
+            p = parse_predicate()
+            while True:
+                o, okind, lang, dtype = parse_object()
+                out.append((s, p, o, okind, lang, dtype))
+                if peek() == ("punct", ","):
+                    take()
+                    continue
+                break
+            nk, nt = peek()
+            if (nk, nt) == ("punct", ";"):
+                take()
+                nk, nt = peek()
+                if nk is None or (nk == "punct" and nt in (".", "]")):
+                    break
+                continue
+            break
 
     while i < len(toks):
         kind, tok = peek()
@@ -1071,29 +1149,20 @@ def _turtle_doc_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
             elif peek() == ("punct", "."):
                 take()
             continue
-        s = parse_subject()
-        while True:  # predicate-object list (';'-separated)
-            p = parse_predicate()
-            while True:  # object list (','-separated)
-                o, okind, lang, dtype = parse_object()
-                out.append((s, p, o, okind, lang, dtype))
-                if peek() == ("punct", ","):
-                    take()
-                    continue
-                break
-            nk, nt = peek()
-            if (nk, nt) == ("punct", ";"):
-                take()
-                # trailing ';' before '.' is legal Turtle
-                if peek() == ("punct", "."):
-                    take()
-                    break
-                continue
-            if (nk, nt) == ("punct", "."):
-                take()
-                break
+        n_before = len(out)
+        s, was_bracket = parse_subject()
+        if was_bracket and peek() == ("punct", "."):
+            if len(out) == n_before:
+                raise ValueError(
+                    "Turtle parse error: bare '[]' statement has no triples"
+                )
+            take()  # "[ p o ] ." — subject-only statement
+            continue
+        parse_pred_obj_list(s)
+        k2, t2 = take()
+        if (k2, t2) != ("punct", "."):
             raise ValueError(
-                f"Turtle parse error: expected ';' ',' or '.', got {nt!r}"
+                f"Turtle parse error: expected ';' ',' or '.', got {t2!r}"
             )
     return out
 

@@ -621,3 +621,50 @@ def test_jsonld_compacted_kernel_quarantines(spark):
     )
     rows = rdfio.parse_jsonld_compacted(docs).collect()
     assert {(r["s"], r["p"], r["o"]) for r in rows} == {("ex:a", "ex:p", "ex:b")}
+
+
+def test_turtle_bnode_property_lists_and_collections():
+    """Round-6 grammar extension: [ p o ; ... ] anon nodes (subject and
+    object, nested), ( ... ) collections as rdf:first/rest chains,
+    ( ) == rdf:nil, deterministic _:anon_N minting in parse order."""
+    from kgspark.rdfio import _turtle_doc_triples as T
+
+    hdr = "@prefix ex: <http://example.org/kg#> .\n"
+    out = T(hdr + 'ex:s ex:meta [ ex:a "x" ; ex:b 3 , true ] .')
+    assert ("ex:s", "ex:meta", "_:anon_1", "iri", "", "") in out
+    assert ("_:anon_1", "ex:a", "x", "literal", "", "") in out
+    assert ("_:anon_1", "ex:b", "3", "literal", "", "xsd:integer") in out
+    assert ("_:anon_1", "ex:b", "true", "literal", "", "xsd:boolean") in out
+
+    out = T(hdr + "[ ex:p [ ex:q ex:o ] ] .")
+    assert ("_:anon_1", "ex:p", "_:anon_2", "iri", "", "") in out
+    assert ("_:anon_2", "ex:q", "ex:o", "iri", "", "") in out
+
+    out = T(hdr + 'ex:s ex:vals ( 1 "two"@en ex:three ) ; ex:none ( ) .')
+    assert ("ex:s", "ex:vals", "_:anon_1", "iri", "", "") in out
+    assert ("_:anon_1", "rdf:first", "1", "literal", "", "xsd:integer") in out
+    assert ("_:anon_1", "rdf:rest", "_:anon_2", "iri", "", "") in out
+    assert ("_:anon_2", "rdf:first", "two", "literal", "en", "") in out
+    assert ("_:anon_3", "rdf:rest", "rdf:nil", "iri", "", "") in out
+    assert ("ex:s", "ex:none", "rdf:nil", "iri", "", "") in out
+
+    # collection as subject
+    out = T(hdr + "( 1 2 ) ex:len 2 .")
+    assert ("_:anon_1", "ex:len", "2", "literal", "", "xsd:integer") in out
+
+
+def test_turtle_bnode_malformed_value_error():
+    import pytest as _pytest
+
+    from kgspark.rdfio import _turtle_doc_triples as T
+
+    hdr = "@prefix ex: <http://example.org/kg#> .\n"
+    for bad in [
+        "ex:s ex:p [ ex:a 1 .",      # unclosed bracket
+        "ex:s ex:p ( 1 2 .",          # unclosed collection
+        "ex:s ex:p ] .",              # stray close
+        "[ ] .",                      # bare anon statement (no triples)
+        "ex:s ex:p " + "[ ex:q " * 120 + "1" + " ]" * 120 + " .",  # depth
+    ]:
+        with _pytest.raises(ValueError):
+            T(hdr + bad)
