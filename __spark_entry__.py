@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_session_stats": Q.event_session_stats,       # per-session rollup (r6)
         "dedup_ngram_coverage": Q.dedup_ngram_coverage,     # dup-shingle fraction (r6)
         "rdf_turtle_bnode_roundtrip": Q.rdf_turtle_bnode_roundtrip,  # [ ] / ( ) forms (r6)
+        "entity_link_prediction": Q.entity_link_prediction,  # common-neighbor cn>=2 (r6)
+        "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
@@ -227,6 +229,8 @@ def oracle_sql() -> dict[str, str]:
         "event_session_stats": OS.EVENT_SESSION_STATS_SQL,
         "dedup_ngram_coverage": OS.DEDUP_NGRAM_COVERAGE_SQL,
         "rdf_turtle_bnode_roundtrip": OS.RDF_TURTLE_BNODE_SQL,
+        "entity_link_prediction": OS.ENTITY_LINK_PRED_SQL,
+        "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "para_dedup": OS.PARA_DEDUP_SQL,
         "doc_repetition_stats": OS.DOC_REPETITION_SQL,

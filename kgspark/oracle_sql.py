@@ -1732,6 +1732,78 @@ GROUP BY entity_id
 """
 
 
+# r6: common-neighbor link prediction — wedges over the bidirectional
+# edge frame, existing edges anti-joined away, cn >= 2 threshold.
+ENTITY_LINK_PRED_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+bi_all AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL
+  SELECT entity_b AS src, entity_a AS dst FROM coocc
+),
+bi AS MATERIALIZED (
+  SELECT src, dst FROM bi_all
+  WHERE src IN (SELECT src FROM bi_all GROUP BY src
+                HAVING count(*) <= 64)
+),
+lp_cand AS (
+  SELECT w1.dst AS a, w2.dst AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM bi w1 JOIN bi w2 ON w2.src = w1.src AND w1.dst < w2.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT c.a AS entity_a, c.b AS entity_b, c.cn
+FROM lp_cand c LEFT JOIN coocc e
+  ON e.entity_a = c.a AND e.entity_b = c.b
+WHERE e.entity_a IS NULL
+"""
+
+
+# r6: int8 scalar quantization on the integer e3 grid — identical
+# arithmetic to the Spark builder; all-positive DIV operands keep
+# truncating vs floor division equivalent.
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS xe3
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, xe3,
+         list_max(list_transform(xe3, v -> abs(v))) AS maxabs
+  FROM v
+),
+q AS (
+  SELECT vec_id, xe3, maxabs,
+         list_transform(xe3,
+           v -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+                     * ((254 * abs(v) + maxabs) // (2 * maxabs))
+                     AS BIGINT) END) AS qc
+  FROM m
+)
+SELECT vec_id,
+       maxabs AS maxabs_e3,
+       CAST((1000000 * CAST(list_sum(list_transform(
+              generate_series(1, len(xe3)),
+              i -> abs(127 * xe3[i] - qc[i] * maxabs))) AS BIGINT))
+            // (127 * len(xe3) * 1000) AS BIGINT) AS mean_abs_err_e6,
+       CAST(list_sum(list_transform(generate_series(1, len(qc)),
+              i -> qc[i] * i)) AS BIGINT) AS q_checksum
+FROM q
+"""
+
+
 # r6b: graph analytics over the same co-occurrence edge frame the
 # pagerank/triangles oracles build.
 _GRAPH_EDGE_CTES = f"""{_KG_CTES},

@@ -1671,6 +1671,57 @@ def entity_triangle_counts(spark, sf_dir):
     )
 
 
+def entity_link_prediction(spark, sf_dir):
+    """Round-6: common-neighbor LINK PREDICTION over the entity
+    co-occurrence graph — for every non-adjacent pair (a < b) sharing
+    >= 2 neighbors, the common-neighbor count (the classic
+    integer-exact link-prediction score; Adamic-Adar's 1/log weights
+    are floats and cross-engine-fragile, so the contract sticks to
+    counts).  Wedge enumeration joins the bidirectional edge frame on
+    the hinge node, with HUB hinges (degree > 64) excluded — a hub's
+    wedge fan-out is quadratic in its degree while its common-neighbor
+    evidence is uninformative (everything co-occurs with it), so the
+    cap is both the web-scale guard and standard LP practice: the
+    enumeration becomes O(V * cap^2) instead of O(sum deg^2).  One
+    anti-join then removes already-connected pairs."""
+    HINGE_CAP = 64
+    pairs = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .select("entity_a", "entity_b")
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    edges = (
+        edges.join(deg, "src").filter(F.col("_deg") <= HINGE_CAP).drop("_deg")
+    )
+    w1 = edges.select(F.col("src").alias("hinge"), F.col("dst").alias("a"))
+    w2 = edges.select(F.col("src").alias("hinge"), F.col("dst").alias("b"))
+    cand = (
+        w1.join(w2, "hinge")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    return (
+        cand.join(
+            pairs,
+            (cand["a"] == pairs["entity_a"]) & (cand["b"] == pairs["entity_b"]),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("entity_a"),
+            F.col("b").alias("entity_b"),
+            "cn",
+        )
+    )
+
+
 def training_export_clean(spark, sf_dir):
     """Round-5: training_export WITH the contamination gate — the full
     end-of-pipeline decision: quality → langid → near-dup keeper →
@@ -2328,6 +2379,56 @@ def dedup_ngram_coverage(spark, sf_dir):
         F.expr("CAST((1000000 * n_dup) DIV n_shingles AS BIGINT)").alias(
             "dup_frac_e6"
         ),
+    )
+
+
+def embedding_quantize(spark, sf_dir):
+    """Round-6: int8 SCALAR QUANTIZATION of the embedding column — the
+    standard ANN-index compression step (4x smaller vectors before an
+    IVF/HNSW build).  Everything happens on an integer e3 grid so both
+    engines agree bit-exactly (the cell_centroids_int convention):
+    components become round(1000*x) BIGINTs, the per-vector scale is
+    max|component|, and codes are symmetric round-half-up
+    sign(v) * ((254*|v| + maxabs) DIV (2*maxabs)) in [-127, 127] —
+    all-positive operands, so Spark's truncating DIV and DuckDB's
+    floor '//' agree.  Emits the scale, the exact mean absolute
+    reconstruction error (e6), and a position-weighted code checksum
+    (so the contract pins every code, not just the error).  Map-only:
+    zero shuffle, zero Python, linear at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
+        ).alias("xe3"),
+    ).withColumn(
+        "maxabs", F.expr("array_max(transform(xe3, v -> abs(v)))")
+    ).withColumn(
+        "q",
+        F.expr(
+            "transform(xe3, v -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((CASE WHEN v >= 0 THEN 1 ELSE -1 END)"
+            " * ((254 * abs(v) + maxabs) DIV (2 * maxabs)) AS BIGINT) END)"
+        ),
+    ).withColumn(
+        "errsum",
+        F.expr(
+            "aggregate(zip_with(xe3, q, (v, c) -> abs(127 * v - c * maxabs)),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ),
+    )
+    return v.select(
+        "vec_id",
+        F.col("maxabs").alias("maxabs_e3"),
+        F.expr(
+            "CAST((1000000 * errsum) DIV (127 * size(xe3) * 1000) AS BIGINT)"
+        ).alias("mean_abs_err_e6"),
+        F.expr(
+            "aggregate(zip_with(q, sequence(CAST(1 AS BIGINT),"
+            " CAST(size(q) AS BIGINT)), (c, i) -> c * i),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("q_checksum"),
     )
 
 

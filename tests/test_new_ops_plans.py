@@ -412,3 +412,36 @@ def test_ngram_coverage_values(spark):
     assert out[2]["n_shingles"] == 2 and out[2]["n_dup"] == 1
     assert out[3]["n_shingles"] == 1 and out[3]["n_dup"] == 0
     assert out[3]["dup_frac_e6"] == 0
+
+
+def test_embedding_quantize_map_only(spark, sf_dir):
+    p = _plan(Q.embedding_quantize(spark, sf_dir))
+    assert "Exchange" not in p, "quantization must not shuffle"
+    for bad in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert bad not in p, f"quantization fell off the JVM: {bad}"
+
+
+def test_embedding_quantize_values(spark):
+    """[1.0, -0.5, 0.0] on the e3 grid: maxabs 1000, codes
+    [127, -64, 0] (symmetric round-half-up), errsum 500."""
+    from unittest import mock
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: emb):
+        out = {r["vec_id"]: r
+               for r in Q.embedding_quantize(spark, "x").collect()}
+    v1 = out[1]
+    assert v1["maxabs_e3"] == 1000
+    assert v1["q_checksum"] == 127 * 1 + (-64) * 2 + 0 * 3
+    assert v1["mean_abs_err_e6"] == (1_000_000 * 500) // (127 * 3 * 1000)
+    v2 = out[2]  # zero vector: scale 0, all codes 0, zero error
+    assert (v2["maxabs_e3"], v2["mean_abs_err_e6"], v2["q_checksum"]) == (0, 0, 0)
+
+
+def test_link_prediction_shape_and_cap(spark, sf_dir):
+    p = _plan(Q.entity_link_prediction(spark, sf_dir))
+    for bad in ["CartesianProduct", "BroadcastNestedLoopJoin"]:
+        assert bad not in p
