@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_turtle_bnode_roundtrip": Q.rdf_turtle_bnode_roundtrip,  # [ ] / ( ) forms (r6)
         "entity_link_prediction": Q.entity_link_prediction,  # common-neighbor cn>=2 (r6)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
+        "event_funnel": Q.event_funnel,                      # ordered conversion funnel (r6)
+        "heavy_hitters_cms": Q.heavy_hitters_cms,            # count-min sketch top-k (r6)
+        "bpe_merge_pairs": Q.bpe_merge_pairs,                # BPE pair counts round 1 (r6)
+        "kg_sparql_ask": Q.kg_sparql_ask,                    # ASK existence probes (r6)
+        "kg_sparql_describe": Q.kg_sparql_describe,          # DESCRIBE outgoing edges (r6)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
         "training_export": Q.training_export,               # curate→split→pack composed (r4)
         "training_export_clean": Q.training_export_clean,   # + contamination gate (r5)
@@ -231,6 +236,11 @@ def oracle_sql() -> dict[str, str]:
         "rdf_turtle_bnode_roundtrip": OS.RDF_TURTLE_BNODE_SQL,
         "entity_link_prediction": OS.ENTITY_LINK_PRED_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
+        "event_funnel": OS.EVENT_FUNNEL_SQL,
+        "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
+        "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,
+        "kg_sparql_ask": OS.SPARQL_ASK_SQL,
+        "kg_sparql_describe": OS.SPARQL_DESCRIBE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,
         "para_dedup": OS.PARA_DEDUP_SQL,
         "doc_repetition_stats": OS.DOC_REPETITION_SQL,

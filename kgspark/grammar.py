@@ -228,6 +228,19 @@ PACK_SHARDS = 16
 # from the hardcoded oracle (round-3 ADVICE).
 KMV_K = 128
 
+# Count-Min sketch (heavy-hitter estimation over the token stream) —
+# d rows × w buckets; row i uses hash index CMS_HASH_OFFSET + i of the
+# shared family (disjoint from minhash 0..63 and simhash 64..125).
+# Token identity enters via the char-level rolling hash
+# charcode(t) = fold((a, c) -> (31a + ascii(c)) % HASH_P, 0, chars(t))
+# — the same 31-multiplier family as the doc fingerprint, exact int64
+# on every engine.  Shared by queries.heavy_hitters_cms and
+# oracle_sql.HEAVY_HITTERS_CMS_SQL.
+CMS_D = 4
+CMS_W = 512
+CMS_HASH_OFFSET = 256
+CMS_TOP_K = 20
+
 # Quality scoring stopword set = STOP_TOKENS; token-count regex:
 BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
 

@@ -2485,3 +2485,150 @@ SELECT s, p, o, o_kind, o_lang, o_datatype,
        CAST(count(*) AS BIGINT) AS n
 FROM raw GROUP BY ALL
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-6c: funnel / sketch / tokenizer-training / ASK / DESCRIBE.
+# ---------------------------------------------------------------------------
+
+# Ordered funnel signup -> view -> purchase, each step strictly after
+# the previous; min(BIGINT) stays BIGINT in DuckDB (no HUGEINT cast
+# needed), epoch_us matches Spark's unix_micros under the UTC pin.
+EVENT_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts_us > s1.t1_us GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2_us GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                 WHEN t2_us IS NOT NULL THEN 2
+                 WHEN t1_us IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS reached,
+       t1_us, t2_us, t3_us
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+# Char-level rolling hash (grammar charcode): fold (31a + ascii(c)) % P
+# with a prepended 0 seed — list_reduce uses the first element as init.
+_CHARCODE = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({col}, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    f" (a, c) -> (a * 31 + c) % {G.HASH_P})"
+)
+
+_CMS_ROW_UNION = "\nUNION ALL\n".join(
+    f"SELECT cnt, hcode, {i} AS r,"
+    f" ((({G.hash_a(G.CMS_HASH_OFFSET + i)} * hcode"
+    f" + {G.hash_b(G.CMS_HASH_OFFSET + i)}) % {G.HASH_P})"
+    f" % {G.CMS_W}) AS b FROM hc"
+    for i in range(G.CMS_D)
+)
+
+_CMS_TOP_UNION = "\nUNION ALL\n".join(
+    f"SELECT token, cnt, rnk, {i} AS r,"
+    f" ((({G.hash_a(G.CMS_HASH_OFFSET + i)} * hcode"
+    f" + {G.hash_b(G.CMS_HASH_OFFSET + i)}) % {G.HASH_P})"
+    f" % {G.CMS_W}) AS b FROM top"
+    for i in range(G.CMS_D)
+)
+
+HEAVY_HITTERS_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+  FROM documents
+),
+tc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+hc AS MATERIALIZED (
+  SELECT token, cnt, {_CHARCODE.format(col='token')} AS hcode FROM tc
+),
+sk AS MATERIALIZED (
+  SELECT r, b, CAST(sum(cnt) AS BIGINT) AS bucket_cnt
+  FROM ({_CMS_ROW_UNION}) GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT token, cnt, hcode,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM hc QUALIFY rnk <= {G.CMS_TOP_K}
+),
+est AS (
+  SELECT t.token, t.cnt, t.rnk, min(sk.bucket_cnt) AS cms_count
+  FROM ({_CMS_TOP_UNION}) t JOIN sk USING (r, b)
+  GROUP BY 1, 2, 3
+)
+SELECT token, CAST(rnk AS INTEGER) AS rnk, cnt AS true_count,
+       cms_count, cms_count - cnt AS overcount
+FROM est
+"""
+
+
+# One BPE merge round: weighted adjacent-symbol pair counts over the
+# word-frequency table, symbols = chars + '$' end-of-word marker.
+BPE_MERGE_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+  FROM documents
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM tok GROUP BY 1),
+sym AS (
+  SELECT wf, list_append(string_split(word, ''), '$') AS cs FROM wf
+),
+pr AS (
+  SELECT cs[i] AS lhs, cs[i + 1] AS rhs, wf
+  FROM sym, unnest(generate_series(1, len(cs) - 1)) AS u(i)
+),
+pc AS (
+  SELECT lhs, rhs, CAST(sum(wf) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, lhs, rhs, cnt FROM (
+  SELECT lhs, rhs, cnt,
+         row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rnk
+  FROM pc
+) WHERE rnk <= {G.CMS_TOP_K}
+"""
+
+
+# SPARQL ASK: existence probes as int-cast booleans.
+SPARQL_ASK_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT 'commerce_scored' AS q,
+       CAST(EXISTS(
+         SELECT 1 FROM tri t1
+         JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
+         WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+           AND CAST(t3.o AS INT) >= 2
+       ) AS INTEGER) AS ask
+UNION ALL
+SELECT 'nosuch' AS q,
+       CAST(EXISTS(
+         SELECT 1 FROM tri
+         WHERE p = 'rdf:type' AND o = 'ex:NoSuchClass'
+       ) AS INTEGER) AS ask
+"""
+
+
+# SPARQL DESCRIBE: outgoing edges of the matched subject set.
+SPARQL_DESCRIBE_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+subj AS (
+  SELECT DISTINCT t1.s
+  FROM tri t1
+  JOIN tri t3 ON t3.s = t1.s AND t3.p = 'ex:score'
+  WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+    AND CAST(t3.o AS INT) >= 3
+)
+SELECT t.s, t.p, t.o FROM tri t JOIN subj USING (s)
+"""

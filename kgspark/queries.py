@@ -2483,3 +2483,247 @@ def rdf_turtle_bnode_roundtrip(spark, sf_dir):
         .groupBy("s", "p", "o", "o_kind", "o_lang", "o_datatype")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# --- round-6c: funnel / sketch / tokenizer-training operators ------------------
+def event_funnel(spark, sf_dir):
+    """Round-6: ordered FUNNEL analysis — for every user, how far they
+    progressed through signup -> view -> purchase where each step must
+    happen STRICTLY AFTER the previous one (the classic product-
+    analytics sequential-conversion query).  Step k's timestamp is the
+    earliest event of its type later than step k-1's timestamp, so the
+    whole funnel is three per-user min-aggregates chained by equi-joins
+    on user_id — every shuffle keys on user_id (AQE reuses the
+    exchange), no window over the full event stream, no per-user event
+    arrays.  At 100 TB this is 3 slim groupBys + 3 slim joins; skewed
+    power-users cost only their own group, never a cross product."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1_us"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2_us"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3_us"))
+    )
+    users = ev.select("user_id").distinct()
+    reached = (
+        F.when(F.col("t3_us").isNotNull(), F.lit(3))
+        .when(F.col("t2_us").isNotNull(), F.lit(2))
+        .when(F.col("t1_us").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            reached.cast("int").alias("reached"),
+            "t1_us",
+            "t2_us",
+            "t3_us",
+        )
+    )
+
+
+def _charcode_expr(col: str) -> str:
+    """SQL for the char-level rolling hash of a token column — the
+    grammar's charcode(t): fold (31*acc + ascii(c)) % HASH_P over the
+    characters.  Pure int64 (31 * (P-1) + 255 < 2^63), identical in
+    Spark and DuckDB (list_reduce with a prepended 0 seed)."""
+    return (
+        f"aggregate(transform(split({col}, ''),"
+        " c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT),"
+        f" (a, c) -> (a * 31 + c) % {G.HASH_P})"
+    )
+
+
+def heavy_hitters_cms(spark, sf_dir):
+    """Round-6: COUNT-MIN SKETCH heavy-hitter estimation over the token
+    stream — the streaming-sketch answer to "top terms without a full
+    vocabulary shuffle".  The sketch is CMS_D x CMS_W integer counters:
+    each distinct token's exact count (one map-side-combined groupBy)
+    is added into d = CMS_D buckets chosen by the grammar hash family
+    applied to the token's char-level rolling hash.  Point estimates
+    for the exact top CMS_TOP_K tokens are min over the d bucket
+    totals — always >= truth (one-sided error), so `overcount` is
+    non-negative by construction and the contract pins both the sketch
+    CONTENT (via the estimates) and the estimator.  Scale shape: the
+    sketch build is an associative sum keyed by (row, bucket) — at
+    most CMS_D*CMS_W = 2048 reducer groups regardless of corpus size —
+    and the top-k window prunes per-partition (WindowGroupLimit)
+    before its single-group final."""
+    D, W, OFF, K = G.CMS_D, G.CMS_W, G.CMS_HASH_OFFSET, G.CMS_TOP_K
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(text, ' '), t -> t != '')")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("hcode", F.expr(_charcode_expr("token")))
+        .localCheckpoint(eager=False)
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    (
+                        (F.lit(G.hash_a(OFF + i)) * F.col("hcode")
+                         + F.lit(G.hash_b(OFF + i)))
+                        % F.lit(G.HASH_P)
+                    )
+                    % F.lit(W)
+                ).alias("b"),
+            )
+            for i in range(D)
+        ]
+    )
+    sk = (
+        tc.select("cnt", F.explode(buckets).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("cnt").alias("bucket_cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        tc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+    )
+    return (
+        top.select("token", "cnt", "rnk", F.explode(buckets).alias("rb"))
+        .select("token", "cnt", "rnk",
+                F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .join(sk, ["r", "b"])
+        .groupBy("token", "cnt", "rnk")
+        .agg(F.min("bucket_cnt").alias("cms_count"))
+        .select(
+            "token",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("cnt").cast("bigint").alias("true_count"),
+            F.col("cms_count").cast("bigint").alias("cms_count"),
+            (F.col("cms_count") - F.col("cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
+def bpe_merge_pairs(spark, sf_dir):
+    """Round-6: ONE ROUND of BPE tokenizer training — the weighted
+    adjacent-symbol pair counts that drive the merge decision, over the
+    corpus word-frequency table (symbols start as characters plus the
+    '$' end-of-word marker, the standard formulation).  The full BPE
+    loop is a driver iteration re-invoking this stage after applying
+    the winning merge (like pagerank's join-per-round); the contract
+    pins round one exactly: top CMS_TOP_K pairs by (count DESC, lhs,
+    rhs) — a total order, so the cut is engine-independent.  Scale
+    shape: word counts first (map-side combine collapses the token
+    stream to the vocabulary), pair explode runs over DISTINCT words
+    only, and the top-k window prunes per-partition before its final
+    single-group pass."""
+    K = G.CMS_TOP_K
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(text, ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(word, ''))),"
+                " i -> named_struct("
+                "'lhs', element_at(concat(split(word, ''), array('$')), i),"
+                "'rhs', element_at(concat(split(word, ''), array('$')), i + 1)))"
+            )
+        ).alias("pr"),
+    )
+    pc = (
+        pairs.select("wf", F.col("pr.lhs").alias("lhs"),
+                     F.col("pr.rhs").alias("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("wf").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+    return (
+        pc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "lhs",
+            "rhs",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )
+
+
+def kg_sparql_ask(spark, sf_dir):
+    """SPARQL ASK through the text front-end (kgspark/sparql.py
+    sparql_ask): boolean existence over the KG — one positive probe
+    (a filtered two-pattern group) and one vacuous probe, each
+    compiling to limit(1) + count > 0 (the scan stops at the first
+    match; no full-table aggregate).  Booleans are cast to int for the
+    cross-engine hash."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_ask
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    yes = sparql_ask(
+        t,
+        """
+        ASK { ?e rdf:type ex:Commerce .
+              ?e ex:score ?n .
+              FILTER(xsd:integer(?n) >= 2) }
+        """,
+    )
+    no = sparql_ask(t, "ASK { ?e rdf:type ex:NoSuchClass }")
+    return yes.select(
+        F.lit("commerce_scored").alias("q"), F.col("ask").cast("int").alias("ask")
+    ).unionByName(
+        no.select(F.lit("nosuch").alias("q"), F.col("ask").cast("int").alias("ask"))
+    )
+
+
+def kg_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE through the text front-end (kgspark/sparql.py
+    sparql_describe): outgoing-edge description of every resource
+    matched by the WHERE group — the solution set's distinct subjects
+    semi-joined back against the triple frame (one shuffle, no
+    collect)."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_describe
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_describe(
+        t,
+        """
+        DESCRIBE ?e WHERE { ?e rdf:type ex:Commerce .
+                            ?e ex:score ?n .
+                            FILTER(xsd:integer(?n) >= 3) }
+        """,
+    )

@@ -445,3 +445,90 @@ def test_link_prediction_shape_and_cap(spark, sf_dir):
     p = _plan(Q.entity_link_prediction(spark, sf_dir))
     for bad in ["CartesianProduct", "BroadcastNestedLoopJoin"]:
         assert bad not in p
+
+
+def test_event_funnel_values(spark):
+    """Hand funnel: user 1 completes in order; user 2 views BEFORE
+    signup (view must not count — strictly-after semantics); user 3
+    never signs up (reached 0 even though they purchased)."""
+    from unittest import mock
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), "signup"), (1, ts(10), "view"), (1, ts(20), "purchase"),
+            (2, ts(5), "view"), (2, ts(9), "signup"), (2, ts(30), "purchase"),
+            (3, ts(1), "view"), (3, ts(2), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: ev):
+        out = {r["user_id"]: r for r in Q.event_funnel(spark, "x").collect()}
+    assert out[1]["reached"] == 3
+    assert out[2]["reached"] == 1  # view at t5 < signup t9 doesn't count
+    assert out[2]["t2_us"] is None
+    assert out[3]["reached"] == 0
+
+
+def test_event_funnel_plan_no_window(spark, sf_dir):
+    """Funnel = chained per-user min-aggregates; no full-stream window,
+    no nested-loop join."""
+    p = _plan(Q.event_funnel(spark, sf_dir))
+    for bad in ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]:
+        assert bad not in p, f"funnel plan degenerated: {bad}"
+
+
+def test_cms_estimates_upper_bound(spark, sf_dir):
+    """CMS point estimates are one-sided: estimate >= truth for every
+    probed token, and the estimate of a unique heavy hitter in a tiny
+    corpus is exact (no collision in 4x512 buckets over ~5 tokens)."""
+    out = Q.heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["overcount"] >= 0
+        assert r["cms_count"] >= r["true_count"]
+
+
+def test_cms_sketch_width_bound(spark):
+    """Sketch build must reduce to <= CMS_D * CMS_W counter groups."""
+    from unittest import mock
+    import kgspark.grammar as G
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: docs):
+        out = {r["token"]: r for r in Q.heavy_hitters_cms(spark, "x").collect()}
+    assert out["a"]["true_count"] == 4
+    assert out["a"]["cms_count"] >= 4
+    assert out["a"]["rnk"] == 1
+    assert len(out) <= G.CMS_TOP_K
+
+
+def test_bpe_pairs_values(spark):
+    """'ab ab b' -> word freqs {ab:2, b:1}; pairs a>b:2, b>$:3."""
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab b")], "doc_id long, text string"
+    )
+    with mock.patch.object(Q, "_t", lambda s, d, n: docs):
+        rows = Q.bpe_merge_pairs(spark, "x").collect()
+    by_pair = {(r["lhs"], r["rhs"]): r["cnt"] for r in rows}
+    assert by_pair[("b", "$")] == 3
+    assert by_pair[("a", "b")] == 2
+    top = min(rows, key=lambda r: r["rnk"])
+    assert (top["lhs"], top["rhs"]) == ("b", "$")
+
+
+def test_sparql_ask_describe(spark, sf_dir):
+    asks = {r["q"]: r["ask"] for r in Q.kg_sparql_ask(spark, sf_dir).collect()}
+    assert asks == {"commerce_scored": 1, "nosuch": 0}
+    d = Q.kg_sparql_describe(spark, sf_dir)
+    assert d.columns == ["s", "p", "o"]
+    assert "CartesianProduct" not in _plan(d)
