@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_exists": Q.kg_sparql_optional_exists,  # null-compat EXISTS (r6)
         "kg_sparql_builtins": Q.kg_sparql_builtins,    # scalar-builtin surface (r6)
         "kg_sparql_term_fns": Q.kg_sparql_term_fns,    # isIRI/LANGMATCHES (r6)
+        "kg_sparql_isnumeric": Q.kg_sparql_isnumeric,  # numeric-datatype test (r6c)
+        "kg_sparql_sameterm": Q.kg_sparql_sameterm,    # RDF-term identity (r6c)
+        "kg_sparql_encode": Q.kg_sparql_encode,        # ENCODE_FOR_URI chain (r6c)
+        "kg_sparql_term_ctors": Q.kg_sparql_term_ctors,  # STRLANG/STRDT/IRI (r6c)
         "kg_sparql_construct_where": Q.kg_sparql_construct_where,  # §10.2.2 shorthand (r6)
         "kg_sparql_load": Q.kg_sparql_load,            # LOAD file-ingest verb (r6)
         "kg_sparql_from": Q.kg_sparql_from,            # FROM/FROM NAMED dataset (r6)
@@ -218,6 +222,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optional_exists": OS.SPARQL_OPTIONAL_EXISTS_SQL,
         "kg_sparql_builtins": OS.SPARQL_BUILTINS_SQL,
         "kg_sparql_term_fns": OS.SPARQL_TERM_FNS_SQL,
+        "kg_sparql_isnumeric": OS.SPARQL_ISNUMERIC_SQL,
+        "kg_sparql_sameterm": OS.SPARQL_SAMETERM_SQL,
+        "kg_sparql_encode": OS.SPARQL_ENCODE_SQL,
+        "kg_sparql_term_ctors": OS.SPARQL_TERM_CTORS_SQL,
         "kg_sparql_construct_where": OS.SPARQL_CONSTRUCT_WHERE_SQL,
         "kg_sparql_load": OS.KG_SPARQL_LOAD_SQL,
         "contamination_check": OS.CONTAMINATION_SQL,

@@ -2632,3 +2632,51 @@ subj AS (
 )
 SELECT t.s, t.p, t.o FROM tri t JOIN subj USING (s)
 """
+
+
+# r6c: isNumeric() — objects carrying a numeric xsd datatype on the
+# distinct full-term triple set (only the proxy ex:score literals).
+SPARQL_ISNUMERIC_SQL = f"""
+{_KG_CTES},
+trif AS (SELECT DISTINCT s, p, o, o_kind, o_lang, o_datatype
+         FROM {_QUADS_UNION})
+SELECT p, CAST(count(*) AS BIGINT) AS n
+FROM trif
+WHERE o_datatype IN ('xsd:integer', 'xsd:int', 'xsd:long', 'xsd:short',
+                     'xsd:byte', 'xsd:decimal', 'xsd:double', 'xsd:float')
+GROUP BY p ORDER BY p
+"""
+
+# r6c: sameTerm() pair filter — ordered co-mention pairs per document
+# over the distinct mention-edge set: m·(m−1) for m distinct mentions
+# (documents with a single mention produce no pair and are absent).
+SPARQL_SAMETERM_SQL = f"""
+{_KG_CTES},
+me AS (SELECT DISTINCT '{G.DOC_IRI_PREFIX}' || doc_id AS d, mention_iri
+       FROM mentions)
+SELECT d, CAST(m * (m - 1) AS BIGINT) AS np
+FROM (SELECT d, count(*) AS m FROM me GROUP BY d)
+WHERE m >= 2 ORDER BY d
+"""
+
+# r6c: ENCODE_FOR_URI over the mention IRI's path remainder — the
+# source/norm charset is [a-z0-9_/], so the only encoded byte is the
+# path '/' (%2F); underscores and alphanumerics are unreserved in both
+# engines.
+SPARQL_ENCODE_SQL = f"""
+{_KG_CTES},
+me AS (SELECT DISTINCT '{G.DOC_IRI_PREFIX}' || doc_id AS d, mention_iri
+       FROM mentions)
+SELECT d, replace(substr(mention_iri, {len(G.MENTION_IRI_PREFIX) + 1}),
+                  '/', '%2F') AS enc
+FROM me ORDER BY d, enc
+"""
+
+# r6c: term-constructor BINDs — the filters are tautologies over the
+# constructed carriers, so the result is exactly the per-entity
+# (label, score) attribute pair with the score's lexical form.
+SPARQL_TERM_CTORS_SQL = f"""
+{_KG_CTES}
+SELECT entity_id AS e, label AS lab, CAST(score AS VARCHAR) AS score2
+FROM attrs ORDER BY e
+"""

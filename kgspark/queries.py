@@ -2727,3 +2727,86 @@ def kg_sparql_describe(spark, sf_dir):
                             FILTER(xsd:integer(?n) >= 3) }
         """,
     )
+
+
+def kg_sparql_isnumeric(spark, sf_dir):
+    """Round-6c: isNumeric() over the full-term model — true only for
+    objects whose hidden __dt_ carrier holds a numeric xsd datatype
+    (the proxy ex:score literals, grammar.DT_INTEGER), never for plain
+    literals or IRIs with numeric-looking lexical forms."""
+    from .sparql import sparql_select
+
+    t = kg_triples_full(spark, sf_dir)
+    return sparql_select(
+        t,
+        """
+        SELECT ?p (COUNT(*) AS ?n)
+        WHERE { ?s ?p ?o . FILTER(ISNUMERIC(?o)) }
+        GROUP BY ?p ORDER BY ?p
+        """,
+    )
+
+
+def kg_sparql_sameterm(spark, sf_dir):
+    """Round-6c: sameTerm() — RDF-term identity (lexical + language
+    tag + datatype, riding the hidden carriers of both object
+    bindings).  Counts ordered co-mention pairs per document: the
+    self-join of ex:mentions edges minus the diagonal, i.e.
+    m·(m−1) for a document with m distinct mentions."""
+    from .sparql import sparql_select
+
+    t = kg_triples_full(spark, sf_dir)
+    return sparql_select(
+        t,
+        """
+        SELECT ?d (COUNT(*) AS ?np)
+        WHERE { ?d ex:mentions ?a . ?d ex:mentions ?b .
+                FILTER(!SAMETERM(?a, ?b)) }
+        GROUP BY ?d ORDER BY ?d
+        """,
+    )
+
+
+def kg_sparql_encode(spark, sf_dir):
+    """Round-6c: ENCODE_FOR_URI over chained BINDs — the mention IRI's
+    path remainder (STRAFTER of its STR form) percent-encoded; the
+    '/' between source and normalized text becomes %2F.  Later BINDs
+    reference earlier BIND targets (sequential withColumn order)."""
+    from .sparql import sparql_select
+
+    t = kg_triples_full(spark, sf_dir)
+    return sparql_select(
+        t,
+        """
+        SELECT ?d ?enc WHERE {
+          ?d ex:mentions ?m .
+          BIND(STR(?m) AS ?ms)
+          BIND(STRAFTER(?ms, "ex://") AS ?tail)
+          BIND(ENCODE_FOR_URI(?tail) AS ?enc)
+        }
+        """,
+    )
+
+
+def kg_sparql_term_ctors(spark, sf_dir):
+    """Round-6c: term-constructor BINDs — STRLANG/STRDT/IRI mint a new
+    literal/IRI binding WITH hidden __lang_/__dt_/__kind_ carriers, so
+    the downstream LANG()/DATATYPE()/isIRI()/isNumeric() filters
+    observe the constructed term, not just its lexical value."""
+    from .sparql import sparql_select
+
+    t = kg_triples_full(spark, sf_dir)
+    return sparql_select(
+        t,
+        """
+        SELECT ?e ?lab ?score2 WHERE {
+          ?e rdfs:label ?l . ?e ex:score ?sc .
+          BIND(STRLANG(STR(?l), "x-kg") AS ?lab)
+          BIND(STRDT(STR(?sc), xsd:integer) AS ?score2)
+          BIND(IRI(STR(?e)) AS ?ei)
+          FILTER(LANGMATCHES(LANG(?lab), "x-kg") && ISLITERAL(?lab)
+                 && DATATYPE(?score2) = "xsd:integer"
+                 && ISNUMERIC(?score2) && ISIRI(?ei))
+        }
+        """,
+    )

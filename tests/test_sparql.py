@@ -1264,3 +1264,93 @@ def test_construct_where_shorthand(tri):
     assert ("ex:a", "ex:score", "7") in _rows(out2)
     with pytest.raises(ValueError, match="paths"):
         sparql_construct(tri, "CONSTRUCT WHERE { ?x ex:next+ ?y }")
+
+
+# round-6c: isNumeric / sameTerm / ENCODE_FOR_URI / term constructors
+
+
+@pytest.fixture()
+def trin(spark):
+    # numeric-typed vs numeric-looking: only the xsd:integer object is
+    # isNumeric; the plain "7" literal and the IRI are not
+    rows = [
+        ("ex:a", "ex:score", "7", "literal", "", "xsd:integer"),
+        ("ex:b", "ex:score", "7", "literal", "", ""),
+        ("ex:a", "ex:name", "Alice", "literal", "en", ""),
+        ("ex:a", "ex:alias", "Alice", "literal", "fr", ""),
+        ("ex:a", "ex:knows", "ex:b", "iri", "", ""),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, o_lang string,"
+        " o_datatype string",
+    )
+
+
+def test_isnumeric(trin):
+    out = sparql_select(
+        trin, "SELECT ?s ?o WHERE { ?s ex:score ?o FILTER(isNumeric(?o)) }"
+    )
+    assert _rows(out) == {("ex:a", "7")}
+
+
+def test_sameterm_distinguishes_lang_tags(trin):
+    # "Alice"@en vs "Alice"@fr: equal lexical forms, different terms —
+    # plain '=' matches, sameTerm does not
+    eq = sparql_select(
+        trin,
+        "SELECT ?s WHERE { ?s ex:name ?n . ?s ex:alias ?a "
+        "FILTER(?n = ?a) }",
+    )
+    assert _rows(eq) == {("ex:a",)}
+    st = sparql_select(
+        trin,
+        "SELECT ?s WHERE { ?s ex:name ?n . ?s ex:alias ?a "
+        "FILTER(SAMETERM(?n, ?a)) }",
+    )
+    assert _rows(st) == set()
+
+
+def test_encode_for_uri(trin):
+    out = sparql_select(
+        trin,
+        'SELECT ?enc WHERE { ex:a ex:name ?n . '
+        'BIND(CONCAT(?n, " b/c") AS ?t) '
+        'BIND(ENCODE_FOR_URI(?t) AS ?enc) }',
+    )
+    assert _rows(out) == {("Alice%20b%2Fc",)}
+
+
+def test_term_ctor_strlang(trin):
+    out = sparql_select(
+        trin,
+        'SELECT ?s ?lab WHERE { ?s ex:knows ?o . '
+        'BIND(STRLANG("tagged", "x-t") AS ?lab) '
+        'FILTER(LANGMATCHES(LANG(?lab), "x-t") && isLiteral(?lab)) }',
+    )
+    assert _rows(out) == {("ex:a", "tagged")}
+
+
+def test_term_ctor_strdt_and_iri(trin):
+    out = sparql_select(
+        trin,
+        "SELECT ?s ?v WHERE { ?s ex:score ?o . FILTER(isNumeric(?o)) "
+        "BIND(STRDT(STR(?o), xsd:integer) AS ?v) "
+        'FILTER(DATATYPE(?v) = "xsd:integer" && isNumeric(?v)) }',
+    )
+    assert _rows(out) == {("ex:a", "7")}
+    out2 = sparql_select(
+        trin,
+        "SELECT ?mi WHERE { ?s ex:knows ?o . BIND(STR(?o) AS ?os) "
+        "BIND(IRI(?os) AS ?mi) FILTER(isIRI(?mi)) }",
+    )
+    assert _rows(out2) == {("ex:b",)}
+
+
+def test_term_ctor_rejects_complex_arg(trin):
+    with pytest.raises(ValueError, match="STRLANG argument"):
+        sparql_select(
+            trin,
+            'SELECT ?v WHERE { ?s ex:name ?n . '
+            'BIND(STRLANG(CONCAT(?n, "x"), "en") AS ?v) }',
+        )
