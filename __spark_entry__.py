@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_coverage": Q.dedup_ngram_coverage,     # dup-shingle fraction (r6)
         "rdf_turtle_bnode_roundtrip": Q.rdf_turtle_bnode_roundtrip,  # [ ] / ( ) forms (r6)
         "entity_link_prediction": Q.entity_link_prediction,  # common-neighbor cn>=2 (r6)
+        "entity_link_adamic": Q.entity_link_adamic,  # bitlen AA + e6 Jaccard (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,                      # ordered conversion funnel (r6)
         "heavy_hitters_cms": Q.heavy_hitters_cms,            # count-min sketch top-k (r6)
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_coverage": OS.DEDUP_NGRAM_COVERAGE_SQL,
         "rdf_turtle_bnode_roundtrip": OS.RDF_TURTLE_BNODE_SQL,
         "entity_link_prediction": OS.ENTITY_LINK_PRED_SQL,
+        "entity_link_adamic": OS.ENTITY_LINK_ADAMIC_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,

@@ -2680,3 +2680,47 @@ SPARQL_TERM_CTORS_SQL = f"""
 SELECT entity_id AS e, label AS lab, CAST(score AS VARCHAR) AS score2
 FROM attrs ORDER BY e
 """
+
+
+# r6c: Adamic-Adar + Jaccard link prediction — identical wedge
+# enumeration to ENTITY_LINK_PRED_SQL with the bitlen-quantized
+# inverse-log hinge weight (1e6 DIV bitlen(deg)) and an e6 Jaccard on
+# full endpoint degrees; sums CAST to BIGINT (HUGEINT trap).
+ENTITY_LINK_ADAMIC_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+bi_all AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL
+  SELECT entity_b AS src, entity_a AS dst FROM coocc
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM bi_all GROUP BY src),
+bi2 AS MATERIALIZED (
+  SELECT b.src, b.dst,
+         CAST(1000000 // length(bin(d.deg)) AS BIGINT) AS w
+  FROM bi_all b JOIN deg d USING (src)
+  WHERE d.deg <= 64
+),
+aa_cand AS (
+  SELECT w1.dst AS a, w2.dst AS b, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(w1.w) AS BIGINT) AS aa
+  FROM bi2 w1 JOIN bi2 w2 ON w2.src = w1.src AND w1.dst < w2.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT c.a AS entity_a, c.b AS entity_b, c.cn, c.aa,
+       CAST((1000000 * c.cn) // (da.deg + db.deg - c.cn) AS BIGINT) AS jac_e6
+FROM aa_cand c
+JOIN deg da ON da.src = c.a
+JOIN deg db ON db.src = c.b
+LEFT JOIN coocc e ON e.entity_a = c.a AND e.entity_b = c.b
+WHERE e.entity_a IS NULL
+"""

@@ -2810,3 +2810,67 @@ def kg_sparql_term_ctors(spark, sf_dir):
         }
         """,
     )
+
+
+def entity_link_adamic(spark, sf_dir):
+    """Round-6c: Adamic-Adar + Jaccard link prediction, INTEGER-exact.
+    The common-neighbor wedge enumeration of entity_link_prediction,
+    reweighted by hinge informativeness: w(z) = 1_000_000 DIV
+    bitlen(deg(z)) — the log2-quantized inverse-log weight (the float
+    1/ln(deg) flaps across engines; bitlen is bit-identical), summed
+    exactly in int64.  jac_e6 = 1e6·cn DIV (deg(a)+deg(b)−cn) with
+    full (uncapped) endpoint degrees.  Hub hinges (degree > 64) are
+    excluded from wedge enumeration — the same O(V·cap²) web-scale
+    guard, so cn/aa are exact on the hub-capped wedge graph while the
+    Jaccard denominator keeps true degrees (documented estimator)."""
+    HINGE_CAP = 64
+    pairs = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .select("entity_a", "entity_b")
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ek = edges.join(deg, "src").filter(F.col("deg") <= HINGE_CAP)
+    w1 = ek.select(
+        F.col("src").alias("hinge"),
+        F.col("dst").alias("a"),
+        F.expr("CAST(1000000 DIV length(bin(deg)) AS BIGINT)").alias("w"),
+    )
+    w2 = ek.select(F.col("src").alias("hinge"), F.col("dst").alias("b"))
+    cand = (
+        w1.join(w2, "hinge")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum("w").cast("bigint").alias("aa"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    dega = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    degb = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        cand.join(dega, "a")
+        .join(degb, "b")
+        .withColumn(
+            "jac_e6",
+            F.expr("CAST((1000000 * cn) DIV (deg_a + deg_b - cn) AS BIGINT)"),
+        )
+    )
+    return (
+        scored.join(
+            pairs,
+            (scored["a"] == pairs["entity_a"]) & (scored["b"] == pairs["entity_b"]),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("entity_a"),
+            F.col("b").alias("entity_b"),
+            "cn", "aa", "jac_e6",
+        )
+    )

@@ -532,3 +532,34 @@ def test_sparql_ask_describe(spark, sf_dir):
     d = Q.kg_sparql_describe(spark, sf_dir)
     assert d.columns == ["s", "p", "o"]
     assert "CartesianProduct" not in _plan(d)
+
+
+def test_link_adamic_plan_and_weights(spark, sf_dir):
+    p = _plan(Q.entity_link_adamic(spark, sf_dir))
+    for bad in ["CartesianProduct", "BroadcastNestedLoopJoin"]:
+        assert bad not in p
+
+
+def test_link_adamic_values(spark, tmp_path):
+    # bipartite graph a-z1, a-z2, a-z3, b-z1, b-z2 (deg: a=3, b=2,
+    # z1=z2=2, z3=1): pair (a,b) via hinges z1,z2 → cn=2,
+    # w(z)=1e6 DIV bitlen(2)=500000 each → aa=1000000,
+    # jac_e6 = 2e6 DIV (3+2-2) = 666666; the mirror pair (z1,z2) via
+    # hinges a,b → w(a)=1e6 DIV bitlen(3)=500000 too, jac denominator
+    # 2+2-2 → 1000000
+    import pandas as pd
+
+    docs = pd.DataFrame({"entity_a": ["a", "a", "a"],
+                         "entity_b": ["z1", "z2", "z3"]})
+    more = pd.DataFrame({"entity_a": ["b", "b"], "entity_b": ["z1", "z2"]})
+    coocc = pd.concat([docs, more], ignore_index=True)
+    import kgspark.queries as QQ
+    from unittest import mock
+
+    cdf = spark.createDataFrame(coocc)
+    with mock.patch.object(QQ, "kg_entity_cooccurrence",
+                           lambda s, d: cdf):
+        out = {tuple(r) for r in
+               QQ.entity_link_adamic(spark, "unused").collect()}
+    assert out == {("a", "b", 2, 1000000, 666666),
+                   ("z1", "z2", 2, 1000000, 1000000)}
