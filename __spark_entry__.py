@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": Q.doc_simhash,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "dedup_containment": Q.dedup_containment,  # asymmetric C>=0.8 (r6c)
         "embedding_neardup": Q.embedding_neardup,
         "embedding_neardup_trained": Q.embedding_neardup_trained,  # Lloyd-assigned cells
         "ann_topk": Q.ann_topk,                             # brute-force ANN
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_simhash": OS.DOC_SIMHASH_SQL,
             "dedup_simhash_pairs": OS.SIMHASH_PAIRS_SQL,
             "ngram_jaccard_pairs": OS.NGRAM_JACCARD_SQL,
+            "dedup_containment": OS.DEDUP_CONTAINMENT_SQL,
             "embedding_neardup": OS.EMBEDDING_NEARDUP_SQL,
             "embedding_neardup_trained": OS.EMBEDDING_NEARDUP_TRAINED_SQL,
             "ann_topk": OS.ANN_TOPK_SQL,

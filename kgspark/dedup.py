@@ -660,3 +660,112 @@ def para_minhash_pairs(
             "jaccard",
         )
     )
+
+
+def containment_pairs(
+    items: DataFrame,
+    id_col: str,
+    set_col: str,
+    tau_e6: int = 800_000,
+    block_cap: int | None = 1_000_000,
+    salt: int = 8,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT self-join: all (id_a < id_b) pairs where
+    the SMALLER set is ≥ tau_e6/1e6 contained in the larger —
+    C = |A∩B| / min(|A|,|B|), the asymmetric near-dup metric that
+    catches a short document embedded verbatim inside a long one
+    (Jaccard misses it: a 50-shingle doc inside a 5000-shingle doc has
+    J ≈ 0.01 but C = 1).  Same slim count-based inverted index and
+    hybrid hot-code salting as setsim_pairs, with one structural
+    difference: containment admits NO length-ratio prune (any small
+    set may be contained in any large one), so the candidate space is
+    all code-sharing pairs — bounded by ``block_cap`` on code document
+    frequency, the standard web-scale guard.  The score is INTEGER
+    e6 (1e6·|∩| DIV min len): bit-identical across engines.
+    """
+    coded = items.select(
+        F.col(id_col).alias("_id"), F.array_sort(set_col).alias("codes")
+    ).withColumn("len", F.size("codes"))
+    groups = (
+        coded.groupBy("codes", "len")
+        .agg(F.collect_list("_id").alias("members"), F.min("_id").alias("gid"))
+        .localCheckpoint(eager=False)
+    )
+
+    intra = (
+        groups.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+            F.lit(1_000_000).cast("bigint").alias("cont_e6"),
+        )
+    )
+
+    inv = groups.select("gid", "len", F.explode("codes").alias("tok"))
+    inv = inv.withColumn("_df", F.count("*").over(Window.partitionBy("tok")))
+    if block_cap is not None:
+        inv = inv.filter(F.col("_df") <= block_cap)
+    hot_threshold = salt * 64
+    pair_filter = F.col("a.gid") < F.col("b.gid")
+
+    def project(joined):
+        return joined.select(
+            F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"),
+            F.col("a.len").alias("len_a"), F.col("b.len").alias("len_b"),
+        )
+
+    cold = inv.filter(F.col("_df") <= hot_threshold).drop("_df")
+    joined = project(
+        cold.alias("a").join(
+            cold.alias("b"), (F.col("a.tok") == F.col("b.tok")) & pair_filter
+        )
+    )
+    hot = inv.filter(F.col("_df") > hot_threshold).drop("_df")
+    skey = F.pmod(F.xxhash64("gid"), F.lit(salt))
+    a = (
+        hot.withColumn("sa", skey)
+        .withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .alias("a")
+    )
+    b = (
+        hot.withColumn("sb", skey)
+        .withColumn("sa", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .alias("b")
+    )
+    joined_hot = project(
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sa") == F.col("b.sa"))
+            & (F.col("a.sb") == F.col("b.sb"))
+            & pair_filter,
+        )
+    )
+    gid_pairs = (
+        joined.unionByName(joined_hot)
+        .groupBy("gid_a", "gid_b", "len_a", "len_b")
+        .agg(F.count("*").alias("shared"))
+        .withColumn(
+            "cont_e6",
+            F.expr(
+                "CAST(1000000 * shared AS BIGINT) DIV least(len_a, len_b)"
+            ),
+        )
+        .filter(F.col("cont_e6") >= tau_e6)
+        .select("gid_a", "gid_b", "cont_e6")
+    )
+    ga = groups.select(F.col("gid").alias("gid_a"), F.col("members").alias("members_a"))
+    gb = groups.select(F.col("gid").alias("gid_b"), F.col("members").alias("members_b"))
+    cross = (
+        gid_pairs.join(ga, "gid_a")
+        .join(gb, "gid_b")
+        .select("cont_e6", F.explode("members_a").alias("a"), "members_b")
+        .select("cont_e6", "a", F.explode("members_b").alias("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("id_a"),
+            F.greatest(F.col("a"), F.col("b")).alias("id_b"),
+            "cont_e6",
+        )
+    )
+    return intra.unionByName(cross)

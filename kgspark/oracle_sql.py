@@ -2724,3 +2724,20 @@ JOIN deg db ON db.src = c.b
 LEFT JOIN coocc e ON e.entity_a = c.a AND e.entity_b = c.b
 WHERE e.entity_a IS NULL
 """
+
+
+# r6c: containment near-dup — C = |∩| / min(|A|,|B|) on the distinct
+# shingle sets, integer e6 (1e6·|∩| // min len; shingle sets are never
+# empty — the index sequence is tail-padded to ≥ 1).
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+cont AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(1000000 * len(list_intersect(a.shingles, b.shingles))
+              AS BIGINT)
+           // least(len(a.shingles), len(b.shingles)) AS cont_e6
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(cont_e6 AS BIGINT) AS cont_e6
+FROM cont WHERE cont_e6 >= 800000
+"""

@@ -2874,3 +2874,17 @@ def entity_link_adamic(spark, sf_dir):
             "cn", "aa", "jac_e6",
         )
     )
+
+
+def dedup_containment(spark, sf_dir):
+    """Round-6c: asymmetric containment near-dup — pairs where the
+    smaller 3-gram shingle set is ≥ 80 % contained in the larger
+    (dedup.containment_pairs): catches short-inside-long verbatim
+    embeddings that symmetric Jaccard misses.  Integer-e6 score."""
+    from . import dedup as D
+
+    sh = D.with_shingles(_t(spark, sf_dir, "documents"))
+    pairs = D.containment_pairs(sh, "doc_id", "shingles")
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cont_e6"
+    )

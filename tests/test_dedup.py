@@ -240,3 +240,54 @@ def test_para_dedup_detects_planted_boilerplate(spark):
     p = pairs[0]
     assert (p["doc_a"], p["para_a"], p["doc_b"], p["para_b"]) == (1, 0, 2, 1)
     assert p["jaccard"] == 1.0
+
+
+def test_containment_short_inside_long(spark):
+    """A 5-token doc whose text is a verbatim prefix of a 40-token doc:
+    every shingle of the short doc appears in the long one → C = 1e6,
+    while Jaccard is far below any useful threshold (the case the
+    symmetric metric misses)."""
+    from kgspark.dedup import containment_pairs, with_shingles
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"tok{i}" for i in range(35))
+    docs = spark.createDataFrame(
+        [(1, short, "en", "s"), (2, long_, "en", "s"),
+         (3, "zeta eta theta iota kappa", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cont_e6"]
+        for r in containment_pairs(
+            with_shingles(docs, repartition=False), "doc_id", "shingles"
+        ).collect()
+    }
+    assert out.get((1, 2)) == 1_000_000
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_containment_identical_sets_and_threshold(spark):
+    from kgspark.dedup import containment_pairs, with_shingles
+
+    t = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, t, "en", "s"), (2, t, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = containment_pairs(
+        with_shingles(docs, repartition=False), "doc_id", "shingles"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["cont_e6"]) for r in out] == [
+        (1, 2, 1_000_000)
+    ]
+
+
+def test_containment_plan_no_cartesian(spark, sf_dir):
+    from kgspark.dedup import containment_pairs, with_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = containment_pairs(with_shingles(docs), "doc_id", "shingles")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p  # hybrid hot/cold paths union before the count
