@@ -171,7 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_xml_roundtrip": Q.rdf_xml_roundtrip,
         "rdf_jsonld_roundtrip": Q.rdf_jsonld_roundtrip,
         "rdf_jsonld_expanded_roundtrip": Q.rdf_jsonld_expanded_roundtrip,  # expanded profile (r5)
-        "rdf_jsonld_compacted_roundtrip": Q.rdf_jsonld_compacted_roundtrip,  # @context profile (r6)
+        "rdf_jsonld_compacted_roundtrip": Q.rdf_jsonld_compacted_roundtrip,
+        "rdf_jsonld_list_roundtrip": Q.rdf_jsonld_list_roundtrip,  # @list chains + unroll (r6c)
         "xml_transform": Q.xml_transform,           # O12 XSLT-analogue
         "kg_predicate_counts": Q.kg_predicate_counts,
         # graph-carrying quad round-trips (O11 N-Quads/TriG, r3)
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
             "rdf_jsonld_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_jsonld_expanded_roundtrip": OS.TRIPLES_FULL_SQL,
             "rdf_jsonld_compacted_roundtrip": OS.TRIPLES_FULL_SQL,
+            "rdf_jsonld_list_roundtrip": OS.JSONLD_LIST_SQL,
             "xml_transform": OS.XML_TRANSFORM_SQL,
             "kg_predicate_counts": OS.PREDICATE_COUNTS_SQL,
             # quad round-trips reproduce the independent QUAD oracle

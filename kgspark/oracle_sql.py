@@ -2741,3 +2741,23 @@ cont AS (
 SELECT doc_a, doc_b, CAST(cont_e6 AS BIGINT) AS cont_e6
 FROM cont WHERE cont_e6 >= 800000
 """
+
+
+# r6c: JSON-LD @list roundtrip — positional rows straight from the
+# nation table (pos = per-region rank by nationkey), names as plain
+# literals, keys as xsd:integer-typed lexical forms.
+JSONLD_LIST_SQL = """
+WITH ranked AS (
+  SELECT n_regionkey, n_nationkey, n_name,
+         CAST(row_number() OVER (PARTITION BY n_regionkey
+                                 ORDER BY n_nationkey) - 1 AS INT) AS pos
+  FROM nation
+)
+SELECT 'ex:region' || n_regionkey AS s, 'ex:natnames' AS p, pos,
+       n_name AS o, '' AS o_datatype
+FROM ranked
+UNION ALL
+SELECT 'ex:region' || n_regionkey, 'ex:natkeys', pos,
+       CAST(n_nationkey AS VARCHAR), 'xsd:integer'
+FROM ranked
+"""

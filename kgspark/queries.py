@@ -2888,3 +2888,46 @@ def dedup_containment(spark, sf_dir):
     return pairs.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cont_e6"
     )
+
+
+def rdf_jsonld_list_roundtrip(spark, sf_dir):
+    """Round-6c: JSON-LD ordered collections, label-free roundtrip —
+    one compacted document per region carrying the region's nations
+    twice: an inline {"@list": […]} of name strings and an
+    @list-container term of integer keys.  parse_jsonld_compacted
+    builds the rdf:first/rdf:rest chains over document-scoped blank
+    nodes; rdfio.unroll_lists walks them back into positional rows, so
+    the contract compares (s, p, pos, o, o_datatype) with no blank
+    label ever surfacing."""
+    from . import rdfio
+
+    nat = _t(spark, sf_dir, "nation")
+    per_region = nat.groupBy("n_regionkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("n_nationkey", "n_name"))
+        ).alias("ns")
+    )
+    names = F.concat_ws(
+        ",", F.transform("ns", lambda x: F.concat(F.lit('"'), x["n_name"], F.lit('"')))
+    )
+    keys = F.concat_ws(
+        ",", F.transform("ns", lambda x: x["n_nationkey"].cast("string"))
+    )
+    docs = per_region.select(
+        F.concat(
+            F.lit('{"@context": {"ex": "http://example.org/kg#",'
+                  ' "natkeys": {"@id": "http://example.org/kg#natkeys",'
+                  ' "@container": "@list"}},'
+                  ' "@id": "ex:region'),
+            F.col("n_regionkey").cast("string"),
+            F.lit('", "ex:natnames": {"@list": ['),
+            names,
+            F.lit(']}, "natkeys": ['),
+            keys,
+            F.lit("]}"),
+        ).alias("text")
+    )
+    parsed = rdfio.parse_jsonld_compacted(docs, scope_bnodes=True)
+    return rdfio.unroll_lists(parsed).select(
+        "s", "p", "pos", "o", "o_datatype"
+    )

@@ -1191,7 +1191,9 @@ def parse_turtle_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # --- JSON-LD expanded-document profile (round-5) -----------------------------
 
-def _jsonld_expanded_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
+def _jsonld_expanded_triples(
+    text: str, bnode_scope: str = ""
+) -> list[tuple[str, str, str, str, str, str]]:
     """One JSON-LD document in EXPANDED form (array of node objects;
     values are arrays of {"@value"|"@id", "@language", "@type"} value
     objects; nested node objects allowed) → statement list.  Nodes
@@ -1214,7 +1216,7 @@ def _jsonld_expanded_triples(text: str) -> list[tuple[str, str, str, str, str, s
         nid = obj.get("@id")
         if nid is None:
             counter[0] += 1
-            return f"_:b{counter[0]}"
+            return f"_:{bnode_scope}b{counter[0]}"
         if not isinstance(nid, str):
             raise ValueError(f"JSON-LD parse error: bad @id {nid!r}")
         return _compact_iri(nid)
@@ -1243,36 +1245,80 @@ def _jsonld_expanded_triples(text: str) -> list[tuple[str, str, str, str, str, s
                         "JSON-LD parse error: expanded form requires value "
                         f"objects, got {v!r}"
                     )
-                if "@value" in v:
-                    value = v["@value"]
-                    lang = v.get("@language", "") or ""
-                    dtype = _compact_iri(v.get("@type", "") or "")
-                    if isinstance(value, bool):
-                        value, dtype = ("true" if value else "false"), dtype or "xsd:boolean"
-                    elif isinstance(value, int):
-                        value, dtype = str(value), dtype or "xsd:integer"
-                    elif isinstance(value, float):
-                        value, dtype = repr(value), dtype or "xsd:double"
-                    elif not isinstance(value, str):
-                        raise ValueError(f"JSON-LD parse error: bad @value {value!r}")
-                    out.append((s, p, value, "literal", lang, dtype))
-                elif set(v.keys()) <= {"@id"}:
-                    out.append((s, p, _compact_iri(v["@id"]), "iri", "", ""))
+                if set(v.keys()) == {"@list"}:
+                    # RDF collection: rdf:first/rdf:rest chain over
+                    # document-scoped blank nodes (the same shape the
+                    # Turtle ( … ) collection parser emits); an empty
+                    # @list is the rdf:nil IRI itself
+                    out.append((s, p, make_list(v["@list"]), "iri", "", ""))
                 else:
-                    # nested node object: link to it, then recurse
-                    child = walk(v)
-                    out.append((s, p, child, "iri", "", ""))
+                    out.append((s, p) + term_of(v))
         return s
+
+    def term_of(v: dict) -> tuple[str, str, str, str]:
+        """One expanded value object → (o, o_kind, o_lang, o_datatype);
+        nested node objects recurse through walk."""
+        if "@value" in v:
+            value = v["@value"]
+            lang = v.get("@language", "") or ""
+            dtype = _compact_iri(v.get("@type", "") or "")
+            if isinstance(value, bool):
+                value, dtype = ("true" if value else "false"), dtype or "xsd:boolean"
+            elif isinstance(value, int):
+                value, dtype = str(value), dtype or "xsd:integer"
+            elif isinstance(value, float):
+                value, dtype = repr(value), dtype or "xsd:double"
+            elif not isinstance(value, str):
+                raise ValueError(f"JSON-LD parse error: bad @value {value!r}")
+            return (value, "literal", lang, dtype)
+        if set(v.keys()) <= {"@id"}:
+            return (_compact_iri(v["@id"]), "iri", "", "")
+        # nested node object: link to it, then recurse
+        return (walk(v), "iri", "", "")
+
+    def make_list(items) -> str:
+        """@list array → head term of an rdf:first/rdf:rest chain."""
+        if not isinstance(items, list):
+            raise ValueError("JSON-LD parse error: @list must be an array")
+        if not items:
+            return "rdf:nil"
+        ids = []
+        for _ in items:
+            counter[0] += 1
+            ids.append(f"_:{bnode_scope}b{counter[0]}")
+        for i, (bid, it) in enumerate(zip(ids, items)):
+            if not isinstance(it, dict):
+                raise ValueError(
+                    f"JSON-LD parse error: @list element must be a value "
+                    f"object, got {it!r}"
+                )
+            if set(it.keys()) == {"@list"}:
+                out.append((bid, "rdf:first", make_list(it["@list"]),
+                            "iri", "", ""))
+            else:
+                out.append((bid, "rdf:first") + term_of(it))
+            nxt = ids[i + 1] if i + 1 < len(ids) else "rdf:nil"
+            out.append((bid, "rdf:rest", nxt, "iri", "", ""))
+        return ids[0]
 
     for node in doc:
         walk(node)
     return out
 
 
-def parse_jsonld_expanded(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def parse_jsonld_expanded(
+    docs: DataFrame, text_col: str = "text", scope_bnodes: bool = False
+) -> DataFrame:
     """JSON-LD EXPANDED-document parser (beyond the NDJSON line
     profile): one whole document per input row, mapInPandas kernel,
-    malformed documents dropped (quarantine policy)."""
+    malformed documents dropped (quarantine policy).
+
+    ``scope_bnodes`` prefixes every minted blank label with a
+    content-hash of its document — REQUIRED whenever the frame holds
+    multiple documents whose blank nodes will be traversed (chains /
+    property lists): per-document counters otherwise collide across
+    rows and tangle unrelated chains.  Off by default (single-document
+    and label-erased contracts keep the short ``_:bN`` labels)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
@@ -1280,7 +1326,9 @@ def parse_jsonld_expanded(docs: DataFrame, text_col: str = "text") -> DataFrame:
             rows: list[tuple] = []
             for text in pdf[text_col].astype("string"):
                 try:
-                    rows.extend(_jsonld_expanded_triples(text or ""))
+                    rows.extend(_jsonld_expanded_triples(
+                        text or "", _bnode_scope_of(text) if scope_bnodes else ""
+                    ))
                 except ValueError:
                     continue
             if rows:
@@ -1289,21 +1337,34 @@ def parse_jsonld_expanded(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.mapInPandas(kernel, schema=PARSED_DDL)
 
 
+def _bnode_scope_of(text) -> str:
+    """Deterministic, partition-invariant per-document blank-node
+    scope: a short content hash (identical documents share a scope —
+    they also share their triple set, so the collision is harmless)."""
+    import hashlib
+
+    return "d" + hashlib.md5((text or "").encode()).hexdigest()[:10] + "_"
+
+
 # --- JSON-LD compacted profile (round 6) -------------------------------------
-def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, str]]:
+def _jsonld_compacted_triples(
+    text: str, bnode_scope: str = ""
+) -> list[tuple[str, str, str, str, str, str]]:
     """One JSON-LD document in COMPACTED form → statement list.
 
     Supported @context subset (the shapes real-world compacted JSON-LD
     overwhelmingly uses): inline object (or array of objects, merged),
     prefix maps ("ex": "http://…#"), term definitions ("name":
     "http://…" or {"@id": …, "@type": "@id"|datatype, "@language": …,
-    "@container": "@set"}), "@vocab" for bare property/type terms and
-    "@base" for relative @id resolution.  Nodes: top-level object, its
-    "@graph" array, plain-scalar values (coerced through the term
-    definition), value objects, {"@id"} references, nested node
-    objects, arrays of any of these.  Remote (string/URL) contexts,
-    @reverse, @list and scoped contexts raise ValueError — the
-    quarantine path, never a crash."""
+    "@container": "@set"|"@list"}), "@vocab" for bare property/type
+    terms and "@base" for relative @id resolution.  Nodes: top-level
+    object, its "@graph" array, plain-scalar values (coerced through
+    the term definition), value objects, {"@id"} references, nested
+    node objects, arrays of any of these; ordered collections via an
+    inline {"@list": […]} or an @list-container term become
+    rdf:first/rdf:rest chains over document-scoped blank nodes (round
+    6c).  Remote (string/URL) contexts, @reverse and scoped contexts
+    raise ValueError — the quarantine path, never a crash."""
     import json
 
     try:
@@ -1337,8 +1398,8 @@ def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, 
             bad = set(v) - {"@id", "@type", "@language", "@container"}
             if bad:
                 raise ValueError(f"unsupported term-definition keys {bad}")
-            if v.get("@container") not in (None, "@set"):
-                raise ValueError("only @set containers supported")
+            if v.get("@container") not in (None, "@set", "@list"):
+                raise ValueError("only @set/@list containers supported")
             terms[k] = v
         else:
             raise ValueError(f"bad @context entry for {k!r}")
@@ -1374,11 +1435,17 @@ def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, 
         nid = obj.get("@id")
         if nid is None:
             counter[0] += 1
-            return f"_:b{counter[0]}"
+            return f"_:{bnode_scope}b{counter[0]}"
         return _compact_iri(expand_iri(nid, as_vocab=False))
 
-    def emit_value(s: str, p: str, v, tdef: dict) -> None:
+    def term_of(v, tdef: dict) -> tuple[str, str, str, str]:
+        """One compacted value → (o, o_kind, o_lang, o_datatype);
+        scalars coerce through the term definition, nested node
+        objects recurse through walk, inline {"@list": …} builds an
+        rdf:first/rdf:rest chain and returns its head."""
         if isinstance(v, dict):
+            if set(v.keys()) == {"@list"}:
+                return (make_list(v["@list"], tdef), "iri", "", "")
             if "@value" in v:
                 value = v["@value"]
                 lang = v.get("@language", "") or ""
@@ -1392,33 +1459,45 @@ def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, 
                     value, dt = repr(value), dt or "xsd:double"
                 elif not isinstance(value, str):
                     raise ValueError(f"bad @value {value!r}")
-                out.append((s, p, value, "literal", lang, dt))
-            elif set(v.keys()) <= {"@id"}:
-                out.append(
-                    (s, p, _compact_iri(expand_iri(v["@id"], False)),
-                     "iri", "", "")
-                )
-            else:
-                out.append((s, p, walk(v), "iri", "", ""))
-        elif isinstance(v, bool):
-            out.append((s, p, "true" if v else "false",
-                        "literal", "", "xsd:boolean"))
-        elif isinstance(v, int):
-            out.append((s, p, str(v), "literal", "", "xsd:integer"))
-        elif isinstance(v, float):
-            out.append((s, p, repr(v), "literal", "", "xsd:double"))
-        elif isinstance(v, str):
+                return (value, "literal", lang, dt)
+            if set(v.keys()) <= {"@id"}:
+                return (_compact_iri(expand_iri(v["@id"], False)),
+                        "iri", "", "")
+            return (walk(v), "iri", "", "")
+        if isinstance(v, bool):
+            return ("true" if v else "false", "literal", "", "xsd:boolean")
+        if isinstance(v, int):
+            return (str(v), "literal", "", "xsd:integer")
+        if isinstance(v, float):
+            return (repr(v), "literal", "", "xsd:double")
+        if isinstance(v, str):
             if tdef.get("@type") == "@id":
-                out.append(
-                    (s, p, _compact_iri(expand_iri(v, False)), "iri", "", "")
-                )
-            else:
-                dt = tdef.get("@type", "") or ""
-                dt = _compact_iri(expand_iri(dt, True)) if dt else ""
-                lang = "" if dt else (tdef.get("@language", "") or "")
-                out.append((s, p, v, "literal", lang, dt))
-        else:
-            raise ValueError(f"JSON-LD parse error: bad value {v!r}")
+                return (_compact_iri(expand_iri(v, False)), "iri", "", "")
+            dt = tdef.get("@type", "") or ""
+            dt = _compact_iri(expand_iri(dt, True)) if dt else ""
+            lang = "" if dt else (tdef.get("@language", "") or "")
+            return (v, "literal", lang, dt)
+        raise ValueError(f"JSON-LD parse error: bad value {v!r}")
+
+    def make_list(items, tdef: dict) -> str:
+        """list array → head term of an rdf:first/rdf:rest chain over
+        document-scoped blank nodes; [] is rdf:nil."""
+        if not isinstance(items, list):
+            raise ValueError("JSON-LD parse error: @list must be an array")
+        if not items:
+            return "rdf:nil"
+        ids = []
+        for _ in items:
+            counter[0] += 1
+            ids.append(f"_:{bnode_scope}b{counter[0]}")
+        for i, (bid, it) in enumerate(zip(ids, items)):
+            out.append((bid, "rdf:first") + term_of(it, tdef))
+            nxt = ids[i + 1] if i + 1 < len(ids) else "rdf:nil"
+            out.append((bid, "rdf:rest", nxt, "iri", "", ""))
+        return ids[0]
+
+    def emit_value(s: str, p: str, v, tdef: dict) -> None:
+        out.append((s, p) + term_of(v, tdef))
 
     def walk(obj) -> str:
         if not isinstance(obj, dict):
@@ -1438,6 +1517,11 @@ def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, 
                 raise ValueError(f"unsupported keyword {key!r}")
             p = _compact_iri(expand_iri(key, True))
             tdef = terms.get(key, {})
+            if tdef.get("@container") == "@list" and isinstance(val, list):
+                # an @list-container term's array IS one ordered
+                # collection, not a set of values
+                out.append((s, p, make_list(val, tdef), "iri", "", ""))
+                continue
             for v in (val if isinstance(val, list) else [val]):
                 emit_value(s, p, v, tdef)
         return s
@@ -1458,11 +1542,13 @@ def _jsonld_compacted_triples(text: str) -> list[tuple[str, str, str, str, str, 
     return out
 
 
-def parse_jsonld_compacted(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def parse_jsonld_compacted(
+    docs: DataFrame, text_col: str = "text", scope_bnodes: bool = False
+) -> DataFrame:
     """JSON-LD COMPACTED-document parser: one whole document (with its
     inline @context) per input row, mapInPandas kernel, malformed
     documents dropped (quarantine policy — same as the other document
-    parsers)."""
+    parsers).  ``scope_bnodes``: see parse_jsonld_expanded."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["s", "p", "o", "o_kind", "o_lang", "o_datatype"]
@@ -1470,7 +1556,9 @@ def parse_jsonld_compacted(docs: DataFrame, text_col: str = "text") -> DataFrame
             rows: list[tuple] = []
             for text in pdf[text_col].astype("string"):
                 try:
-                    rows.extend(_jsonld_compacted_triples(text or ""))
+                    rows.extend(_jsonld_compacted_triples(
+                        text or "", _bnode_scope_of(text) if scope_bnodes else ""
+                    ))
                 except ValueError:
                     continue
             if rows:
@@ -1568,3 +1656,66 @@ def escape_partition_value(v: str) -> str:
     return "".join(
         f"%{ord(c):02X}" if c in _PARTITION_ESCAPE else c for c in v
     )
+
+
+def unroll_lists(triples: DataFrame, max_len: int = 64) -> DataFrame:
+    """RDF collection REASSEMBLY (round 6c): every rdf:first/rdf:rest
+    chain reachable from a non-list predicate becomes positional rows
+    (s, p, pos, o, o_kind, o_lang, o_datatype) — the label-free view
+    of a list (blank-node chain ids never surface), the inverse of
+    the Turtle ``( … )`` / JSON-LD ``@list`` constructors.
+
+    Iterative frontier walk: attachment edges (any predicate except
+    rdf:first/rdf:rest whose object heads a chain or is rdf:nil) seed
+    pos 0; each round one equi-join against the first/rest frames
+    advances every list in parallel — rounds = longest list, NOT list
+    count, so a corpus of millions of short lists converges in a
+    handful of shuffles.  ``max_len`` bounds the walk (a cycle in
+    malformed data would otherwise never terminate); hitting the bound
+    raises rather than silently truncating."""
+    first = triples.filter(F.col("p") == "rdf:first").select(
+        F.col("s").alias("node"), F.col("o"),
+        "o_kind", "o_lang", "o_datatype",
+    ).localCheckpoint(eager=False)
+    rest = triples.filter(F.col("p") == "rdf:rest").select(
+        F.col("s").alias("node"), F.col("o").alias("nxt")
+    ).localCheckpoint(eager=False)
+
+    list_nodes = first.select("node").distinct()
+    attach = (
+        triples.filter(~F.col("p").isin("rdf:first", "rdf:rest"))
+        .filter(F.col("o_kind") == "iri")
+        .join(list_nodes, F.col("o") == F.col("node"), "left_semi")
+        .select("s", "p", F.col("o").alias("node"))
+    )
+    frontier = attach.withColumn("pos", F.lit(0)).localCheckpoint(eager=False)
+
+    out = None
+    for _ in range(max_len):
+        if frontier.isEmpty():
+            break
+        hop = frontier.join(first, "node")
+        emitted = hop.select(
+            "s", "p", "pos", "o", "o_kind", "o_lang", "o_datatype"
+        )
+        out = emitted if out is None else out.unionByName(emitted)
+        frontier = (
+            frontier.join(rest, "node")
+            .filter(F.col("nxt") != "rdf:nil")
+            .select(
+                "s", "p", F.col("nxt").alias("node"),
+                (F.col("pos") + 1).alias("pos"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        if not frontier.isEmpty():
+            raise ValueError(
+                f"unroll_lists: a chain exceeds max_len={max_len} "
+                "(cycle or oversized collection)"
+            )
+    if out is None:
+        schema = ("s string, p string, pos int, o string, o_kind string,"
+                  " o_lang string, o_datatype string")
+        return triples.sparkSession.createDataFrame([], schema)
+    return out

@@ -579,7 +579,7 @@ def test_jsonld_compacted_rejects_unsupported():
     for bad in [
         '{"@context": "http://remote.example/ctx"}',   # remote context
         '{"@context": {"@import": "x"}}',              # keyword in context
-        '{"@context": {"t": {"@container": "@list"}}}',  # list container
+        '{"@context": {"t": {"@container": "@index"}}}',  # index container
         '{"@context": {}, "@reverse": {}}',            # @reverse node key
         '{"@graph": "notalist"}',
         "[1, 2]",
@@ -668,3 +668,90 @@ def test_turtle_bnode_malformed_value_error():
     ]:
         with _pytest.raises(ValueError):
             T(hdr + bad)
+
+
+# round-6c: JSON-LD @list + collection reassembly
+
+
+def test_jsonld_expanded_list(spark):
+    doc = (
+        '[{"@id": "http://example.org/kg#a",'
+        ' "http://example.org/kg#order":'
+        ' [{"@list": [{"@value": "x"}, {"@value": 2},'
+        '             {"@id": "http://example.org/kg#b"}]}],'
+        ' "http://example.org/kg#empty": [{"@list": []}]}]'
+    )
+    docs = spark.createDataFrame([(doc,)], "text string")
+    got = {tuple(r) for r in rdfio.parse_jsonld_expanded(docs).collect()}
+    assert ("ex:a", "ex:empty", "rdf:nil", "iri", "", "") in got
+    firsts = {r for r in got if r[1] == "rdf:first"}
+    assert {(r[2], r[3], r[5]) for r in firsts} == {
+        ("x", "literal", ""), ("2", "literal", "xsd:integer"),
+        ("ex:b", "iri", ""),
+    }
+    rests = [r for r in got if r[1] == "rdf:rest"]
+    assert len(rests) == 3 and sum(r[2] == "rdf:nil" for r in rests) == 1
+
+
+def test_jsonld_compacted_list_container_and_inline(spark):
+    doc = (
+        '{"@context": {"ex": "http://example.org/kg#",'
+        ' "ks": {"@id": "http://example.org/kg#ks", "@container": "@list"}},'
+        ' "@id": "ex:a", "ks": [1, 2],'
+        ' "ex:names": {"@list": ["u", "v"]}}'
+    )
+    docs = spark.createDataFrame([(doc,)], "text string")
+    parsed = rdfio.parse_jsonld_compacted(docs)
+    out = {
+        (r["s"], r["p"], r["pos"], r["o"], r["o_datatype"])
+        for r in rdfio.unroll_lists(parsed).collect()
+    }
+    assert out == {
+        ("ex:a", "ex:ks", 0, "1", "xsd:integer"),
+        ("ex:a", "ex:ks", 1, "2", "xsd:integer"),
+        ("ex:a", "ex:names", 0, "u", ""),
+        ("ex:a", "ex:names", 1, "v", ""),
+    }
+
+
+def test_jsonld_scope_bnodes_keeps_docs_apart(spark):
+    mk = ('{"@context": {"ex": "http://example.org/kg#"},'
+          ' "@id": "ex:%s", "ex:l": {"@list": ["%s1", "%s2"]}}')
+    docs = spark.createDataFrame(
+        [(mk % ("a", "a", "a"),), (mk % ("b", "b", "b"),)], "text string"
+    )
+    parsed = rdfio.parse_jsonld_compacted(docs, scope_bnodes=True)
+    out = {
+        (r["s"], r["pos"], r["o"])
+        for r in rdfio.unroll_lists(parsed).collect()
+    }
+    assert out == {("ex:a", 0, "a1"), ("ex:a", 1, "a2"),
+                   ("ex:b", 0, "b1"), ("ex:b", 1, "b2")}
+
+
+def test_unroll_lists_cycle_guard(spark):
+    rows = [
+        ("ex:a", "ex:l", "_:c1", "iri", "", ""),
+        ("_:c1", "rdf:first", "x", "literal", "", ""),
+        ("_:c1", "rdf:rest", "_:c2", "iri", "", ""),
+        ("_:c2", "rdf:first", "y", "literal", "", ""),
+        ("_:c2", "rdf:rest", "_:c1", "iri", "", ""),  # cycle
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, o_lang string,"
+        " o_datatype string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_len"):
+        rdfio.unroll_lists(t, max_len=8)
+
+
+def test_unroll_lists_no_lists_is_empty(spark):
+    t = spark.createDataFrame(
+        [("ex:a", "ex:p", "v", "literal", "", "")],
+        "s string, p string, o string, o_kind string, o_lang string,"
+        " o_datatype string",
+    )
+    assert rdfio.unroll_lists(t).count() == 0
