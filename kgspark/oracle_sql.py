@@ -2761,3 +2761,51 @@ SELECT 'ex:region' || n_regionkey, 'ex:natkeys', pos,
        CAST(n_nationkey AS VARCHAR), 'xsd:integer'
 FROM ranked
 """
+
+
+# r6c: multi-round BPE — three unrolled merge rounds; per round the
+# argmax non-self pair (count DESC, lhs, rhs) applies to every symbol
+# list via the same flag/drop/substitute array rewrite as the Spark
+# loop body (lhs ≠ rhs ⇒ matches never overlap ⇒ the simultaneous
+# rewrite is the greedy result).
+def _bpe_round(prev: str, m: str) -> str:
+    return f"""
+  SELECT wf, list_transform(
+      list_filter(generate_series(1, len(cs)),
+        i -> NOT (coalesce(cs[i - 1], '') = {m}.lhs
+                  AND cs[i] = {m}.rhs)),
+      i -> CASE WHEN coalesce(cs[i + 1], '') = {m}.rhs
+                 AND cs[i] = {m}.lhs
+            THEN {m}.lhs || {m}.rhs ELSE cs[i] END) AS cs
+  FROM {prev}, {m}
+"""
+
+
+def _bpe_pick(prev: str) -> str:
+    return f"""
+  SELECT lhs, rhs, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+    SELECT cs[i] AS lhs, cs[i + 1] AS rhs, wf
+    FROM {prev}, unnest(generate_series(1, len(cs) - 1)) AS u(i)
+  ) GROUP BY 1, 2 HAVING lhs != rhs
+  ORDER BY cnt DESC, lhs, rhs LIMIT 1
+"""
+
+
+BPE_VOCAB_MERGES_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+  FROM documents
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM tok GROUP BY 1),
+s1 AS MATERIALIZED (
+  SELECT wf, list_append(string_split(word, ''), '$') AS cs FROM wf
+),
+m1 AS MATERIALIZED ({_bpe_pick('s1')}),
+s2 AS MATERIALIZED ({_bpe_round('s1', 'm1')}),
+m2 AS MATERIALIZED ({_bpe_pick('s2')}),
+s3 AS MATERIALIZED ({_bpe_round('s2', 'm2')}),
+m3 AS MATERIALIZED ({_bpe_pick('s3')})
+SELECT 1 AS rnd, lhs, rhs, cnt FROM m1
+UNION ALL SELECT 2, lhs, rhs, cnt FROM m2
+UNION ALL SELECT 3, lhs, rhs, cnt FROM m3
+"""

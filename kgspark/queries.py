@@ -2931,3 +2931,84 @@ def rdf_jsonld_list_roundtrip(spark, sf_dir):
     return rdfio.unroll_lists(parsed).select(
         "s", "p", "pos", "o", "o_datatype"
     )
+
+
+def bpe_vocab_merges(spark, sf_dir, rounds: int = 3):
+    """Round-6c: MULTI-ROUND BPE tokenizer training — the iterative
+    loop bpe_merge_pairs pins one round of: per round, the winning
+    adjacent-symbol pair (count DESC, lhs, rhs over the weighted
+    vocabulary) is collected (a 1-row driver aggregate, the same
+    bounded pattern as CC/pagerank) and applied to every word's symbol
+    array via pure array exprs — flag matching positions, drop the
+    successor of each match, substitute the merged symbol.  SELF-pairs
+    (lhs = rhs) stay in the counts but are excluded from merge
+    SELECTION: their greedy application is overlap-ambiguous ("aaa")
+    and implementations disagree; with lhs ≠ rhs matches can never
+    overlap, so the simultaneous array rewrite IS the greedy result —
+    bit-identical across engines.  Scale shape: the loop body is two
+    narrow stages over the DISTINCT vocabulary (not the token stream);
+    state rides a lazily checkpointed (wf, cs) frame, rounds are a
+    fixed small constant (like the BFS horizon)."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(text, ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    sym = wf.select(
+        "wf", F.expr("concat(split(word, ''), array('$'))").alias("cs")
+    ).localCheckpoint(eager=False)
+
+    out_rows: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        pc = (
+            sym.select(
+                "wf",
+                # zip of cs with its own 1-shift: a fully-merged word
+                # (single symbol) slices to two empty arrays and emits
+                # no pair (sequence(1, 0) would DESCEND and probe
+                # index 0 — the Spark reverse-sequence trap)
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(cs, 1, size(cs) - 1),"
+                        " slice(cs, 2, size(cs) - 1),"
+                        " (l, r) -> named_struct('lhs', l, 'rhs', r))"
+                    )
+                ).alias("pr"),
+            )
+            .select("wf", F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("wf").alias("cnt"))
+        )
+        top = (
+            pc.filter(F.col("lhs") != F.col("rhs"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        out_rows.append((rnd, lhs, rhs, cnt))
+        ql, qr = lhs.replace("'", "\\'"), rhs.replace("'", "\\'")
+        qm = (lhs + rhs).replace("'", "\\'")
+        # boundary probes ride IF (lazily evaluated — ANSI element_at
+        # throws on index 0 / past-the-end, and OR does not guarantee
+        # short-circuit); '' can never equal a symbol
+        merge = (
+            "transform("
+            " filter(sequence(1, size(cs)),"
+            f"  i -> NOT (IF(i <= 1, '', element_at(cs, i - 1)) = '{ql}'"
+            f"       AND element_at(cs, i) = '{qr}')),"
+            f" i -> IF(IF(i >= size(cs), '', element_at(cs, i + 1)) = '{qr}'"
+            f"         AND element_at(cs, i) = '{ql}', '{qm}',"
+            "          element_at(cs, i)))"
+        )
+        sym = sym.withColumn("cs", F.expr(merge)).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out_rows, "rnd int, lhs string, rhs string, cnt bigint"
+    )

@@ -563,3 +563,32 @@ def test_link_adamic_values(spark, tmp_path):
                QQ.entity_link_adamic(spark, "unused").collect()}
     assert out == {("a", "b", 2, 1000000, 666666),
                    ("z1", "z2", 2, 1000000, 1000000)}
+
+
+def test_bpe_vocab_merges_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1, 2], "text": ["ab ab ab cd", "ab cd cd"],
+        "lang": ["en", "en"], "source": ["s", "s"],
+        "n_chars": [11, 8],
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    out = [tuple(r) for r in
+           Q.bpe_vocab_merges(spark, str(tmp_path)).collect()]
+    # wf: ab=4, cd=3 → r1 (a,b)=4 beats (b,$)=4 on lhs; r2 merged
+    # symbol 'ab' pairs with '$'; r3 (c,d)=3 beats (d,$)=3 on lhs
+    assert out == [(1, "a", "b", 4), (2, "ab", "$", 4), (3, "c", "d", 3)]
+
+
+def test_bpe_vocab_merges_skips_self_pairs(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1], "text": ["aa aa aa ab"], "lang": ["en"],
+        "source": ["s"], "n_chars": [11],
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    out = [tuple(r) for r in
+           Q.bpe_vocab_merges(spark, str(tmp_path), rounds=1).collect()]
+    # (a,a)=3 is the raw argmax but self-pairs are excluded from
+    # SELECTION → (a,$)=3 wins (lhs tie-break vs (a,b)=1 irrelevant)
+    assert out == [(1, "a", "$", 3)]
