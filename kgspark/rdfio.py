@@ -1719,3 +1719,64 @@ def unroll_lists(triples: DataFrame, max_len: int = 64) -> DataFrame:
                   " o_lang string, o_datatype string")
         return triples.sparkSession.createDataFrame([], schema)
     return out
+
+
+def compact_store(
+    spark, path: str, min_files: int = 2, lock_timeout: float = 60.0
+) -> list[tuple[str, int, int]]:
+    """Store COMPACTION — the small-files maintenance pass (round 6c).
+    Micro-batch ingest and per-graph replaces accrete many small text
+    files per partition; at cluster scale a scan then pays one task
+    per tiny file (the classic small-files problem).  Every graph
+    whose directory holds ≥ ``min_files`` data files is rewritten to a
+    single file, content-identical (the store is a set of N-Triples
+    lines; line order is not part of the contract).
+
+    ONE Spark job rewrites all eligible graphs: the raw text scan is
+    hash-repartitioned on the partition column so each graph lands in
+    exactly one task (files-per-graph becomes 1 without a per-graph
+    driver loop), written to an underscore-prefixed staging dir that
+    partition discovery ignores, then swapped in directory-at-a-time
+    under the store write lock — readers never observe a half-compacted
+    graph, and a crash mid-swap loses no data (the staging copy only
+    replaces a graph after its rewrite is complete).  Returns
+    (graph, files_before, files_after) per compacted graph."""
+    import shutil
+
+    def data_files(d: str) -> list[str]:
+        return [
+            f for f in os.listdir(d)
+            if not f.startswith(("_", ".")) and
+            os.path.isfile(os.path.join(d, f))
+        ]
+
+    with _StoreWriteLock(path, timeout=lock_timeout):
+        dirs = store_graph_dirs(path)
+        eligible = {
+            g: d for g, d in dirs.items() if len(data_files(d)) >= min_files
+        }
+        if not eligible:
+            return []
+        staging = os.path.join(path, "_compact_tmp")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)  # leftover from a crashed compaction
+        raw = spark.read.text(path).filter(
+            F.col("g").isin(list(eligible))
+        )
+        (
+            raw.repartition(len(eligible), "g")
+            .select("g", F.col("value").alias("line"))
+            .write.mode("overwrite").partitionBy("g").text(staging)
+        )
+        out: list[tuple[str, int, int]] = []
+        staged = store_graph_dirs(staging)
+        for g, old_dir in sorted(eligible.items()):
+            new_dir = staged.get(g)
+            if new_dir is None:
+                continue  # graph had only empty files; leave it alone
+            before = len(data_files(old_dir))
+            shutil.rmtree(old_dir)
+            os.rename(new_dir, old_dir)
+            out.append((g, before, len(data_files(old_dir))))
+        shutil.rmtree(staging, ignore_errors=True)
+        return out

@@ -755,3 +755,46 @@ def test_unroll_lists_no_lists_is_empty(spark):
         " o_datatype string",
     )
     assert rdfio.unroll_lists(t).count() == 0
+
+
+def test_compact_store_merges_small_files(spark, tmp_path):
+    """8-way-written store → compaction rewrites each multi-file graph
+    to ONE file with the exact same parsed content; a graph already at
+    one file is untouched (same inode set)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    rows = [(f"ex:g{i % 3}", f"ex:s{i}", "ex:p", f"v{i}",
+             "literal", "", "") for i in range(60)]
+    q = spark.createDataFrame(
+        rows,
+        "g string, s string, p string, o string, o_kind string,"
+        " o_lang string, o_datatype string",
+    )
+    rdfio.write_nquads_store(q.repartition(8), store)
+    one = spark.createDataFrame(
+        [("ex:solo", "ex:x", "ex:p", "y", "iri", "", "")],
+        "g string, s string, p string, o string, o_kind string,"
+        " o_lang string, o_datatype string",
+    )
+    rdfio.replace_graphs(one.coalesce(1), store)
+
+    before = {
+        tuple(r) for r in rdfio.read_nquads_store(spark, store).collect()
+    }
+    dirs = rdfio.store_graph_dirs(store)
+    solo_files = sorted(os.listdir(dirs["ex:solo"]))
+
+    result = rdfio.compact_store(spark, store)
+    assert sorted(g for g, _, _ in result) == ["ex:g0", "ex:g1", "ex:g2"]
+    assert all(b > 1 and a == 1 for _, b, a in result)
+    after = {
+        tuple(r) for r in rdfio.read_nquads_store(spark, store).collect()
+    }
+    assert after == before
+    # the single-file graph was not rewritten
+    assert sorted(os.listdir(dirs["ex:solo"])) == solo_files
+    # idempotent: second pass finds nothing to do
+    assert rdfio.compact_store(spark, store) == []
