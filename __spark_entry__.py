@@ -135,7 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": Q.ann_topk,                             # brute-force ANN
         "ann_ivf": Q.ann_ivf,                               # IVF-cell ANN
         "ann_ivf_probe": Q.ann_ivf_probe,                   # trained IVF, nprobe=2
-        "ann_recall": Q.ann_recall,                         # recall@k eval (r3)
+        "ann_recall": Q.ann_recall,
+        "ann_mips": Q.ann_mips,                    # int-exact inner-product top-k (r6c)                         # recall@k eval (r3)
         "distinct_kmv_sketch": Q.distinct_kmv_sketch,       # KMV sketch (r3)
         "doc_split_assign": Q.doc_split_assign,             # det. train/val/test (r3)
         "doc_quota_sample": Q.doc_quota_sample,             # balanced per-stratum top-k (r5)
@@ -148,7 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_prediction": Q.entity_link_prediction,  # common-neighbor cn>=2 (r6)
         "entity_link_adamic": Q.entity_link_adamic,  # bitlen AA + e6 Jaccard (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
-        "event_funnel": Q.event_funnel,                      # ordered conversion funnel (r6)
+        "event_funnel": Q.event_funnel,
+        "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)                      # ordered conversion funnel (r6)
         "heavy_hitters_cms": Q.heavy_hitters_cms,            # count-min sketch top-k (r6)
         "bpe_merge_pairs": Q.bpe_merge_pairs,                # BPE pair counts round 1 (r6)
         "bpe_vocab_merges": Q.bpe_vocab_merges,              # iterative 3-round BPE (r6c)
@@ -250,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_adamic": OS.ENTITY_LINK_ADAMIC_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
+        "event_retention_cohorts": OS.EVENT_RETENTION_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,
         "bpe_vocab_merges": OS.BPE_VOCAB_MERGES_SQL,
@@ -277,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_ivf": OS.ANN_IVF_SQL,
             "ann_ivf_probe": OS.ANN_IVF_PROBE_SQL,
             "ann_recall": OS.ANN_RECALL_SQL,
+        "ann_mips": OS.ANN_MIPS_SQL,
             "distinct_kmv_sketch": OS.KMV_SKETCH_SQL,
             "doc_split_assign": OS.DOC_SPLIT_SQL,
             "doc_pack_assign": OS.DOC_PACK_SQL,

@@ -222,3 +222,47 @@ def ann_ivf_probe(
         "cosine", _cosine_batch(F.col("q_emb"), F.col("n_emb"))
     )
     return _topk(scored, k)
+
+
+def ann_mips(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Maximum-inner-product top-k (round 6c) — the retrieval scoring
+    mode for unnormalized embeddings (cosine ranks direction only; MIPS
+    rewards magnitude, the usual two-tower/recommender objective).
+    INTEGER-exact: components quantize to the e3 grid and the score is
+    Σ q_i·n_i in int64 (scale e6) via native zip_with/aggregate —
+    fully JVM-side whole-stage codegen, no Python evaluation at all
+    (the cosine path needs a Pandas UDF for its sqrt; the dot product
+    does not).  Same broadcast-queries + two-phase top-k shape as
+    ann_topk."""
+    e3 = "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
+    v = embeddings.select("vec_id", F.expr(e3).alias("e3"))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e3").alias("q_e3")
+    )
+    scored = (
+        v.select(F.col("vec_id").alias("neighbor_id"), F.col("e3").alias("n_e3"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "dot_e6",
+            F.expr(
+                "aggregate(zip_with(q_e3, n_e3, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    local_w = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("dot_e6"), F.asc("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_e6"), F.asc("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_e6")
+    )

@@ -2809,3 +2809,44 @@ SELECT 1 AS rnd, lhs, rhs, cnt FROM m1
 UNION ALL SELECT 2, lhs, rhs, cnt FROM m2
 UNION ALL SELECT 3, lhs, rhs, cnt FROM m3
 """
+
+
+# r6c: integer-exact MIPS top-k — e3-quantized components, int64 dot
+# (scale e6), rank by (dot DESC, neighbor_id).
+ANN_MIPS_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < 20),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.e3)),
+                                      i -> q.e3[i] * c.e3[i]))
+              AS BIGINT) AS dot_e6
+  FROM q JOIN v c ON c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_e6 DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+# r6c: retention cohorts — integer epoch-day DIV 7 weeks (engine
+# week-truncation rules differ; day arithmetic does not).
+EVENT_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7
+              AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""

@@ -3012,3 +3012,38 @@ def bpe_vocab_merges(spark, sf_dir, rounds: int = 3):
     return spark.createDataFrame(
         out_rows, "rnd int, lhs string, rhs string, cnt bigint"
     )
+
+
+def ann_mips(spark, sf_dir):
+    from . import ann as A
+
+    return A.ann_mips(_t(spark, sf_dir, "embeddings"))
+
+
+def event_retention_cohorts(spark, sf_dir):
+    """Round-6c: classic retention-cohort analysis over the event
+    stream — users cohorted by their FIRST active week, then counted
+    per (cohort week, week offset).  Weeks are integer epoch-day DIV 7
+    (never engine week-truncation: Monday-vs-Sunday and locale rules
+    differ across engines; the day-index arithmetic is bit-identical).
+    Scale shape: distinct (user, week) first (map-side combine on the
+    stream), a per-user min aggregate, one join back on user_id, and a
+    final small aggregate — no windows over the raw stream."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+            " DIV 86400000000 DIV 7 AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -115,3 +115,57 @@ def test_curate_corpus_policy(spark, sf_dir):
     dups = {r["doc_id"] for r in cl.filter(F.col("doc_id") != F.col("keep_doc_id")).collect()}
     flagged = {r["doc_id"] for r in out.filter(F.col("reason") == "near_duplicate").collect()}
     assert flagged <= dups
+
+
+def test_ann_mips_is_jvm_only_and_exact(spark, sf_dir):
+    """MIPS scoring must stay whole-stage-codegen: the int64 dot via
+    zip_with/aggregate needs no Python evaluation (unlike the cosine
+    path's Pandas UDF)."""
+    from kgspark.ann import ann_mips
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = ann_mips(emb)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"]:
+        assert bad not in p
+    # hand check one query against numpy on the same e3 grid
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    e3 = {k: np.round(1000 * v).astype(np.int64) for k, v in rows.items()}
+    got = [(r["neighbor_id"], r["dot_e6"]) for r in
+           df.filter("query_id = 3").orderBy("rank").collect()]
+    full = sorted(
+        ((int(e3[3] @ v), -k) for k, v in e3.items() if k != 3),
+        reverse=True,
+    )[:5]
+    want = [(-nk, d) for d, nk in full]
+    assert [g for g in got] == want
+
+
+def test_retention_cohorts_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    # u1 active weeks w, w+1; u2 only w; u3 first seen w+1
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 10, "a", 1.0, "{}"),
+        (2, base + pd.Timedelta(days=8), 10, "a", 1.0, "{}"),
+        (3, base + pd.Timedelta(days=1), 20, "a", 1.0, "{}"),
+        (4, base + pd.Timedelta(days=9), 30, "a", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    import kgspark.queries as QQ
+
+    rows_out = QQ.event_retention_cohorts(spark, str(tmp_path)).collect()
+    w0 = min(r["cohort_week"] for r in rows_out)
+    out = {(r["cohort_week"] - w0, r["week_offset"], r["n_users"])
+           for r in rows_out}
+    # cohort w: u10+u20 at offset 0, u10 returns at offset 1;
+    # u30 first appears in week w+1 → its own cohort at offset 0
+    assert out == {(0, 0, 2), (0, 1, 1), (1, 0, 1)}
