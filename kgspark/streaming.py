@@ -281,3 +281,57 @@ def stream_entity_index(
         .start()
     )
     q.awaitTermination()
+
+
+_SESS_STATE = "last_us bigint, sess bigint"
+_SESS_OUT = "user_id bigint, event_id bigint, session_id bigint"
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_state(key, pdfs, state: GroupState):
+    """Per-user gap-sessionization carried across micro-batches: the
+    state is (last event ts, running session count); a > 30-min gap
+    (or the first event ever) opens a new session.  Exactly the batch
+    lag+cumsum rule (queries.event_sessions) applied incrementally —
+    convergence requires per-user time-ordered arrival across batches,
+    the Kafka-partition-by-user-key contract (within a batch the
+    kernel sorts)."""
+    last_us, sess = state.get if state.exists else (None, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        yield pd.DataFrame(
+            {"user_id": [], "event_id": [], "session_id": []}
+        ).astype({"user_id": "int64", "event_id": "int64",
+                  "session_id": "int64"})
+        return
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    sids = []
+    for us in pdf["ts_us"]:
+        if last_us is None or us - last_us > _SESS_GAP_US:
+            sess += 1
+        last_us = int(us)
+        sids.append(sess)
+    state.update((last_us, sess))
+    yield pd.DataFrame({
+        "user_id": pdf["user_id"].astype("int64"),
+        "event_id": pdf["event_id"].astype("int64"),
+        "session_id": pd.Series(sids, dtype="int64"),
+    })
+
+
+def stream_event_sessions(events_stream: DataFrame) -> DataFrame:
+    """O43 (second stateful operator): continuous gap-sessionization —
+    the streaming analogue of queries.event_sessions, state =
+    (last_ts, session_count) per user via applyInPandasWithState."""
+    keyed = events_stream.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_state,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

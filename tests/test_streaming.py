@@ -231,3 +231,60 @@ def test_stream_entity_index_equals_batch(spark, sf_dir, doc_stream_dir, tmp_pat
         embeddings_path=f"{sf_dir}/embeddings.parquet",
     )
     assert {tuple(r) for r in cat.read(spark, "live_attrs").collect()} == want_attrs
+
+
+def test_stream_sessions_converge_to_batch(spark, sf_dir, tmp_path):
+    """Continuous sessionization == batch lag+cumsum when events arrive
+    per-user time-ordered across micro-batches (files staged as
+    consecutive time ranges, one file per trigger)."""
+    import kgspark.queries as Q
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev_dir = str(tmp_path / "ev_sessions")
+    # stage 3 time-ordered chunks: lexicographic file listing must
+    # match time order (part names carry the chunk index)
+    qs = ev.approxQuantile("value", [0.0], 0.0)  # force materialization once
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.34, 0.67)) AS b"
+    ).collect()[0]["b"]
+    lo, hi = int(bounds[0]), int(bounds[1])
+    us = F.unix_micros(F.col("ts"))
+    for i, pred in enumerate([us <= lo, (us > lo) & (us <= hi), us > hi]):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(ev_dir)
+    for i in range(3):
+        src = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(ev_dir, f"chunk-{i}.parquet"))
+
+    events = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        S.stream_event_sessions(events)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cpsess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id"], r["session_id"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["session_id"])
+        for r in Q.event_sessions(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
