@@ -321,3 +321,14 @@ BOILER_TEXT = (
     "subscribe newsletter footer nav copyright contact"
     " about privacy terms search login home"
 )
+
+# ---------------------------------------------------------------------------
+# Negative-edge sampling (round 6c; KG-embedding training-data prep):
+# for every positive co-occurrence edge, NEG_SLOTS corrupted tails are
+# drawn deterministically — slot i uses hash index NEG_HASH_OFFSET + i
+# of the same affine family over the edge's char-level rolling hash
+# (mod FP_MOD), indexed into the id-ordered entity list.  Offsets
+# 256..259 are the CMS rows; 300+ is reserved for negatives.
+# ---------------------------------------------------------------------------
+NEG_HASH_OFFSET = 300
+NEG_SLOTS = 2

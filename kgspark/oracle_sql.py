@@ -2850,3 +2850,51 @@ SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
 FROM uw JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# r6c: deterministic negative-edge sampling — identical affine-hash
+# corruption arithmetic to the Spark builder (rolling char hash mod
+# FP_MOD, per-slot affine mod HASH_P mod |entities|, id-ordered rank
+# lookup, degenerate + accidental-positive drops).
+KG_NEGATIVE_EDGES_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+eidx AS MATERIALIZED (
+  SELECT entity_id,
+         row_number() OVER (ORDER BY entity_id) - 1 AS rank
+  FROM (SELECT DISTINCT entity_id FROM entities)
+),
+nn AS (SELECT count(*) AS n FROM eidx),
+hc AS (
+  SELECT entity_a, entity_b,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(entity_a || '|' || entity_b, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007) AS hcode
+  FROM coocc
+),
+negcand AS (
+  SELECT hc.entity_a, hc.entity_b, s.i AS slot, e.entity_id AS neg_entity
+  FROM hc
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS i) s
+  JOIN eidx e
+    ON e.rank = CASE s.i WHEN 1 THEN (749446868 * hcode + 12191404) % 2147483647 % nn.n WHEN 2 THEN (1763351096 * hcode + 12231907) % 2147483647 % nn.n END
+  WHERE e.entity_id != hc.entity_a AND e.entity_id != hc.entity_b
+)
+SELECT c.entity_a, c.entity_b, CAST(c.slot AS INT) AS slot, c.neg_entity
+FROM negcand c
+LEFT JOIN coocc p
+  ON p.entity_a = least(c.entity_a, c.neg_entity)
+ AND p.entity_b = greatest(c.entity_a, c.neg_entity)
+WHERE p.entity_a IS NULL
+"""

@@ -3047,3 +3047,72 @@ def event_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+def kg_negative_edges(spark, sf_dir):
+    """Round-6c: deterministic NEGATIVE-EDGE SAMPLING — the standard
+    KG-embedding training-data prep (TransE-family corruption): every
+    positive co-occurrence edge yields NEG_SLOTS corrupted-tail
+    candidates, drawn by the grammar's affine hash family over the
+    edge's char-level rolling hash, indexed into the id-ordered entity
+    list; degenerate draws (either endpoint) and accidental positives
+    (the corrupted pair exists) are dropped — so the emitted set is
+    exactly reproducible on any engine, unlike rand() sampling.
+
+    Scale notes: the global row_number ranks only the ENTITY DIM (the
+    vocabulary, orders of magnitude below the edge set; at true
+    cluster scale PBG-style per-shard negative pools replace the
+    global index — the hash arithmetic is unchanged); the entity
+    count is a 1-row driver aggregate; the index lookup is one
+    equi-join on rank and the positive check one anti-join."""
+    pos = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .select("entity_a", "entity_b")
+        .localCheckpoint(eager=False)
+    )
+    ents = kg_entities(spark, sf_dir).select("entity_id").distinct()
+    ranked = ents.withColumn(
+        "rank", F.row_number().over(Window.orderBy("entity_id")) - 1
+    ).localCheckpoint(eager=False)
+    n = ranked.count()
+
+    hcode = (
+        "aggregate(split(concat(entity_a, '|', entity_b), ''),"
+        " CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + ascii(c)) % {G.FP_MOD})"
+    )
+    slots = pos.withColumn("hcode", F.expr(hcode)).withColumn(
+        "slot", F.explode(F.sequence(F.lit(1), F.lit(G.NEG_SLOTS)))
+    )
+    idx_cases = None
+    for i in range(1, G.NEG_SLOTS + 1):
+        a, b = G.hash_a(G.NEG_HASH_OFFSET + i), G.hash_b(G.NEG_HASH_OFFSET + i)
+        expr = (F.lit(a) * F.col("hcode") + F.lit(b)) % F.lit(G.HASH_P) % F.lit(n)
+        idx_cases = (
+            F.when(F.col("slot") == i, expr)
+            if idx_cases is None
+            else idx_cases.when(F.col("slot") == i, expr)
+        )
+    cand = (
+        slots.withColumn("rank", idx_cases.cast("bigint"))
+        .join(ranked, "rank")
+        .select(
+            "entity_a", "entity_b", "slot",
+            F.col("entity_id").alias("neg_entity"),
+        )
+        .filter(
+            (F.col("neg_entity") != F.col("entity_a"))
+            & (F.col("neg_entity") != F.col("entity_b"))
+        )
+    )
+    corrupted = cand.withColumn(
+        "pa", F.least("entity_a", "neg_entity")
+    ).withColumn("pb", F.greatest("entity_a", "neg_entity"))
+    pos_pairs = pos.select(
+        F.col("entity_a").alias("pa"), F.col("entity_b").alias("pb")
+    )
+    return (
+        corrupted.join(pos_pairs, ["pa", "pb"], "left_anti")
+        .select("entity_a", "entity_b", F.col("slot").cast("int").alias("slot"),
+                "neg_entity")
+    )

@@ -592,3 +592,30 @@ def test_bpe_vocab_merges_skips_self_pairs(spark, tmp_path):
     # (a,a)=3 is the raw argmax but self-pairs are excluded from
     # SELECTION → (a,$)=3 wins (lhs tie-break vs (a,b)=1 irrelevant)
     assert out == [(1, "a", "$", 3)]
+
+
+def test_negative_edges_partitioning_invariant_and_clean(spark, sf_dir):
+    """Corruption sampling is hash-deterministic: identical output at
+    2 vs 32 shuffle partitions; no emitted corrupted pair may be a
+    positive edge or touch its own head/tail degenerately."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run():
+        return {tuple(r) for r in
+                Q.kg_negative_edges(spark, sf_dir).collect()}
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        lo = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        hi = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert lo == hi and len(lo) > 0
+
+    pos = {(r["entity_a"], r["entity_b"]) for r in
+           Q.kg_entity_cooccurrence(spark, sf_dir)
+           .select("entity_a", "entity_b").collect()}
+    for a, b, slot, neg in lo:
+        assert neg != a and neg != b
+        assert (min(a, neg), max(a, neg)) not in pos
