@@ -121,7 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": Q.dedup_exact,
         "contamination_check": Q.contamination_check,  # train/eval leak detector (r5)
         "dedup_minhash_pairs": Q.dedup_minhash_pairs,       # MinHash+LSH
-        "dedup_clusters": Q.dedup_clusters,                 # near-dup keeper decision
+        "dedup_clusters": Q.dedup_clusters,
+        "dedup_keep_best": Q.dedup_keep_best,      # quality-aware keeper (r6c)                 # near-dup keeper decision
         "dedup_rate_by_source": Q.dedup_rate_by_source,     # per-source drop metric (r5)
         "para_dedup": Q.para_dedup,                         # paragraph boilerplate pairs (r6)
         "doc_repetition_stats": Q.doc_repetition_stats,     # Gopher repetition flags (r6b)
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact": OS.DEDUP_EXACT_SQL,
             "dedup_minhash_pairs": OS.MINHASH_LSH_PAIRS_SQL,
             "dedup_clusters": OS.DEDUP_CLUSTERS_SQL,
+            "dedup_keep_best": OS.DEDUP_KEEP_BEST_SQL,
             "doc_simhash": OS.DOC_SIMHASH_SQL,
             "dedup_simhash_pairs": OS.SIMHASH_PAIRS_SQL,
             "ngram_jaccard_pairs": OS.NGRAM_JACCARD_SQL,

@@ -2898,3 +2898,31 @@ LEFT JOIN coocc p
  AND p.entity_b = greatest(c.entity_a, c.neg_entity)
 WHERE p.entity_a IS NULL
 """
+
+
+# r6c: quality-aware keeper — the min-id clusters re-decided by
+# (quality_e6 DESC, doc_id ASC) within each cluster.
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {_CLUSTERS_CTES},
+q AS (
+  SELECT doc_id,
+    CAST(floor(1e6 * (0.5 * (1 - len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_STOP_LIST})))::DOUBLE
+                       / len(string_split(text, ' ')))
+        + 0.3 * least(1.0, len(string_split(text, ' ')) / 50.0)
+        + 0.2 * len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')))) AS BIGINT) AS quality_e6
+  FROM documents
+),
+best AS (
+  SELECT keep_doc_id, doc_id AS best_doc_id FROM (
+    SELECT c.keep_doc_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.keep_doc_id
+                              ORDER BY q.quality_e6 DESC, c.doc_id)
+             AS rn
+    FROM ckeep c JOIN q USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, CAST(b.best_doc_id AS BIGINT) AS keep_doc_id
+FROM ckeep c JOIN best b USING (keep_doc_id)
+"""

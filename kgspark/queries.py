@@ -3116,3 +3116,35 @@ def kg_negative_edges(spark, sf_dir):
         .select("entity_a", "entity_b", F.col("slot").cast("int").alias("slot"),
                 "neg_entity")
     )
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Round-6c: QUALITY-AWARE dedup keeper — the near-dup clusters of
+    dedup_clusters re-decided by content quality instead of min-id:
+    keeper = the cluster member with the highest quality_e6 (tie →
+    min doc_id), the policy real curation pipelines use (keep the
+    best copy, not the first-crawled).  One max_by-struct aggregate
+    per cluster + one join back; the struct packs (quality, -doc_id)
+    so the tie-break rides the same max."""
+    from . import dedup as D
+    from .textstats import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(docs, jaccard_min=0.01)  # contract tau
+    q = text_quality(docs).select("doc_id", "quality_e6")
+    member_q = clusters.join(q, "doc_id")
+    keepers = (
+        member_q.groupBy("keep_doc_id")
+        .agg(
+            F.max(F.struct("quality_e6", (-F.col("doc_id")).alias("neg_id")))
+            .alias("best")
+        )
+        .select(
+            "keep_doc_id",
+            (-F.col("best.neg_id")).cast("bigint").alias("best_doc_id"),
+        )
+    )
+    return (
+        clusters.join(keepers, "keep_doc_id")
+        .select("doc_id", F.col("best_doc_id").alias("keep_doc_id"))
+    )

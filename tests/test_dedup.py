@@ -291,3 +291,25 @@ def test_containment_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Union" in p  # hybrid hot/cold paths union before the count
+
+
+def test_keep_best_prefers_quality_over_min_id(spark, tmp_path):
+    """Planted near-dup pair where the HIGHER doc_id has the better
+    quality (longer, more distinct tokens): min-id clustering would
+    keep doc 1; the quality-aware keeper keeps doc 2."""
+    import pandas as pd
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rich = base + " " + " ".join(f"extra{i}" for i in range(25))
+    pd.DataFrame({
+        "doc_id": [1, 2, 9],
+        "text": [base, rich, "unrelated totally different words here"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [len(base), len(rich), 37],
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    import kgspark.queries as QQ
+
+    out = {r["doc_id"]: r["keep_doc_id"] for r in
+           QQ.dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert out.get(1) == 2 and out.get(2) == 2
+    assert 9 not in out  # not near-dup of anything
