@@ -2926,3 +2926,46 @@ best AS (
 SELECT c.doc_id, CAST(b.best_doc_id AS BIGINT) AS keep_doc_id
 FROM ckeep c JOIN best b USING (keep_doc_id)
 """
+
+
+# r6c: median/MAD outliers — identical half-unit integer interpolation
+# to the Spark builder (med_2x, dev_2x, mad_4x; flag 2*dev > 3*mad).
+EVENT_OUTLIERS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(1e6 * CAST(value AS DOUBLE)) AS BIGINT) AS v_e6
+  FROM events
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v_e6) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN i = (n-1) // 2 THEN v_e6 * (2 - (n-1) % 2)
+             WHEN i = (n-1) // 2 + 1 THEN v_e6 * ((n-1) % 2)
+             ELSE 0 END) AS BIGINT) AS med_2x
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, ev.event_id, ev.v_e6,
+         abs(2 * ev.v_e6 - m.med_2x) AS dev_2x
+  FROM ev JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev_2x) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+    2 * CAST(sum(CASE WHEN i = (n-1) // 2 THEN dev_2x * (2 - (n-1) % 2)
+                 WHEN i = (n-1) // 2 + 1 THEN dev_2x * ((n-1) % 2)
+                 ELSE 0 END) AS BIGINT) AS mad_4x
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.v_e6
+FROM dev d JOIN mad USING (event_type)
+WHERE 2 * d.dev_2x > 3 * mad.mad_4x
+"""

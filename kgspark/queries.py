@@ -3148,3 +3148,47 @@ def dedup_keep_best(spark, sf_dir):
         clusters.join(keepers, "keep_doc_id")
         .select("doc_id", F.col("best_doc_id").alias("keep_doc_id"))
     )
+
+
+def event_value_outliers(spark, sf_dir):
+    """Round-6c: robust OUTLIER DETECTION per event type — the
+    median/MAD rule (|x − med| > 3·MAD), the standard robust
+    alternative to z-scores (mean/std are themselves dragged by the
+    outliers).  All arithmetic stays int64 on the e6 grid: med_2x =
+    2·median via the half-unit interpolation of
+    event_value_percentiles, dev_2x = |2·v − med_2x|, mad_4x =
+    2·median(dev_2x), and the flag is 2·dev_2x > 3·mad_4x — no float
+    ever, so the cut is bit-identical across engines.  Scale shape:
+    two ranked-window passes per type (the exact-median shape shared
+    with event_value_percentiles) + broadcast-size per-type stats
+    joined back."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", e6(F.col("value")).alias("v_e6")
+    )
+
+    def med2(df, col):
+        w = Window.partitionBy("event_type").orderBy(col)
+        ranked = df.withColumn("i", F.row_number().over(w) - 1).withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        return ranked.groupBy("event_type").agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN i = (n-1) DIV 2 THEN {col} * (2 - (n-1) % 2) "
+                f"WHEN i = (n-1) DIV 2 + 1 THEN {col} * ((n-1) % 2) "
+                "ELSE 0 END) AS BIGINT)"
+            ).alias("m2")
+        )
+
+    med = med2(ev, "v_e6").withColumnRenamed("m2", "med_2x")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev_2x", F.abs(F.lit(2) * F.col("v_e6") - F.col("med_2x"))
+    )
+    mad = (
+        med2(dev.select("event_type", "event_id", "dev_2x"), "dev_2x")
+        .select("event_type", (F.col("m2") * 2).alias("mad_4x"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.lit(2) * F.col("dev_2x") > F.lit(3) * F.col("mad_4x"))
+        .select("event_type", "event_id", "v_e6")
+    )

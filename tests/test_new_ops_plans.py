@@ -619,3 +619,26 @@ def test_negative_edges_partitioning_invariant_and_clean(spark, sf_dir):
     for a, b, slot, neg in lo:
         assert neg != a and neg != b
         assert (min(a, neg), max(a, neg)) not in pos
+
+
+def test_mad_outliers_hand_case(spark, tmp_path):
+    """values [1..9, 100]: med=5.5 → med_2x=11e6; devs (2x,e6):
+    9,7,5,3,1,1,3,5,7,189 → sorted → mad_4x = 2*med(dev_2x) = 2*4e6;
+    flag 2*dev > 3*mad_4x → only the 100 (2*189e6 > 24e6)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    vals = list(range(1, 10)) + [100]
+    pdf = pd.DataFrame({
+        "event_id": range(10),
+        "ts": [base] * 10,
+        "user_id": [1] * 10,
+        "event_type": ["t"] * 10,
+        "value": [float(v) for v in vals],
+        "props": ["{}"] * 10,
+    })
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    out = [(r["event_id"], r["v_e6"]) for r in
+           Q.event_value_outliers(spark, str(tmp_path)).collect()]
+    assert out == [(9, 100_000_000)]
