@@ -212,3 +212,32 @@ class SnapshotCatalog(ParquetCatalog):
         if out is None:
             raise ValueError(f"manifest v{v} of {name!r} lists no partitions")
         return out
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    cat: "SnapshotCatalog",
+    name: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Round-6c: SNAPSHOT DIFF — the change set between two committed
+    versions of a snapshot table, the time-travel application (what
+    did this graph-replace actually change?): rows present only in
+    v_new tagged '+', only in v_old tagged '-', bag semantics via
+    exceptAll both ways (a row appearing twice in new and once in old
+    diffs as one '+').  Partition-level pruning comes free: both
+    reads resolve through their manifests, and at cluster scale the
+    manifest comparison could skip partitions whose commit tag is
+    identical in both versions — the local implementation documents
+    that seam and diffs the data (exceptAll = one hash aggregation
+    per side)."""
+    old = cat.read_at(spark, name, v_old)
+    new = cat.read_at(spark, name, v_new)
+    if key_cols:
+        old = old.select(*key_cols)
+        new = new.select(*key_cols)
+    added = new.exceptAll(old).withColumn("change", F.lit("+"))
+    removed = old.exceptAll(new).withColumn("change", F.lit("-"))
+    return added.unionByName(removed)

@@ -107,3 +107,35 @@ def test_snapshot_reader_never_sees_torn_table(spark, tmp_path):
     # history is complete and monotone: versions 1..N all readable
     vs = cat.versions("t")
     assert vs == list(range(1, len(vs) + 1))
+
+
+def test_snapshot_diff_change_set(spark, tmp_path):
+    """Diff of v1 → v3: g1's 'a' value changed (one '-' one '+'),
+    g2 gained a row and changed one — bag semantics via exceptAll."""
+    from kgspark.catalog import snapshot_diff
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.commit_replace(
+        _quads(spark, [("ex:g1", "a", "1"), ("ex:g1", "b", "1"),
+                       ("ex:g2", "c", "1")]),
+        "t", partition_col="g",
+    )
+    cat.commit_replace(
+        _quads(spark, [("ex:g1", "a", "2"), ("ex:g1", "b", "1")]),
+        "t", partition_col="g")
+    cat.commit_replace(
+        _quads(spark, [("ex:g2", "c", "3"), ("ex:g2", "d", "3")]),
+        "t", partition_col="g")
+
+    diff = {
+        tuple(r) for r in
+        snapshot_diff(spark, cat, "t", 1, 3)
+        .select("g", "s", "o", "change").collect()
+    }
+    assert diff == {
+        ("ex:g1", "a", "2", "+"), ("ex:g1", "a", "1", "-"),
+        ("ex:g2", "c", "3", "+"), ("ex:g2", "d", "3", "+"),
+        ("ex:g2", "c", "1", "-"),
+    }
+    # identical versions diff empty
+    assert snapshot_diff(spark, cat, "t", 3, 3).count() == 0
