@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_intersect": Q.nation_intersect,                     # intersect (r3)
         "event_value_percentiles": Q.event_value_percentiles,       # exact pct (r3)
         "event_value_outliers": Q.event_value_outliers,             # median/MAD rule (r6c)
+        "event_session_window_stats": Q.event_session_window_stats,  # native session_window (r6c)
         "event_value_pivot": Q.event_value_pivot,                   # pivot
         "event_sessions": Q.event_sessions,                         # sessionize
         # training-data-pipeline operators (task brief: dedup/ANN/text)
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_term_fns": OS.SPARQL_TERM_FNS_SQL,
         "kg_sparql_isnumeric": OS.SPARQL_ISNUMERIC_SQL,
         "event_value_outliers": OS.EVENT_OUTLIERS_SQL,
+        "event_session_window_stats": OS.EVENT_SESSION_WINDOW_SQL,
         "kg_sparql_sameterm": OS.SPARQL_SAMETERM_SQL,
         "kg_sparql_encode": OS.SPARQL_ENCODE_SQL,
         "kg_sparql_term_ctors": OS.SPARQL_TERM_CTORS_SQL,

@@ -2969,3 +2969,34 @@ SELECT d.event_type, d.event_id, d.v_e6
 FROM dev d JOIN mad USING (event_type)
 WHERE 2 * d.dev_2x > 3 * mad.mad_4x
 """
+
+
+# r6c: native session_window parity — gap-rule sessionization with the
+# EXACT Spark boundary (a gap == 30 min still EXTENDS the session:
+# the window closes only when the next event is strictly beyond
+# last + gap); end = last event + gap.
+EVENT_SESSION_WINDOW_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(floor(1e6 * CAST(value AS DOUBLE)) AS BIGINT) AS v_e6,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_e6) AS BIGINT) AS sum_value_e6
+FROM sess GROUP BY user_id, sid
+"""

@@ -3192,3 +3192,37 @@ def event_value_outliers(spark, sf_dir):
         .filter(F.lit(2) * F.col("dev_2x") > F.lit(3) * F.col("mad_4x"))
         .select("event_type", "event_id", "v_e6")
     )
+
+
+def event_session_window_stats(spark, sf_dir):
+    """Round-6c: Spark's NATIVE session_window (gap-merged dynamic
+    windows) — per (user, session) event count and value sum.  One
+    groupBy does the sessionize-and-aggregate in a single shuffle
+    (Catalyst's UpdatingSessionsExec merges windows in-partition after
+    hashing by user), vs the window+cumsum+second-aggregate chain of
+    event_sessions/event_session_stats — the idiomatic engine-native
+    form of the same operator family.  Boundary semantics pinned in
+    the oracle: an event exactly gap-distant from its predecessor
+    still EXTENDS the session (session_window closes only strictly
+    beyond last + gap — verified by the boundary unit test); window
+    end = last event + gap."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tss"),
+        e6(F.col("value")).alias("v_e6"),
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("tss", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("v_e6").cast("bigint").alias("sum_value_e6"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+            "sum_value_e6",
+        )
+    )

@@ -642,3 +642,30 @@ def test_mad_outliers_hand_case(spark, tmp_path):
     out = [(r["event_id"], r["v_e6"]) for r in
            Q.event_value_outliers(spark, str(tmp_path)).collect()]
     assert out == [(9, 100_000_000)]
+
+
+def test_session_window_boundary_semantics(spark, tmp_path):
+    """An event EXACTLY 30 min after its predecessor still EXTENDS
+    the session — session_window closes only strictly beyond
+    last + gap (the same boundary as the >30min gap-rule
+    sessionizer), pinned here so the oracle can never drift."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": [base, base + pd.Timedelta(minutes=30),
+               base + pd.Timedelta(minutes=40)],
+        "user_id": [7, 7, 7],
+        "event_type": ["t"] * 3,
+        "value": [1.0, 2.0, 4.0],
+        "props": ["{}"] * 3,
+    })
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    out = sorted(
+        (r["n_events"], r["sum_value_e6"])
+        for r in Q.event_session_window_stats(spark, str(tmp_path)).collect()
+    )
+    # all three merge: the exactly-30-min event extends the session
+    assert out == [(3, 7_000_000)]
