@@ -167,7 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": Q.text_quality,
         "token_counts": Q.token_counts,
         "doc_fingerprint": Q.doc_fingerprint,
-        "langid": Q.langid,                                 # full oracle (r2)
+        "langid": Q.langid,
+        "langid_confusion": Q.langid_confusion,    # classifier eval matrix (r6c)                                 # full oracle (r2)
         "pii_scrub": Q.pii_scrub,                           # PII redaction (r6)
         "pii_rate_by_source": Q.pii_rate_by_source,         # PII filter-rate metric (r6)
         "curate_corpus": Q.curate_corpus,                   # composed keep/drop decision
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
             "token_counts": OS.TOKEN_COUNTS_SQL,
             "doc_fingerprint": OS.DOC_FINGERPRINT_SQL,
             "langid": OS.LANGID_SQL,
+        "langid_confusion": OS.LANGID_CONFUSION_SQL,
         "pii_scrub": OS.PII_SCRUB_SQL,
         "pii_rate_by_source": OS.PII_RATE_BY_SOURCE_SQL,
             "curate_corpus": OS.CURATE_SQL,

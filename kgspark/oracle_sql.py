@@ -3000,3 +3000,11 @@ SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
        CAST(sum(v_e6) AS BIGINT) AS sum_value_e6
 FROM sess GROUP BY user_id, sid
 """
+
+
+# r6c: language-ID confusion matrix over the langid oracle chain.
+LANGID_CONFUSION_SQL = f"""
+WITH {_LANGID_CTES}
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM lpred GROUP BY 1, 2
+"""

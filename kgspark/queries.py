@@ -3226,3 +3226,18 @@ def event_session_window_stats(spark, sf_dir):
             "sum_value_e6",
         )
     )
+
+
+def langid_confusion(spark, sf_dir):
+    """Round-6c: language-ID CONFUSION MATRIX — the evaluation metric
+    for the classifier operator (true fixture lang × predicted lang →
+    doc counts), one aggregate over the langid output; diagonal mass /
+    total = accuracy, off-diagonal cells show which language pairs the
+    trigram profiles confuse."""
+    from . import textstats as TS
+
+    pred = TS.langid(spark, _t(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
