@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_prediction": Q.entity_link_prediction,  # common-neighbor cn>=2 (r6)
         "entity_link_adamic": Q.entity_link_adamic,  # bitlen AA + e6 Jaccard (r6c)
         "kg_negative_edges": Q.kg_negative_edges,    # deterministic corruption sampling (r6c)
+        "entity_neighbor_agg": Q.entity_neighbor_agg,  # one message-passing round (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)                      # ordered conversion funnel (r6)
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_prediction": OS.ENTITY_LINK_PRED_SQL,
         "entity_link_adamic": OS.ENTITY_LINK_ADAMIC_SQL,
         "kg_negative_edges": OS.KG_NEGATIVE_EDGES_SQL,
+        "entity_neighbor_agg": OS.ENTITY_NEIGHBOR_AGG_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

@@ -3008,3 +3008,34 @@ WITH {_LANGID_CTES}
 SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM lpred GROUP BY 1, 2
 """
+
+
+# r6c: one message-passing round — neighbor degree/score aggregation
+# over the bidirectional co-occurrence edges.
+ENTITY_NEIGHBOR_AGG_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+bi AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL
+  SELECT entity_b AS src, entity_a AS dst FROM coocc
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY src)
+SELECT b.src AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(d.deg) AS BIGINT) AS nbr_deg_sum,
+       CAST(sum(at.score) AS BIGINT) AS nbr_score_sum
+FROM bi b
+JOIN deg d ON d.src = b.dst
+JOIN attrs at ON at.entity_id = b.dst
+GROUP BY b.src
+"""

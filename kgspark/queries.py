@@ -3241,3 +3241,42 @@ def langid_confusion(spark, sf_dir):
         pred.groupBy("lang", "predicted_lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+def entity_neighbor_agg(spark, sf_dir):
+    """Round-6c: one GNN-style MESSAGE-PASSING round over the entity
+    co-occurrence graph — per entity, aggregate its 1-hop neighbors'
+    features (degree and proxy score): the feature-preparation stage
+    of graph-ML training data (a GraphSAGE/GCN layer is exactly this
+    join-aggregate; iterating it is the cc/pagerank loop pattern).
+    Scale shape: degree is one aggregate, the neighbor feature ride is
+    one equi-join edge→(neighbor features) + one groupBy on the source
+    — no adjacency list ever materializes per row."""
+    pairs = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .select("entity_a", "entity_b")
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    score = kg_entity_attrs(spark, sf_dir).select(
+        F.col("entity_id").alias("dst"), F.col("score").alias("n_score")
+    )
+    nbr = (
+        edges.join(deg.withColumnRenamed("src", "dst"), "dst")
+        .join(score, "dst")
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("n_neighbors"),
+            F.sum("deg").cast("bigint").alias("nbr_deg_sum"),
+            F.sum("n_score").cast("bigint").alias("nbr_score_sum"),
+        )
+    )
+    return nbr.select(
+        F.col("src").alias("entity_id"),
+        "n_neighbors", "nbr_deg_sum", "nbr_score_sum",
+    )

@@ -669,3 +669,24 @@ def test_session_window_boundary_semantics(spark, tmp_path):
     )
     # all three merge: the exactly-30-min event extends the session
     assert out == [(3, 7_000_000)]
+
+
+def test_neighbor_agg_hand_case(spark, sf_dir):
+    """Triangle a-b, a-c (deg a=2, b=1, c=1): a's neighbor sums =
+    deg(b)+deg(c)=2; b's = deg(a)=2 — checked via mock co-occurrence
+    with unit scores."""
+    import pandas as pd
+    from unittest import mock
+
+    import kgspark.queries as QQ
+
+    coocc = spark.createDataFrame(
+        pd.DataFrame({"entity_a": ["a", "a"], "entity_b": ["b", "c"]}))
+    attrs = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["a", "b", "c"], "score": [10, 20, 30]}))
+    with mock.patch.object(QQ, "kg_entity_cooccurrence", lambda s, d: coocc), \
+         mock.patch.object(QQ, "kg_entity_attrs", lambda s, d: attrs):
+        out = {r["entity_id"]: (r["n_neighbors"], r["nbr_deg_sum"],
+                                r["nbr_score_sum"])
+               for r in QQ.entity_neighbor_agg(spark, "x").collect()}
+    assert out == {"a": (2, 2, 50), "b": (1, 2, 10), "c": (1, 2, 10)}
