@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": Q.heavy_hitters_cms,            # count-min sketch top-k (r6)
         "bpe_merge_pairs": Q.bpe_merge_pairs,                # BPE pair counts round 1 (r6)
         "bpe_vocab_merges": Q.bpe_vocab_merges,              # iterative 3-round BPE (r6c)
+        "bpe_encode_counts": Q.bpe_encode_counts,            # tokenizer application (r6c)
         "kg_sparql_ask": Q.kg_sparql_ask,                    # ASK existence probes (r6)
         "kg_sparql_describe": Q.kg_sparql_describe,          # DESCRIBE outgoing edges (r6)
         "doc_pack_assign": Q.doc_pack_assign,               # sequence packing (r4)
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,
         "bpe_vocab_merges": OS.BPE_VOCAB_MERGES_SQL,
+        "bpe_encode_counts": OS.BPE_ENCODE_SQL,
         "kg_sparql_ask": OS.SPARQL_ASK_SQL,
         "kg_sparql_describe": OS.SPARQL_DESCRIBE_SQL,
         "dedup_rate_by_source": OS.DEDUP_RATE_BY_SOURCE_SQL,

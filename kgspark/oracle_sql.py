@@ -2770,7 +2770,7 @@ FROM ranked
 # rewrite is the greedy result).
 def _bpe_round(prev: str, m: str) -> str:
     return f"""
-  SELECT wf, list_transform(
+  SELECT word, wf, list_transform(
       list_filter(generate_series(1, len(cs)),
         i -> NOT (coalesce(cs[i - 1], '') = {m}.lhs
                   AND cs[i] = {m}.rhs)),
@@ -2798,7 +2798,7 @@ WITH tok AS (
 ),
 wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM tok GROUP BY 1),
 s1 AS MATERIALIZED (
-  SELECT wf, list_append(string_split(word, ''), '$') AS cs FROM wf
+  SELECT word, wf, list_append(string_split(word, ''), '$') AS cs FROM wf
 ),
 m1 AS MATERIALIZED ({_bpe_pick('s1')}),
 s2 AS MATERIALIZED ({_bpe_round('s1', 'm1')}),
@@ -3038,4 +3038,35 @@ FROM bi b
 JOIN deg d ON d.src = b.dst
 JOIN attrs at ON at.entity_id = b.dst
 GROUP BY b.src
+"""
+
+
+# r6c: tokenizer application — the 3-round vocabulary applied to every
+# document (word-level join + per-doc sums), sharing the merge-round
+# CTE generators with BPE_VOCAB_MERGES_SQL.
+BPE_ENCODE_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+  FROM documents
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM tok GROUP BY 1),
+s1 AS MATERIALIZED (
+  SELECT word, wf, list_append(string_split(word, ''), '$') AS cs FROM wf
+),
+m1 AS MATERIALIZED ({_bpe_pick('s1')}),
+s2 AS MATERIALIZED ({_bpe_round('s1', 'm1')}),
+m2 AS MATERIALIZED ({_bpe_pick('s2')}),
+s3 AS MATERIALIZED ({_bpe_round('s2', 'm2')}),
+m3 AS MATERIALIZED ({_bpe_pick('s3')}),
+s4 AS MATERIALIZED ({_bpe_round('s3', 'm3')}),
+dwords AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(sum(length(d.word) + 1) AS BIGINT) AS n_syms_before,
+       CAST(sum(len(s4.cs)) AS BIGINT) AS n_syms_after
+FROM dwords d JOIN s4 USING (word)
+GROUP BY d.doc_id
 """

@@ -2933,7 +2933,7 @@ def rdf_jsonld_list_roundtrip(spark, sf_dir):
     )
 
 
-def bpe_vocab_merges(spark, sf_dir, rounds: int = 3):
+def bpe_vocab_merges(spark, sf_dir, rounds: int = 3, return_vocab: bool = False):
     """Round-6c: MULTI-ROUND BPE tokenizer training — the iterative
     loop bpe_merge_pairs pins one round of: per round, the winning
     adjacent-symbol pair (count DESC, lhs, rhs over the weighted
@@ -2960,7 +2960,7 @@ def bpe_vocab_merges(spark, sf_dir, rounds: int = 3):
         .agg(F.count("*").alias("wf"))
     )
     sym = wf.select(
-        "wf", F.expr("concat(split(word, ''), array('$'))").alias("cs")
+        "word", "wf", F.expr("concat(split(word, ''), array('$'))").alias("cs")
     ).localCheckpoint(eager=False)
 
     out_rows: list[tuple] = []
@@ -3009,9 +3009,10 @@ def bpe_vocab_merges(spark, sf_dir, rounds: int = 3):
             "          element_at(cs, i)))"
         )
         sym = sym.withColumn("cs", F.expr(merge)).localCheckpoint(eager=False)
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         out_rows, "rnd int, lhs string, rhs string, cnt bigint"
     )
+    return (merges, sym) if return_vocab else merges
 
 
 def ann_mips(spark, sf_dir):
@@ -3279,4 +3280,35 @@ def entity_neighbor_agg(spark, sf_dir):
     return nbr.select(
         F.col("src").alias("entity_id"),
         "n_neighbors", "nbr_deg_sum", "nbr_score_sum",
+    )
+
+
+def bpe_encode_counts(spark, sf_dir):
+    """Round-6c: APPLY the learned tokenizer — every document encoded
+    with the 3-round BPE vocabulary of bpe_vocab_merges, reporting
+    per-doc symbol counts before (chars + end-of-word markers) and
+    after the merges: the compression the tokenizer actually buys,
+    and the train→apply loop closed in one engine.  Scale shape: the
+    merged symbol table is per-DISTINCT-word (the vocabulary); each
+    document encodes via one word-level equi-join + a per-doc sum —
+    the token stream itself is never re-segmented row by row."""
+    merges, sym = bpe_vocab_merges(spark, sf_dir, return_vocab=True)
+    word_syms = sym.select(
+        "word",
+        F.size("cs").cast("bigint").alias("n_after"),
+        (F.length("word") + 1).cast("bigint").alias("n_before"),
+    )
+    dwords = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), t -> t != '')")
+        ).alias("word"),
+    )
+    return (
+        dwords.join(word_syms, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_before").cast("bigint").alias("n_syms_before"),
+            F.sum("n_after").cast("bigint").alias("n_syms_after"),
+        )
     )

@@ -690,3 +690,19 @@ def test_neighbor_agg_hand_case(spark, sf_dir):
                                 r["nbr_score_sum"])
                for r in QQ.entity_neighbor_agg(spark, "x").collect()}
     assert out == {"a": (2, 2, 50), "b": (1, 2, 10), "c": (1, 2, 10)}
+
+
+def test_bpe_encode_compresses(spark, tmp_path):
+    """'ab ab ab cd' + 'ab cd cd' learn (a,b), (ab,$), (c,d): word
+    'ab' → 1 symbol ('ab$'), word 'cd' → 2 ('cd','$'); doc 1 =
+    3·'ab' + 'cd' → before 3·3+3=12, after 3·1+2=5."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1, 2], "text": ["ab ab ab cd", "ab cd cd"],
+        "lang": ["en", "en"], "source": ["s", "s"],
+        "n_chars": [11, 8],
+    }).to_parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: (r["n_syms_before"], r["n_syms_after"])
+           for r in Q.bpe_encode_counts(spark, str(tmp_path)).collect()}
+    assert out == {1: (12, 5), 2: (9, 5)}
