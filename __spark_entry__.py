@@ -155,7 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_neighbor_agg": Q.entity_neighbor_agg,  # one message-passing round (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
-        "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)                      # ordered conversion funnel (r6)
+        "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
+        "event_cumulative_users": Q.event_cumulative_users,    # distinct-user growth curve (r6c)
+        "kg_label_index": Q.kg_label_index,                    # O7 inverted label index (r6c)                      # ordered conversion funnel (r6)
         "heavy_hitters_cms": Q.heavy_hitters_cms,            # count-min sketch top-k (r6)
         "bpe_merge_pairs": Q.bpe_merge_pairs,                # BPE pair counts round 1 (r6)
         "bpe_vocab_merges": Q.bpe_vocab_merges,              # iterative 3-round BPE (r6c)
@@ -264,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,
+        "event_cumulative_users": OS.EVENT_CUM_USERS_SQL,
+        "kg_label_index": OS.KG_LABEL_INDEX_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,
         "bpe_vocab_merges": OS.BPE_VOCAB_MERGES_SQL,

@@ -3070,3 +3070,45 @@ SELECT d.doc_id,
 FROM dwords d JOIN s4 USING (word)
 GROUP BY d.doc_id
 """
+
+
+# r6c: cumulative-distinct-user curve — first-day contribution + cumsum.
+EVENT_CUM_USERS_SQL = """
+WITH fd AS (
+  SELECT user_id,
+         min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT))
+           AS first_day
+  FROM events GROUP BY user_id
+),
+pd AS (SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+       FROM fd GROUP BY first_day)
+SELECT first_day AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM pd
+"""
+
+# r6c: label inverted index — token postings pinned by the commutative
+# rolling-hash checksum (sum of per-entity char hashes mod FP_MOD).
+KG_LABEL_INDEX_SQL = f"""
+{{_KG_CTES}},
+postings AS (
+  SELECT DISTINCT entity_id,
+         unnest(list_filter(string_split(label, ' '), t -> t != ''))
+           AS token
+  FROM attrs
+),
+hashed AS (
+  SELECT token, entity_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(entity_id, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % {G.FP_MOD}) AS eh
+  FROM postings
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(eh) % {G.FP_MOD} AS BIGINT) AS postings_hash
+FROM hashed GROUP BY token
+"""
+KG_LABEL_INDEX_SQL = KG_LABEL_INDEX_SQL.replace("{_KG_CTES}", _KG_CTES)

@@ -3312,3 +3312,64 @@ def bpe_encode_counts(spark, sf_dir):
             F.sum("n_after").cast("bigint").alias("n_syms_after"),
         )
     )
+
+
+def event_cumulative_users(spark, sf_dir):
+    """Round-6c: cumulative-distinct-user curve — per day, how many
+    users have EVER been seen up to that day (the growth curve every
+    analytics stack draws).  Computed without a running COUNT(DISTINCT)
+    window (quadratic state at scale): each user contributes once at
+    their FIRST day (per-user min aggregate), then one small
+    per-day count + cumulative sum over the day sequence — integer
+    epoch-days (engine-neutral, like the retention weeks)."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    first_day = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+                " DIV 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_day.groupBy("first_day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+def kg_label_index(spark, sf_dir):
+    """Round-6c: label SEARCH-INDEX build (O7 extension — the
+    entities/attrs index sink as an inverted index): label token →
+    (n_entities, order-insensitive id-hash checksum over the posting
+    list).  The checksum pins the posting CONTENT without shipping the
+    list through the contract: sum of each entity id's rolling char
+    hash mod FP_MOD — commutative, so partitioning-invariant and
+    replayable in SQL."""
+    attrs = kg_entity_attrs(spark, sf_dir).select("entity_id", "label")
+    postings = attrs.select(
+        "entity_id",
+        F.explode(
+            F.expr("filter(split(label, ' '), t -> t != '')")
+        ).alias("token"),
+    ).distinct()
+    ehash = (
+        "aggregate(split(entity_id, ''), CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * 31 + ascii(c)) % {G.FP_MOD})"
+    )
+    return (
+        postings.withColumn("eh", F.expr(ehash))
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.expr(f"CAST(sum(eh) % {G.FP_MOD} AS BIGINT)").alias("postings_hash"),
+        )
+    )

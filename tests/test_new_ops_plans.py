@@ -706,3 +706,37 @@ def test_bpe_encode_compresses(spark, tmp_path):
     out = {r["doc_id"]: (r["n_syms_before"], r["n_syms_after"])
            for r in Q.bpe_encode_counts(spark, str(tmp_path)).collect()}
     assert out == {1: (12, 5), 2: (9, 5)}
+
+
+def test_cumulative_users_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # u1 day0, u2 day0, u1 again day1, u3 day2
+    for i, (u, d) in enumerate([(1, 0), (2, 0), (1, 1), (3, 2)]):
+        rows.append((i, base + pd.Timedelta(days=d), u, "t", 1.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    out = [(r["new_users"], r["cum_users"]) for r in
+           Q.event_cumulative_users(spark, str(tmp_path))
+           .orderBy("day").collect()]
+    assert out == [(2, 2), (1, 3)]  # day1 adds nobody new → no row
+
+
+def test_label_index_partitioning_invariant(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run():
+        return {tuple(r) for r in Q.kg_label_index(spark, sf_dir).collect()}
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        lo = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        hi = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert lo == hi and len(lo) > 0
