@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_adamic": Q.entity_link_adamic,  # bitlen AA + e6 Jaccard (r6c)
         "kg_negative_edges": Q.kg_negative_edges,    # deterministic corruption sampling (r6c)
         "entity_neighbor_agg": Q.entity_neighbor_agg,  # one message-passing round (r6c)
+        "entity_clustering_coef": Q.entity_clustering_coef,  # e6 local clustering (r6c)
+        "entity_degree_hist": Q.entity_degree_hist,    # log2 degree distribution (r6c)
+        "entity_ppr": Q.entity_ppr,                    # personalized PageRank (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -263,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
         "entity_link_adamic": OS.ENTITY_LINK_ADAMIC_SQL,
         "kg_negative_edges": OS.KG_NEGATIVE_EDGES_SQL,
         "entity_neighbor_agg": OS.ENTITY_NEIGHBOR_AGG_SQL,
+        "entity_clustering_coef": OS.ENTITY_CLUSTERING_SQL,
+        "entity_degree_hist": OS.ENTITY_DEGREE_HIST_SQL,
+        "entity_ppr": OS.ENTITY_PPR_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

@@ -486,3 +486,110 @@ def bfs_hops(
         settled = settled.unionByName(nxt)
         frontier = nxt.select("node")
     return settled.select(F.col("node").alias(node_col), "dist")
+
+
+def ppr_int(
+    nodes_seeded: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    node_col: str = "node",
+) -> DataFrame:
+    """Integer-exact PERSONALIZED PageRank (µ-unit scores).
+    ``nodes_seeded`` carries (node, is_seed boolean); ``edges`` is the
+    directed (src, dst) frame.
+
+        score₀ = is_seed ? 1_000_000 : 0
+        scoreₖ₊₁ = (is_seed ? 150_000 : 0)
+                   + (17 · Σ_in (scoreₖ div outdeg)) div 20
+
+    The teleport mass returns ONLY to the seed set — the classic
+    seed-restricted recommendation/relatedness primitive — while the
+    propagation term is identical to pagerank_int, so every operation
+    stays in BIGINT and the result is bit-identical across engines and
+    partitionings.  Scale shape: one edge equi-join + one
+    map-side-combined aggregate per round, O(E)·n_iter, lineage cut
+    per round; the seed indicator rides the slim node frame (never the
+    edge shuffle)."""
+    nd = nodes_seeded.select(
+        F.col(node_col).alias("node"), F.col("is_seed").cast("boolean")
+    ).distinct()
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    base = F.when(F.col("is_seed"), F.lit(150_000).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    score = nd.withColumn(
+        "score",
+        F.when(F.col("is_seed"), F.lit(1_000_000).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(score.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("score div d").alias("c"))
+        )
+        inc = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
+        score = (
+            nd.join(inc, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                (base + F.expr("(17 * coalesce(inc, 0)) div 20"))
+                .cast("bigint")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return score
+
+
+def clustering_int(pairs: DataFrame, node_col: str = "node") -> DataFrame:
+    """Local clustering coefficient, integer-exact: per node over the
+    UNDIRECTED distinct pair frame (a < b columns),
+
+        clustering_e6 = (2_000_000 · triangles) div (deg · (deg − 1))
+
+    for deg ≥ 2, else 0.  Triangles enumerate once over ordered edges
+    (the O(E^{3/2}) 3-way equi-join shared with triangle counting),
+    degree is one map-side-combined aggregate over the bidirectional
+    frame, and the coefficient is a pure integer expression — no float
+    division crosses the engine boundary.  Output: (node, degree,
+    n_triangles, clustering_e6) for every node with degree ≥ 1."""
+    a_col, b_col = pairs.columns[0], pairs.columns[1]
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint(
+        eager=False
+    )
+    deg = (
+        p.select(F.col("a").alias("node"))
+        .unionByName(p.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    ab = p.select("a", "b")
+    bc = p.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = p.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    tcounts = corners.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return (
+        deg.join(tcounts, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN (2000000 * coalesce(n_triangles, 0))"
+                " DIV (degree * (degree - 1)) ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("clustering_e6"),
+        )
+    )

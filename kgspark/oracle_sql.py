@@ -3112,3 +3112,110 @@ SELECT token, CAST(count(*) AS BIGINT) AS n_entities,
 FROM hashed GROUP BY token
 """
 KG_LABEL_INDEX_SQL = KG_LABEL_INDEX_SQL.replace("{_KG_CTES}", _KG_CTES)
+
+
+# r6c: shared coocc CTE tail for the graph-analytics additions.
+_COOCC_TAIL = """,
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+)"""
+
+# r6c: local clustering coefficient — triangles over ordered edges +
+# degree over the bidirectional frame, coefficient on the e6 integer
+# grid ('//' = integer division; deg < 2 pins 0).
+ENTITY_CLUSTERING_SQL = f"""
+{_KG_CTES}{_COOCC_TAIL},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT entity_a AS node FROM coocc
+    UNION ALL SELECT entity_b FROM coocc
+  ) GROUP BY node
+),
+tri AS MATERIALIZED (
+  SELECT ab.entity_a AS a, ab.entity_b AS b, bc.entity_b AS c
+  FROM coocc ab
+  JOIN coocc bc ON bc.entity_a = ab.entity_b
+  JOIN coocc ac ON ac.entity_a = ab.entity_a AND ac.entity_b = bc.entity_b
+),
+tc AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS entity_id, d.degree,
+       COALESCE(tc.n_triangles, 0) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2000000 * COALESCE(tc.n_triangles, 0))
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_e6
+FROM deg d LEFT JOIN tc USING (node)
+"""
+
+# r6c: log2-bucketed degree distribution (bucket = bitlen(degree)).
+ENTITY_DEGREE_HIST_SQL = f"""
+{_KG_CTES}{_COOCC_TAIL},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT entity_a AS node FROM coocc
+    UNION ALL SELECT entity_b FROM coocc
+  ) GROUP BY node
+)
+SELECT CAST(length(bin(degree)) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       MIN(degree) AS min_degree,
+       MAX(degree) AS max_degree
+FROM deg GROUP BY bucket
+"""
+
+# r6c: personalized PageRank — seed indicator from the minted digest's
+# first hex char (engine-agnostic string rule), 4 unrolled iterations,
+# teleport mass returning only to seeds.
+_PPR_ITER = """,
+ppr{k} AS (
+  SELECT n.entity_id, n.is_seed,
+         CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+              + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS score
+  FROM ppr_nodes n LEFT JOIN (
+    SELECT e.dst AS entity_id, SUM(p.score // d.d) AS s
+    FROM ppr_edges e
+    JOIN ppr{km1} p ON p.entity_id = e.src
+    JOIN ppr_deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) inc USING (entity_id)
+)"""
+
+ENTITY_PPR_SQL = (
+    f"""{_KG_CTES}{_COOCC_TAIL},
+ppr_edges AS MATERIALIZED (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL
+  SELECT entity_b AS src, entity_a AS dst FROM coocc
+),
+ppr_deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ppr_edges GROUP BY src
+),
+ppr_nodes AS MATERIALIZED (
+  SELECT DISTINCT entity_id,
+         ascii(substr(entity_id, {len(G.ENTITY_IRI_PREFIX) + 1}, 1)) % 4 = 0
+           AS is_seed
+  FROM eids
+),
+ppr0 AS (
+  SELECT entity_id, is_seed,
+         CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS score
+  FROM ppr_nodes
+)"""
+    + "".join(_PPR_ITER.format(k=k, km1=k - 1) for k in range(1, 5))
+    + """
+SELECT entity_id, is_seed, score FROM ppr4
+"""
+)

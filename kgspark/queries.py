@@ -3373,3 +3373,73 @@ def kg_label_index(spark, sf_dir):
             F.expr(f"CAST(sum(eh) % {G.FP_MOD} AS BIGINT)").alias("postings_hash"),
         )
     )
+
+
+def entity_clustering_coef(spark, sf_dir):
+    """Round-6c: LOCAL CLUSTERING COEFFICIENT per entity over the
+    co-occurrence graph — the per-node companion to
+    entity_triangle_counts: clustering_e6 = (2e6 · triangles) div
+    (deg·(deg−1)), all-BIGINT so both engines agree bit-exactly (a
+    float ratio would not hash-compare).  One ordered-edge triangle
+    enumeration + one degree aggregate (cc.clustering_int); the same
+    O(E^{3/2}) plan family as the triangle query — no node ever joins
+    its full neighborhood twice."""
+    pairs = (
+        kg_entity_cooccurrence(spark, sf_dir)
+        .select("entity_a", "entity_b")
+    )
+    return cc_mod.clustering_int(pairs, node_col="entity_id")
+
+
+def entity_degree_hist(spark, sf_dir):
+    """Round-6c: log2-bucketed DEGREE DISTRIBUTION of the co-occurrence
+    graph (the power-law observability readout every graph pipeline
+    ships): bucket = bitlen(degree) so bucket k holds degrees in
+    [2^(k-1), 2^k).  Two map-side-combined aggregates over the
+    bidirectional edge frame — O(E), no joins, scale-trivial."""
+    deg = (
+        _coocc_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return (
+        deg.select(
+            F.length(F.bin(F.col("degree"))).cast("int").alias("bucket"),
+            "degree",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
+def entity_ppr(spark, sf_dir, n_iter: int = 4):
+    """Round-6c: PERSONALIZED PageRank from a deterministic seed set —
+    the seed-restricted relatedness/recommendation primitive (which
+    entities are close to THESE?).  Seeds: first hex digit of the
+    minted entity digest has ascii % 4 == 0 (engine-agnostic string
+    rule — both sides compute it from the same entity_id column, no
+    RNG).  Scores in µ-units with integer damping 17/20 and teleport
+    mass returning only to seeds (cc.ppr_int); 4 unrolled iterations
+    mirrored as CTEs in the DuckDB oracle.  O(E) per round."""
+    m, labels = _labels(spark, sf_dir)
+    members = gen.entity_membership(m, labels)
+    pfx = len(G.ENTITY_IRI_PREFIX)
+    nodes = (
+        members.select("entity_id")
+        .distinct()
+        .withColumn(
+            "is_seed",
+            F.expr(f"ascii(substr(entity_id, {pfx + 1}, 1)) % 4 = 0"),
+        )
+    )
+    return (
+        cc_mod.ppr_int(
+            nodes, _coocc_edges(spark, sf_dir), n_iter=n_iter, node_col="entity_id"
+        )
+        .withColumnRenamed("node", "entity_id")
+        .select("entity_id", "is_seed", "score")
+    )

@@ -169,3 +169,51 @@ def test_label_propagation_two_communities(spark):
     }
     assert {out[n] for n in "ab"} == {"a"}
     assert {out[n] for n in "yz"} == {"x"}
+
+
+def test_clustering_int_triangle_plus_pendant(spark):
+    """Triangle a-b-c plus pendant a-d: a has deg 3 / 1 triangle
+    (coef 2e6/6 = 333333), b and c deg 2 / 1 triangle (coef 1e6),
+    d deg 1 (coef pinned 0)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")],
+        "a string, b string",
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_e6"])
+        for r in cc.clustering_int(pairs).collect()
+    }
+    assert got == {
+        "a": (3, 1, 333333),
+        "b": (2, 1, 1000000),
+        "c": (2, 1, 1000000),
+        "d": (1, 0, 0),
+    }
+
+
+def test_ppr_int_seed_locality(spark):
+    """Path s - m - f with seed s: the seed keeps the teleport floor
+    and stays the top-scored node (the path is bipartite, so the
+    propagated mass OSCILLATES between the {s,f} and {m} sides each
+    round — hand-unrolled round-4 values pinned exactly)."""
+    edges = spark.createDataFrame(
+        [("s", "m"), ("m", "s"), ("m", "f"), ("f", "m")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [("s", True), ("m", False), ("f", False)],
+        "node string, is_seed boolean",
+    )
+    out = {r["node"]: r["score"] for r in cc.ppr_int(nodes, edges, n_iter=4).collect()}
+    # hand unroll: r1 (150000, 850000, 0) → r2 (511250, 127500, 361250)
+    # → r3 (204187, 741625, 54187) → r4 below; seed strictly on top.
+    assert out == {"s": 465_190, "m": 219_617, "f": 315_190}
+    assert max(out, key=out.get) == "s"
+    # hand-check round 1: s = 150000 + 17*(1000000 div 2... ) —
+    # contributions: only s has mass 1e6, outdeg(s)=1 → m gets
+    # 17*1000000//20 = 850000; s gets 150000; f gets 0.
+    r1 = {
+        r["node"]: r["score"]
+        for r in cc.ppr_int(nodes, edges, n_iter=1).collect()
+    }
+    assert r1 == {"s": 150_000, "m": 850_000, "f": 0}
