@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clustering_coef": Q.entity_clustering_coef,  # e6 local clustering (r6c)
         "entity_degree_hist": Q.entity_degree_hist,    # log2 degree distribution (r6c)
         "entity_ppr": Q.entity_ppr,                    # personalized PageRank (r6c)
+        "term_pmi": Q.term_pmi,                        # log-domain PMI collocations (r6c)
+        "embedding_srp_buckets": Q.embedding_srp_buckets,  # SRP-LSH histogram (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -269,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_clustering_coef": OS.ENTITY_CLUSTERING_SQL,
         "entity_degree_hist": OS.ENTITY_DEGREE_HIST_SQL,
         "entity_ppr": OS.ENTITY_PPR_SQL,
+        "term_pmi": OS.TERM_PMI_SQL,
+        "embedding_srp_buckets": OS.EMBEDDING_SRP_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

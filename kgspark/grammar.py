@@ -241,6 +241,18 @@ CMS_W = 512
 CMS_HASH_OFFSET = 256
 CMS_TOP_K = 20
 
+# Sign-random-projection LSH over embeddings (cosine bucketing — the
+# hyperplane-family alternative to the cell-grid in dedup.embedding
+# near-dup): plane k's component d (0-based) has sign +1 iff
+#   ((hash_a(SRP_HASH_IDX) * (k*dim + d) + hash_b(SRP_HASH_IDX))
+#     % HASH_P) % 2 == 0
+# else −1; bit k of the signature = [Σ_d sign(k,d)·e3_d ≥ 0].  Pure
+# int64 arithmetic on the e3 grid — bit-identical on every engine,
+# unlike a float Gaussian projection.  Shared by
+# queries.embedding_srp_buckets and oracle_sql.EMBEDDING_SRP_SQL.
+SRP_PLANES = 16
+SRP_HASH_IDX = CMS_HASH_OFFSET + CMS_D  # next free slot in the family
+
 # Quality scoring stopword set = STOP_TOKENS; token-count regex:
 BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
 

@@ -3219,3 +3219,62 @@ ppr0 AS (
 SELECT entity_id, is_seed, score FROM ppr4
 """
 )
+
+
+# r6c: PMI collocations — log-domain integer score (overflow-safe at
+# any corpus size; see queries.term_pmi).
+TERM_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(toks) AS u(w) GROUP BY w
+),
+bi AS MATERIALIZED (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n_tokens,
+         (SELECT SUM(c_xy) FROM bi) AS n_bigrams
+)
+SELECT b.w1, b.w2, b.c_xy,
+       CAST(length(bin(b.c_xy)) + 2 * length(bin(CAST(t.n_tokens AS BIGINT)))
+            - length(bin(CAST(t.n_bigrams AS BIGINT)))
+            - length(bin(x.c)) - length(bin(y.c)) AS INT) AS pmi_bits
+FROM bi b
+JOIN uni x ON x.w = b.w1
+JOIN uni y ON y.w = b.w2
+CROSS JOIN tot t
+WHERE b.c_xy >= 5
+"""
+
+
+# r6c: sign-random-projection LSH bucket histogram (grammar.SRP_*).
+EMBEDDING_SRP_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(0, {G.SRP_PLANES - 1}),
+           k -> CASE WHEN list_sum(list_transform(generate_series(1, len(e3)),
+                  d -> (CASE WHEN (({G.hash_a(G.SRP_HASH_IDX)} * (k * len(e3) + d - 1)
+                                   + {G.hash_b(G.SRP_HASH_IDX)}) % {G.HASH_P}) % 2 = 0
+                        THEN 1 ELSE -1 END) * e3[d])) >= 0
+                THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM v
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_cand_pairs
+FROM sigs GROUP BY bucket
+"""

@@ -3443,3 +3443,108 @@ def entity_ppr(spark, sf_dir, n_iter: int = 4):
         .withColumnRenamed("node", "entity_id")
         .select("entity_id", "is_seed", "score")
     )
+
+
+def term_pmi(spark, sf_dir):
+    """Round-6c: PMI COLLOCATION MINING over adjacent word bigrams —
+    the classic phrase-detection stage (word2vec-style "new_york"
+    merging) on a fully LOG-DOMAIN integer score:
+
+        pmi_bits = bitlen(c_xy) + 2·bitlen(N) − bitlen(M)
+                   − bitlen(c_x) − bitlen(c_y)
+
+    ≈ log2(p(xy) / (p(x)·p(y))) within quantization — and, unlike the
+    ratio form (c_xy·N²) DIV (M·c_x·c_y), it can NEVER overflow int64
+    at any corpus size (N² at a 100 TB token count would), so the
+    quantized spec is also the scale-safe one.  Plan: per-doc bigram
+    counts first (map-side combine slims every shuffle), corpus counts
+    derived from those, two equi-joins on the word keys, corpus totals
+    as one broadcast 1-row frame.  Filter c_xy ≥ 5 (collocation
+    support)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1))"
+                )
+            ).alias("bg"),
+        )
+        .select(F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("bigint").alias("n_tokens")
+    ).crossJoin(bi.agg(F.sum("c_xy").cast("bigint").alias("n_bigrams")))
+    return (
+        bi.filter(F.col("c_xy") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.length(F.bin("c_xy"))
+                + 2 * F.length(F.bin("n_tokens"))
+                - F.length(F.bin("n_bigrams"))
+                - F.length(F.bin("c_x"))
+                - F.length(F.bin("c_y"))
+            )
+            .cast("int")
+            .alias("pmi_bits"),
+        )
+    )
+
+
+def embedding_srp_buckets(spark, sf_dir):
+    """Round-6c: SIGN-RANDOM-PROJECTION LSH signatures over the
+    embedding table — the hyperplane bucketing family for cosine
+    similarity (complementing the cell-grid in embedding_neardup):
+    bit k of the 16-bit signature is [Σ_d sign(k,d)·e3_d ≥ 0] with the
+    ±1 hyperplane components minted from the grammar affine-hash
+    family (grammar.SRP_*) — deterministic int64 arithmetic, so both
+    engines bucket identically (a float Gaussian projection would
+    not).  Output: per-bucket histogram (n_vecs, id checksum, candidate
+    pair count) — the LSH observability readout that sizes the
+    verify-stage join.  Map-only signature pass + one aggregate; at
+    100 TB the bucket key is exactly what the near-dup verify join
+    would shuffle on."""
+    A, B = G.hash_a(G.SRP_HASH_IDX), G.hash_b(G.SRP_HASH_IDX)
+    e3 = "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
+    sig = (
+        f"aggregate(sequence(0, {G.SRP_PLANES - 1}), CAST(0 AS BIGINT), (acc, k) -> "
+        f"acc + IF(aggregate(sequence(1, size(e3)), CAST(0 AS BIGINT), (a, d) -> "
+        f"a + IF(((CAST({A} AS BIGINT) * (k * size(e3) + d - 1) + {B}) % {G.HASH_P}) % 2 = 0, "
+        f"CAST(1 AS BIGINT), CAST(-1 AS BIGINT)) * element_at(e3, d)) >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))"
+    )
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(e3).alias("e3")
+    )
+    return (
+        v.select("vec_id", F.expr(sig).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        )
+        .withColumn(
+            "n_cand_pairs",
+            F.expr("CAST(n_vecs * (n_vecs - 1) DIV 2 AS BIGINT)"),
+        )
+    )

@@ -169,3 +169,48 @@ def test_retention_cohorts_hand_case(spark, tmp_path):
     # cohort w: u10+u20 at offset 0, u10 returns at offset 1;
     # u30 first appears in week w+1 → its own cohort at offset 0
     assert out == {(0, 0, 2), (0, 1, 1), (1, 0, 1)}
+
+
+def test_term_pmi_hand_case(spark, tmp_path):
+    """5 copies of 'x y', 5 of 'p q', 5 of 'x q': c(x,y)=c(p,q)=c(x,q)=5,
+    unigrams x=10 y=5 p=5 q=10, N=30, M=15 — pmi_bits for (x,y) =
+    bitlen(5)+2·bitlen(30)−bitlen(15)−bitlen(10)−bitlen(5) =
+    3+10−4−4−3 = 2; (p,q) symmetric = 2; (x,q) = 3+10−4−4−4 = 1."""
+    import pandas as pd
+
+    rows = (
+        [("x y", i) for i in range(5)]
+        + [("p q", i + 5) for i in range(5)]
+        + [("x q", i + 10) for i in range(5)]
+    )
+    pdf = pd.DataFrame(
+        [(d, t, "en", "s", len(t)) for t, d in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    import kgspark.queries as QQ
+
+    got = {
+        (r["w1"], r["w2"]): (r["c_xy"], r["pmi_bits"])
+        for r in QQ.term_pmi(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("x", "y"): (5, 2),
+        ("p", "q"): (5, 2),
+        ("x", "q"): (5, 1),
+    }
+
+
+def test_srp_buckets_partition_invariant_and_complete(spark, sf_dir):
+    """Every vector lands in exactly one bucket (Σ n_vecs = table
+    count, Σ sum_vec_id = Σ vec_id) and the histogram is bit-identical
+    at different parallelism (map-only signature, no order
+    dependence)."""
+    import kgspark.queries as QQ
+
+    out = QQ.embedding_srp_buckets(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    assert sum(r["n_vecs"] for r in out) == n
+    assert sum(r["sum_vec_id"] for r in out) == n * (n - 1) // 2
+    assert all(0 <= r["bucket"] < 2**16 for r in out)

@@ -30,6 +30,8 @@ FAST = [
     "pii_scrub", "pii_rate_by_source", "kg_sparql_update", "para_dedup",
     "kg_sparql_select_expr", "rdf_jsonld_compacted_roundtrip",
     "kg_sparql_optional_exists", "kg_sparql_modify",
+    # round-6c additions
+    "term_pmi", "embedding_srp_buckets",
 ]
 
 

@@ -260,9 +260,19 @@ def test_stream_sessions_converge_to_batch(spark, sf_dir, tmp_path):
     import shutil
 
     os.makedirs(ev_dir)
+    # FileStreamSource orders files by MODIFICATION TIME at millisecond
+    # granularity (not by name); back-to-back copies land in the same
+    # millisecond and the tie order is arbitrary, so the chunk mtimes
+    # are pinned a full second apart to make arrival order = time order
+    # (the operator's documented convergence precondition).
+    import time
+
+    t0 = int(time.time()) - 100
     for i in range(3):
         src = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
-        shutil.copy(src, os.path.join(ev_dir, f"chunk-{i}.parquet"))
+        dst = os.path.join(ev_dir, f"chunk-{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
 
     events = (
         spark.readStream.schema(S.EVENTS_SCHEMA)
