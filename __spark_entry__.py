@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_ppr": Q.entity_ppr,                    # personalized PageRank (r6c)
         "term_pmi": Q.term_pmi,                        # log-domain PMI collocations (r6c)
         "embedding_srp_buckets": Q.embedding_srp_buckets,  # SRP-LSH histogram (r6c)
+        "dedup_incremental_pairs": Q.dedup_incremental_pairs,  # arriving-batch LSH (r6c)
+        "entity_top_neighbors": Q.entity_top_neighbors,  # related-entities top-3 (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -273,6 +275,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_ppr": OS.ENTITY_PPR_SQL,
         "term_pmi": OS.TERM_PMI_SQL,
         "embedding_srp_buckets": OS.EMBEDDING_SRP_SQL,
+        "dedup_incremental_pairs": OS.DEDUP_INCREMENTAL_SQL,
+        "entity_top_neighbors": OS.ENTITY_TOP_NEIGHBORS_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

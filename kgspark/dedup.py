@@ -769,3 +769,58 @@ def containment_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame, new_pred_sql: str = "doc_id % 10 = 0"
+) -> DataFrame:
+    """INCREMENTAL near-dup detection — the arriving-batch form every
+    production dedup pipeline actually runs: candidates are LSH band
+    collisions where AT LEAST ONE side is in the new batch
+    (``new_pred_sql``), so the old×old quadratic mass — already
+    adjudicated when the index was built — is excluded INSIDE the join
+    condition and never materializes in the shuffle.  At 100 TB the
+    index side's band table is a stored artifact (written once by
+    minhash_bands); per batch the cost is O(batch·bands) band rows +
+    the collision join, independent of how many old-old pairs exist.
+    Output: (doc_a, doc_b, pair_kind ∈ {new-new, new-old},
+    jaccard_e6) with the exact integer shingle Jaccard."""
+    sh = with_shingles(docs).select("doc_id", "shingles").localCheckpoint(eager=False)
+    flags = docs.select("doc_id", F.expr(new_pred_sql).alias("is_new"))
+    b = _bands_of(sh).join(flags, "doc_id").localCheckpoint(eager=False)
+    a = b.alias("a")
+    c = b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col("a.doc_id") < F.col("c.doc_id"))
+            & (F.col("a.is_new") | F.col("c.is_new")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.when(F.col("a.is_new") & F.col("c.is_new"), F.lit("new-new"))
+            .otherwise(F.lit("new-old"))
+            .alias("pair_kind"),
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "pair_kind",
+        F.expr(
+            "CAST((1000000 * size(array_intersect(sh_a, sh_b))) DIV "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) "
+            "AS BIGINT)"
+        ).alias("jaccard_e6"),
+    )

@@ -3278,3 +3278,67 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_cand_pairs
 FROM sigs GROUP BY bucket
 """
+
+
+# r6c: incremental minhash dedup — band collisions with at least one
+# NEW side (doc_id % 10 = 0), old×old excluded in the join condition.
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {SHINGLES_CTE},
+perms(i, a, b) AS (VALUES {_PERMS_ROWS}),
+codes AS (SELECT doc_id, unnest(shingles) AS code FROM shingled),
+sig AS (
+  SELECT doc_id, i, min((a * code + b) % {G.HASH_P}) AS mh
+  FROM codes CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_new,
+         CAST(i // {G.LSH_ROWS} AS INT) AS band_id,
+         max(CASE WHEN i % {G.LSH_ROWS} = 0 THEN mh END) * {G.HASH_P}
+           + max(CASE WHEN i % {G.LSH_ROWS} = 1 THEN mh END) AS band_hash
+  FROM sig GROUP BY doc_id, doc_id % 10 = 0, CAST(i // {G.LSH_ROWS} AS INT)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CASE WHEN a.is_new AND c.is_new THEN 'new-new'
+              ELSE 'new-old' END AS pair_kind
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+   AND a.doc_id < c.doc_id AND (a.is_new OR c.is_new)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, pair_kind,
+  CAST((1000000 * len(list_intersect(sa.shingles, sb.shingles)))
+       // (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) AS BIGINT)
+    AS jaccard_e6
+FROM cand
+JOIN shingled sa ON sa.doc_id = cand.doc_a
+JOIN shingled sb ON sb.doc_id = cand.doc_b
+"""
+
+
+# r6c: top-3 co-occurrence neighbors per entity.
+ENTITY_TOP_NEIGHBORS_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT entity_a AS entity_id, entity_b AS neighbor_id, n_docs FROM coocc
+  UNION ALL
+  SELECT entity_b, entity_a, n_docs FROM coocc
+)
+SELECT entity_id, neighbor_id, n_docs, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY entity_id
+                               ORDER BY n_docs DESC, neighbor_id) AS rank
+  FROM bi
+) WHERE rank <= 3
+"""

@@ -3548,3 +3548,51 @@ def embedding_srp_buckets(spark, sf_dir):
             F.expr("CAST(n_vecs * (n_vecs - 1) DIV 2 AS BIGINT)"),
         )
     )
+
+
+def dedup_incremental_pairs(spark, sf_dir):
+    """Round-6c: INCREMENTAL near-dup — the arriving-batch form (new =
+    doc_id % 10 == 0, the deterministic 10% batch): LSH band collisions
+    where at least one side is new, old×old excluded inside the join
+    condition (dedup.minhash_incremental_pairs).  At 100 TB the index's
+    band table is a stored artifact; per-batch cost is independent of
+    the old×old pair mass — the shape that makes daily dedup runs
+    affordable."""
+    from . import dedup as D
+
+    return D.minhash_incremental_pairs(_t(spark, sf_dir, "documents"))
+
+
+def entity_top_neighbors(spark, sf_dir):
+    """Round-6c: TOP-K RELATED ENTITIES — per entity the 3 strongest
+    co-occurrence neighbors by (n_docs DESC, neighbor ASC): the
+    "related entities" panel every KG serving layer precomputes.
+    Per-group rank over the bidirectional edge frame: rn <= k compiles
+    to WindowGroupLimit (partial top-k BEFORE the shuffle), so the
+    exchange carries at most k rows per entity — no global sort at any
+    scale."""
+    pairs = kg_entity_cooccurrence(spark, sf_dir)
+    bi = pairs.select(
+        F.col("entity_a").alias("entity_id"),
+        F.col("entity_b").alias("neighbor_id"),
+        "n_docs",
+    ).unionByName(
+        pairs.select(
+            F.col("entity_b").alias("entity_id"),
+            F.col("entity_a").alias("neighbor_id"),
+            "n_docs",
+        )
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_docs"), F.asc("neighbor_id")
+    )
+    return (
+        bi.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "entity_id",
+            "neighbor_id",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -740,3 +740,51 @@ def test_label_index_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert lo == hi and len(lo) > 0
+
+
+def test_top_neighbors_plans_window_group_limit(spark, sf_dir):
+    """rn <= 3 per entity must compile to WindowGroupLimit (partial
+    top-k before the exchange) — the property that bounds the shuffle
+    to k rows per entity at any scale."""
+    p = _plan(Q.entity_top_neighbors(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p[:1500]
+
+
+def test_incremental_dedup_subset_and_planted_pair(spark, sf_dir):
+    """The incremental pair set == the full LSH pair set restricted to
+    pairs touching the new batch (no pair lost by incrementality, no
+    old×old pair leaked), and a planted near-dup crossing the
+    new/old boundary is found tagged new-old."""
+    from kgspark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["pair_kind"]
+        for r in D.minhash_incremental_pairs(docs).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    want = {
+        (a, b) for (a, b) in full if a % 10 == 0 or b % 10 == 0
+    }
+    assert set(inc) == want
+    assert all(
+        (k == "new-new") == (a % 10 == 0 and b % 10 == 0)
+        for (a, b), k in inc.items()
+    )
+    # planted: doc 10 (new) duplicated as doc 10001 (old) → found new-old
+    import pandas as pd
+
+    src = docs.filter("doc_id = 10").toPandas()
+    clone = src.copy()
+    clone["doc_id"] = 10001
+    planted = spark.createDataFrame(
+        pd.concat([docs.toPandas(), clone], ignore_index=True)
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["pair_kind"], r["jaccard_e6"])
+        for r in D.minhash_incremental_pairs(planted).collect()
+    }
+    assert got[(10, 10001)] == ("new-old", 1000000)
