@@ -335,3 +335,46 @@ def stream_event_sessions(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_view_purchase_attribution(events_stream: DataFrame) -> DataFrame:
+    """STREAM-STREAM INTERVAL JOIN (the Spark-native two-stream form of
+    the batch event_range_join): each purchase joins the same user's
+    views from the preceding 30 minutes — classic attribution.  Both
+    sides carry a 1-hour watermark and the join condition bounds the
+    purchase time to [view_ts, view_ts + 30 min], which is what lets
+    the state store EVICT old view rows instead of buffering the
+    stream forever — the property that makes the join runnable on an
+    unbounded stream.  Append mode: a pair emits once both sides are
+    past the watermark."""
+    views = (
+        events_stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )

@@ -298,3 +298,66 @@ def test_stream_sessions_converge_to_batch(spark, sf_dir, tmp_path):
         for r in Q.event_sessions(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_attribution_converges_to_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the batch view×purchase interval
+    join once all data is processed (availableNow drains everything, so
+    every in-bound pair crosses the watermark and emits)."""
+    import glob
+    import os
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev_dir = str(tmp_path / "ev_attr")
+    os.makedirs(ev_dir)
+    # two time-ordered chunks, mtimes pinned (FileStreamSource orders
+    # by ms-granularity modification time)
+    mid = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS m").collect()[0]["m"]
+    us = F.unix_micros(F.col("ts"))
+    t0 = int(__import__("time").time()) - 100
+    for i, pred in enumerate([us <= int(mid), us > int(mid)]):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"astage{i}")
+        )
+        src = glob.glob(str(tmp_path / f"astage{i}" / "part-*.parquet"))[0]
+        dst = os.path.join(ev_dir, f"chunk-{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    events = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        S.stream_view_purchase_attribution(events)
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cpattr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    v = ev.filter("event_type = 'view'").selectExpr(
+        "user_id", "event_id AS view_id", "ts AS view_ts"
+    )
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS purchase_id", "ts AS purchase_ts"
+    )
+    want = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in v.join(p, "user_id")
+        .filter(
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + interval 30 minutes"
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
