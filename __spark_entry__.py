@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_srp_buckets": Q.embedding_srp_buckets,  # SRP-LSH histogram (r6c)
         "dedup_incremental_pairs": Q.dedup_incremental_pairs,  # arriving-batch LSH (r6c)
         "entity_top_neighbors": Q.entity_top_neighbors,  # related-entities top-3 (r6c)
+        "dedup_minhash_calibration": Q.dedup_minhash_calibration,  # estimator error (r6c)
+        "doc_surprisal_heldout": Q.doc_surprisal_heldout,  # cross-split LM filter (r6c)
+        "event_value_histogram": Q.event_value_histogram,  # equi-width e6 buckets (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -277,6 +280,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_srp_buckets": OS.EMBEDDING_SRP_SQL,
         "dedup_incremental_pairs": OS.DEDUP_INCREMENTAL_SQL,
         "entity_top_neighbors": OS.ENTITY_TOP_NEIGHBORS_SQL,
+        "dedup_minhash_calibration": OS.DEDUP_MINHASH_CALIB_SQL,
+        "doc_surprisal_heldout": OS.DOC_SURPRISAL_HELDOUT_SQL,
+        "event_value_histogram": OS.EVENT_VALUE_HISTOGRAM_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

@@ -824,3 +824,72 @@ def minhash_incremental_pairs(
             "AS BIGINT)"
         ).alias("jaccard_e6"),
     )
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION — the eval-metric companion to
+    minhash_lsh_pairs: per LSH candidate pair, the signature-based
+    Jaccard estimate (matching positions / MINHASH_PERMS, the unbiased
+    MinHash estimator) next to the exact shingle-set Jaccard, both on
+    the e6 integer grid, plus the absolute error.  This is how a
+    production pipeline picks MINHASH_PERMS / bands: measure the
+    estimator's error distribution on real candidates.  Plan shape =
+    the pair join of minhash_lsh_pairs with the 64-long signature
+    arrays joined back once per side (slim band rows still drive the
+    candidate discovery)."""
+    sh = with_shingles(docs).select("doc_id", "shingles").localCheckpoint(eager=False)
+    sig = sh.select(
+        "doc_id", _minhash_sig("shingles").alias("sig")
+    ).localCheckpoint(eager=False)
+    b = _bands_of(sh).localCheckpoint(eager=False)
+    a = b.alias("a")
+    c = b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    est = F.expr(
+        "CAST((1000000 * aggregate(zip_with(sig_a, sig_b, "
+        "(x, y) -> IF(x = y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)) DIV {G.MINHASH_PERMS} AS BIGINT)"
+    )
+    exact = F.expr(
+        "CAST((1000000 * size(array_intersect(sh_a, sh_b))) DIV "
+        "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS BIGINT)"
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        est.alias("est_jaccard_e6"),
+        exact.alias("exact_jaccard_e6"),
+    ).withColumn(
+        "abs_err_e6",
+        F.abs(F.col("est_jaccard_e6") - F.col("exact_jaccard_e6")).cast("bigint"),
+    )

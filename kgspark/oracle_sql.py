@@ -3342,3 +3342,103 @@ SELECT entity_id, neighbor_id, n_docs, CAST(rank AS INT) AS rank FROM (
   FROM bi
 ) WHERE rank <= 3
 """
+
+
+# r6c: MinHash estimator calibration — signature-position agreement vs
+# exact shingle Jaccard per LSH candidate pair.
+DEDUP_MINHASH_CALIB_SQL = f"""
+WITH {SHINGLES_CTE},
+perms(i, a, b) AS (VALUES {_PERMS_ROWS}),
+codes AS (SELECT doc_id, unnest(shingles) AS code FROM shingled),
+sig AS MATERIALIZED (
+  SELECT doc_id, i, min((a * code + b) % {G.HASH_P}) AS mh
+  FROM codes CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {G.LSH_ROWS} AS INT) AS band_id,
+         max(CASE WHEN i % {G.LSH_ROWS} = 0 THEN mh END) * {G.HASH_P}
+           + max(CASE WHEN i % {G.LSH_ROWS} = 1 THEN mh END) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(i // {G.LSH_ROWS} AS INT)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+   AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST((1000000 * SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END))
+              // {G.MINHASH_PERMS} AS BIGINT) AS est_jaccard_e6
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT est.doc_a, est.doc_b, est.est_jaccard_e6,
+  CAST((1000000 * len(list_intersect(sa.shingles, sb.shingles)))
+       // (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) AS BIGINT)
+    AS exact_jaccard_e6,
+  CAST(abs(est.est_jaccard_e6
+       - (1000000 * len(list_intersect(sa.shingles, sb.shingles)))
+         // (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))) AS BIGINT)
+    AS abs_err_e6
+FROM est
+JOIN shingled sa ON sa.doc_id = est.doc_a
+JOIN shingled sb ON sb.doc_id = est.doc_b
+"""
+
+
+# r6c: held-out bigram surprisal — train on even doc_ids, score odd;
+# OOV bigrams counted and excluded from the scored mean.
+DOC_SURPRISAL_HELDOUT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+),
+db AS MATERIALIZED (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2, 3
+),
+bc AS MATERIALIZED (
+  SELECT w1, w2, SUM(tf) AS bt FROM db WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+uc AS (SELECT w1, SUM(bt) AS ut FROM bc GROUP BY 1),
+sc AS (
+  SELECT h.doc_id, h.tf,
+         CASE WHEN bc.bt IS NULL THEN 0 ELSE h.tf END AS scored,
+         CASE WHEN bc.bt IS NULL THEN h.tf ELSE 0 END AS oov,
+         CASE WHEN bc.bt IS NULL THEN 0
+              ELSE h.tf * length(bin(CAST(uc.ut // bc.bt AS BIGINT))) END AS s
+  FROM db h
+  LEFT JOIN bc ON bc.w1 = h.w1 AND bc.w2 = h.w2
+  LEFT JOIN uc ON uc.w1 = h.w1
+  WHERE h.doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST((1000000 * SUM(s)) // SUM(scored) AS BIGINT) AS avg_surprisal_e6
+FROM sc GROUP BY doc_id HAVING SUM(scored) > 0
+"""
+
+
+# r6c: equi-width 16-bucket value histogram on the e6 grid.
+EVENT_VALUE_HISTOGRAM_SQL = """
+WITH v AS (
+  SELECT CAST(floor(1000000 * value) AS BIGINT) AS v_e6 FROM events
+),
+mm AS (SELECT MIN(v_e6) AS min_e6, MAX(v_e6) AS max_e6 FROM v)
+SELECT CAST(((v_e6 - min_e6) * 16) // (max_e6 - min_e6 + 1) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(v_e6) AS lo_e6, MAX(v_e6) AS hi_e6
+FROM v CROSS JOIN mm
+GROUP BY 1
+"""

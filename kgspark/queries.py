@@ -3596,3 +3596,116 @@ def entity_top_neighbors(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def dedup_minhash_calibration(spark, sf_dir):
+    """Round-6c: MinHash estimator calibration — per LSH candidate
+    pair, the 64-perm signature estimate vs the exact shingle Jaccard
+    (both e6) and the absolute error (dedup.minhash_calibration): the
+    measurement that sizes MINHASH_PERMS/bands for a target error at
+    production scale."""
+    from . import dedup as D
+
+    return D.minhash_calibration(_t(spark, sf_dir, "documents"))
+
+
+def doc_surprisal_heldout(spark, sf_dir):
+    """Round-6c: HELD-OUT bigram surprisal — the methodologically
+    correct form of the perplexity quality filter: the language model
+    (bigram counts) trains on the even-doc_id half and scores the odd
+    half, so no document scores its own statistics (self-scoring bias
+    makes duplicated boilerplate look fluent).  Out-of-vocabulary
+    bigrams (absent from the train half) are counted per doc
+    (n_oov) and excluded from the mean — the e6 average is over scored
+    bigrams only; docs whose bigrams are all OOV drop out.  Same
+    bitlen quantization and slim per-doc-counts-first plan as
+    doc_bigram_surprisal."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id", F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2")
+        )
+    )
+    db = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    train = db.filter("doc_id % 2 = 0")
+    bc = train.groupBy("w1", "w2").agg(F.sum("tf").alias("bt"))
+    uc = bc.groupBy("w1").agg(F.sum("bt").alias("ut"))
+    held = db.filter("doc_id % 2 = 1")
+    sc = (
+        held.join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .select(
+            "doc_id",
+            "tf",
+            F.when(F.col("bt").isNull(), F.lit(0)).otherwise(F.col("tf")).alias("scored"),
+            F.when(F.col("bt").isNull(), F.col("tf")).otherwise(F.lit(0)).alias("oov"),
+            F.when(
+                F.col("bt").isNull(), F.lit(0)
+            ).otherwise(
+                F.col("tf") * F.length(F.bin(F.expr("ut DIV bt")))
+            ).alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.sum("scored").cast("bigint").alias("n_scored"),
+            F.sum("s").alias("sp"),
+        )
+        .filter(F.col("n_scored") > 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            F.expr("CAST((1000000 * sp) DIV n_scored AS BIGINT)").alias(
+                "avg_surprisal_e6"
+            ),
+        )
+    )
+
+
+def event_value_histogram(spark, sf_dir):
+    """Round-6c: equi-width 16-bucket HISTOGRAM of event values on the
+    e6 integer grid — the observability readout for value
+    distributions (the exact-percentile query is the equi-depth
+    companion).  Bucket = ((v_e6 − min_e6) · 16) DIV (range + 1) with
+    the global min/max broadcast from one 1-row aggregate; pure
+    integer arithmetic, identical buckets on every engine.  Two
+    map-side-combined aggregates — O(N), no sort, no skew exposure."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(1000000 * value) AS BIGINT)").alias("v_e6")
+    )
+    mm = ev.agg(
+        F.min("v_e6").alias("min_e6"), F.max("v_e6").alias("max_e6")
+    )
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(
+                "CAST(((v_e6 - min_e6) * 16) DIV (max_e6 - min_e6 + 1) AS INT)"
+            ).alias("bucket"),
+            "v_e6",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("v_e6").alias("lo_e6"),
+            F.max("v_e6").alias("hi_e6"),
+        )
+    )

@@ -313,3 +313,29 @@ def test_keep_best_prefers_quality_over_min_id(spark, tmp_path):
            QQ.dedup_keep_best(spark, str(tmp_path)).collect()}
     assert out.get(1) == 2 and out.get(2) == 2
     assert 9 not in out  # not near-dup of anything
+
+
+def test_minhash_calibration_identical_pair_zero_error(spark, sf_dir):
+    """A cloned document pair: signature estimate = exact Jaccard =
+    1e6, abs error 0 — and every estimate stays on [0, 1e6]."""
+    import pandas as pd
+
+    from kgspark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clone = docs.filter("doc_id = 7").toPandas()
+    clone["doc_id"] = 70007
+    planted = spark.createDataFrame(
+        pd.concat([docs.toPandas(), clone], ignore_index=True)
+    )
+    rows = D.minhash_calibration(planted).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    r = got[(7, 70007)]
+    assert (r["est_jaccard_e6"], r["exact_jaccard_e6"], r["abs_err_e6"]) == (
+        1000000, 1000000, 0,
+    )
+    assert all(0 <= x["est_jaccard_e6"] <= 1000000 for x in rows)
+    assert all(
+        x["abs_err_e6"] == abs(x["est_jaccard_e6"] - x["exact_jaccard_e6"])
+        for x in rows
+    )
