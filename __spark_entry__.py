@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_calibration": Q.dedup_minhash_calibration,  # estimator error (r6c)
         "doc_surprisal_heldout": Q.doc_surprisal_heldout,  # cross-split LM filter (r6c)
         "event_value_histogram": Q.event_value_histogram,  # equi-width e6 buckets (r6c)
+        "kg_sparql_values": Q.kg_sparql_values,        # VALUES + MIN/MAX aggs (r6c)
+        "embedding_label_centroids": Q.embedding_label_centroids,  # k-means M-step (r6c)
+        "embedding_kmeans_assign": Q.embedding_kmeans_assign,  # k-means E-step (r6c)
+        "vocab_growth": Q.vocab_growth,                # Heaps-law growth curve (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -283,6 +287,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_calibration": OS.DEDUP_MINHASH_CALIB_SQL,
         "doc_surprisal_heldout": OS.DOC_SURPRISAL_HELDOUT_SQL,
         "event_value_histogram": OS.EVENT_VALUE_HISTOGRAM_SQL,
+        "kg_sparql_values": OS.SPARQL_VALUES_SQL,
+        "embedding_label_centroids": OS.EMBEDDING_CENTROIDS_SQL,
+        "embedding_kmeans_assign": OS.EMBEDDING_KMEANS_ASSIGN_SQL,
+        "vocab_growth": OS.VOCAB_GROWTH_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

@@ -3442,3 +3442,105 @@ SELECT CAST(((v_e6 - min_e6) * 16) // (max_e6 - min_e6 + 1) AS INT) AS bucket,
 FROM v CROSS JOIN mm
 GROUP BY 1
 """
+
+
+# r6c: SPARQL VALUES + MIN/MAX aggregates.
+SPARQL_VALUES_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.o AS t,
+       MIN(CAST(t2.o AS BIGINT)) AS lo,
+       MAX(CAST(t2.o AS BIGINT)) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s AND t2.p = 'ex:score'
+WHERE t1.p = 'rdf:type' AND t1.o IN ('ex:Commerce', 'ex:Data')
+GROUP BY t1.o
+"""
+
+
+# r6c: k-means M-step — integer centroid per (label, dim); the mean
+# truncates toward zero (matching Spark's DIV on a sign-split).
+EMBEDDING_CENTROIDS_SQL = """
+WITH v AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+ex AS (
+  SELECT label, CAST(d - 1 AS INT) AS dim, e3[d] AS val
+  FROM v, UNNEST(generate_series(1, len(e3))) AS t(d)
+)
+SELECT CAST(label AS INT) AS label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(CASE WHEN SUM(val) >= 0 THEN SUM(val) // COUNT(*)
+                 ELSE -((-SUM(val)) // COUNT(*)) END AS BIGINT) AS mean_e3
+FROM ex GROUP BY label, dim
+"""
+
+
+# r6c: k-means E-step — nearest integer centroid, ties to min label.
+EMBEDDING_KMEANS_ASSIGN_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+ex AS (
+  SELECT label, d AS dim, e3[d] AS val
+  FROM v, UNNEST(generate_series(1, len(e3))) AS t(d)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(CASE WHEN SUM(val) >= 0 THEN SUM(val) // COUNT(*)
+                   ELSE -((-SUM(val)) // COUNT(*)) END AS BIGINT) AS mean_e3
+  FROM ex GROUP BY label, dim
+),
+cent_arr AS (
+  SELECT label AS c_label,
+         list(mean_e3 ORDER BY dim) AS cent
+  FROM cent GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, c.c_label,
+         CAST(list_sum(list_transform(generate_series(1, len(v.e3)),
+              i -> (v.e3[i] - c.cent[i]) * (v.e3[i] - c.cent[i])))
+           AS BIGINT) AS dist
+  FROM v CROSS JOIN cent_arr c
+),
+sel AS (SELECT vec_id, MIN(dist) AS dist_e6 FROM scored GROUP BY vec_id)
+SELECT s.vec_id, CAST(MIN(sc.c_label) AS INT) AS assigned_label,
+       CAST(s.dist_e6 AS BIGINT) AS dist_e6
+FROM sel s JOIN scored sc ON sc.vec_id = s.vec_id AND sc.dist = s.dist_e6
+GROUP BY s.vec_id, s.dist_e6
+"""
+
+
+# r6c: vocabulary growth curve (Heaps-law readout) at 10-doc grain,
+# over word-trigram types (the unigram vocab is closed — saturates
+# in batch 0).
+VOCAB_GROWTH_SQL = """
+WITH dt AS (
+  SELECT doc_id // 10 AS batch,
+         list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT batch, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+  FROM dt, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+fb AS (
+  SELECT w, CAST(MIN(batch) AS BIGINT) AS first_batch FROM toks GROUP BY w
+),
+pb AS (
+  SELECT first_batch, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM fb GROUP BY first_batch
+)
+SELECT first_batch AS batch, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY first_batch
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM pb
+"""

@@ -3709,3 +3709,144 @@ def event_value_histogram(spark, sf_dir):
             F.max("v_e6").alias("hi_e6"),
         )
     )
+
+
+def kg_sparql_values(spark, sf_dir):
+    """Round-6c: VALUES inline data + MIN/MAX aggregates through the
+    text front-end — the parameterized-query form consumers actually
+    send (bind the class list, aggregate per class).  VALUES joins as
+    a broadcast-able inline frame; MIN/MAX are exact on the integer
+    scores."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?t (MIN(?si) AS ?lo) (MAX(?si) AS ?hi) (COUNT(*) AS ?n)
+        WHERE { VALUES ?t { ex:Commerce ex:Data }
+                ?e rdf:type ?t . ?e ex:score ?s
+                BIND(xsd:integer(?s) AS ?si) }
+        GROUP BY ?t
+        """,
+    )
+
+
+def embedding_label_centroids(spark, sf_dir):
+    """Round-6c: K-MEANS M-STEP over the embedding table — per-label
+    centroid on the e3 integer grid: mean_e3(label, dim) =
+    Σ e3 DIV n_vecs (exact BIGINT sums, order-independent — a float
+    mean would not hash-compare across engines).  posexplode →
+    one map-side-combined aggregate on (label, dim): the distributed
+    M-step shape at any scale (the shuffle carries one partial sum per
+    (label, dim, partition), never vectors)."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("e3"),
+    )
+    return (
+        v.select("label", F.posexplode("e3").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("val").cast("bigint").alias("sum_e3"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("dim").cast("int").alias("dim"),
+            "n_vecs",
+            F.expr(
+                "CAST(CASE WHEN sum_e3 >= 0 THEN sum_e3 DIV n_vecs "
+                "ELSE -((-sum_e3) DIV n_vecs) END AS BIGINT)"
+            ).alias("mean_e3"),
+        )
+    )
+
+
+def embedding_kmeans_assign(spark, sf_dir):
+    """Round-6c: K-MEANS E-STEP — every vector assigned to the nearest
+    label centroid by integer squared-L2 on the e3 grid (ties → min
+    label).  The centroid frame (k·dim rows) reassembles into k arrays
+    and BROADCASTS — the E-step join moves only the small side, the
+    vector table streams map-only; min_by picks the argmin in one
+    aggregate-free expression.  Truncation toward zero in the centroid
+    mean is part of the operator spec (matched by the oracle)."""
+    cents = (
+        embedding_label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.expr("array_sort(collect_list(struct(dim, mean_e3)))").alias("cs")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(cs, s -> s.mean_e3)").alias("cent"),
+        )
+    )
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("e3"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(e3, cent, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_label", dist.alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "c_label")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.c_label").cast("int").alias("assigned_label"),
+            F.col("best.dist").cast("bigint").alias("dist_e6"),
+        )
+    )
+
+
+def vocab_growth(spark, sf_dir):
+    """Round-6c: VOCABULARY GROWTH CURVE (Heaps-law readout) — per
+    10-document batch, how many word-TRIGRAM types appear for the
+    FIRST time and the cumulative type count (the fixture's unigram
+    vocabulary is closed and saturates in batch 0; trigram types grow
+    for the whole corpus, which is the regime the curve is for).  Same
+    no-quadratic-state shape as event_cumulative_users: each type
+    contributes once at its first batch (per-type min aggregate), then
+    one small per-batch count + running sum; the windowed frame is
+    corpus/10 rows — the batch grain is the scale knob (coarsen it,
+    the curve stays exact at the grain)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("CAST(doc_id DIV 10 AS BIGINT)").alias("batch"),
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("t"),
+    )
+    first_batch = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "batch",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                )
+            ).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("batch").alias("first_batch"))
+    )
+    per_batch = first_batch.groupBy("first_batch").agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    w = Window.orderBy("first_batch").rowsBetween(Window.unboundedPreceding, 0)
+    return per_batch.select(
+        F.col("first_batch").alias("batch"),
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("vocab_size"),
+    )

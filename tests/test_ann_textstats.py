@@ -246,3 +246,25 @@ def test_event_value_histogram_complete_and_bounded(spark, sf_dir):
     assert sum(r["n_events"] for r in out) == n
     assert all(0 <= r["bucket"] <= 15 for r in out)
     assert all(r["lo_e6"] <= r["hi_e6"] for r in out)
+
+
+def test_kmeans_assign_total_and_range(spark, sf_dir):
+    import kgspark.queries as QQ
+
+    out = QQ.embedding_kmeans_assign(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert len(out) == emb.count()            # every vector assigned once
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert {r["assigned_label"] for r in out} <= labels
+    assert all(r["dist_e6"] >= 0 for r in out)
+
+
+def test_vocab_growth_monotone_and_complete(spark, sf_dir):
+    import kgspark.queries as QQ
+
+    rows = sorted(
+        QQ.vocab_growth(spark, sf_dir).collect(), key=lambda r: r["batch"]
+    )
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes) and all(r["new_types"] > 0 for r in rows)
+    assert sizes[-1] == sum(r["new_types"] for r in rows)
