@@ -3544,3 +3544,35 @@ SELECT first_batch AS batch, new_types,
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
 FROM pb
 """
+
+
+# r6c: deterministic fixed-fanout neighbor sampling (charcode order).
+_NS_KEY = _CHARCODE.format(col="entity_id || '|' || neighbor_id")
+ENTITY_NEIGHBOR_SAMPLE_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT entity_a AS entity_id, entity_b AS neighbor_id FROM coocc
+  UNION ALL
+  SELECT entity_b, entity_a FROM coocc
+),
+keyed AS (
+  SELECT entity_id, neighbor_id,
+         CAST({_NS_KEY} AS BIGINT) AS samp_key
+  FROM bi
+)
+SELECT entity_id, neighbor_id, samp_key, CAST(rn AS INT) AS samp_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY entity_id
+                               ORDER BY samp_key, neighbor_id) AS rn
+  FROM keyed
+) WHERE rn <= 2
+"""

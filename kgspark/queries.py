@@ -3850,3 +3850,39 @@ def vocab_growth(spark, sf_dir):
         "new_types",
         F.sum("new_types").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+def entity_neighbor_sample(spark, sf_dir):
+    """Round-6c: DETERMINISTIC FIXED-FANOUT NEIGHBOR SAMPLING — the
+    GraphSAGE-style train-prep stage: per entity, 2 neighbors chosen by
+    the char-level rolling hash of the (entity, neighbor) pair string —
+    an unbiased, reproducible stand-in for rand() (which would differ
+    per engine/run), complementary to entity_top_neighbors' strength
+    ranking.  rn <= fanout compiles to WindowGroupLimit: the exchange
+    carries at most `fanout` rows per entity, the property that lets a
+    10^12-edge graph be sampled in one pass."""
+    pairs = kg_entity_cooccurrence(spark, sf_dir)
+    bi = pairs.select(
+        F.col("entity_a").alias("entity_id"),
+        F.col("entity_b").alias("neighbor_id"),
+    ).unionByName(
+        pairs.select(
+            F.col("entity_b").alias("entity_id"),
+            F.col("entity_a").alias("neighbor_id"),
+        )
+    )
+    key = _charcode_expr("concat(entity_id, '|', neighbor_id)")
+    w = Window.partitionBy("entity_id").orderBy(
+        F.asc("samp_key"), F.asc("neighbor_id")
+    )
+    return (
+        bi.withColumn("samp_key", F.expr(key))
+        .withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= 2)
+        .select(
+            "entity_id",
+            "neighbor_id",
+            F.col("samp_key").cast("bigint").alias("samp_key"),
+            F.col("samp_rank").cast("int").alias("samp_rank"),
+        )
+    )

@@ -788,3 +788,19 @@ def test_incremental_dedup_subset_and_planted_pair(spark, sf_dir):
         for r in D.minhash_incremental_pairs(planted).collect()
     }
     assert got[(10, 10001)] == ("new-old", 1000000)
+
+
+def test_neighbor_sample_plans_window_group_limit(spark, sf_dir):
+    """Fixed-fanout sampling must keep WindowGroupLimit and pick
+    exactly <= 2 deterministic neighbors per entity."""
+    df = Q.entity_neighbor_sample(spark, sf_dir)
+    p = _plan(df)
+    assert "WindowGroupLimit" in p, p[:1500]
+    rows = df.collect()
+    from collections import Counter
+
+    per = Counter(r["entity_id"] for r in rows)
+    assert all(v <= 2 for v in per.values())
+    # re-run → bit-identical (hash order, no rand())
+    again = {tuple(r) for r in Q.entity_neighbor_sample(spark, sf_dir).collect()}
+    assert {tuple(r) for r in rows} == again

@@ -31,7 +31,10 @@ FAST = [
     "kg_sparql_select_expr", "rdf_jsonld_compacted_roundtrip",
     "kg_sparql_optional_exists", "kg_sparql_modify",
     # round-6c additions
-    "term_pmi", "embedding_srp_buckets",
+    "term_pmi", "embedding_srp_buckets", "event_value_histogram",
+    "vocab_growth", "doc_surprisal_heldout", "dedup_incremental_pairs",
+    "dedup_minhash_calibration", "embedding_label_centroids",
+    "embedding_kmeans_assign",
 ]
 
 
