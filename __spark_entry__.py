@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_assign": Q.embedding_kmeans_assign,  # k-means E-step (r6c)
         "vocab_growth": Q.vocab_growth,                # Heaps-law growth curve (r6c)
         "entity_neighbor_sample": Q.entity_neighbor_sample,  # GraphSAGE fanout sample (r6c)
+        "event_debounce": Q.event_debounce,            # spam/sensor suppression (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans_assign": OS.EMBEDDING_KMEANS_ASSIGN_SQL,
         "vocab_growth": OS.VOCAB_GROWTH_SQL,
         "entity_neighbor_sample": OS.ENTITY_NEIGHBOR_SAMPLE_SQL,
+        "event_debounce": OS.EVENT_DEBOUNCE_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

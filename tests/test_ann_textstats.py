@@ -268,3 +268,28 @@ def test_vocab_growth_monotone_and_complete(spark, sf_dir):
     sizes = [r["vocab_size"] for r in rows]
     assert sizes == sorted(sizes) and all(r["new_types"] > 0 for r in rows)
     assert sizes[-1] == sum(r["new_types"] for r in rows)
+
+
+def test_event_debounce_hand_case(spark, tmp_path):
+    """u1 clicks at t=0s, 30s, 90s: the 30s event is suppressed (<60s
+    after the previous raw click), the 90s event is kept (60s after
+    the 30s RAW anchor — lag semantics, documented); a different type
+    at 10s is untouched."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + pd.Timedelta(seconds=30), 1, "click", 1.0, "{}"),
+        (3, base + pd.Timedelta(seconds=90), 1, "click", 1.0, "{}"),
+        (4, base + pd.Timedelta(seconds=10), 1, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    import kgspark.queries as QQ
+
+    kept = {r["event_id"] for r in QQ.event_debounce(spark, str(tmp_path)).collect()}
+    assert kept == {1, 3, 4}
