@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_surprisal_heldout": Q.doc_surprisal_heldout,  # cross-split LM filter (r6c)
         "event_value_histogram": Q.event_value_histogram,  # equi-width e6 buckets (r6c)
         "kg_sparql_values": Q.kg_sparql_values,        # VALUES + MIN/MAX aggs (r6c)
+        "kg_sparql_path_nps": Q.kg_sparql_path_nps,    # negated property set (r6c)
         "embedding_label_centroids": Q.embedding_label_centroids,  # k-means M-step (r6c)
         "embedding_kmeans_assign": Q.embedding_kmeans_assign,  # k-means E-step (r6c)
         "vocab_growth": Q.vocab_growth,                # Heaps-law growth curve (r6c)
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_surprisal_heldout": OS.DOC_SURPRISAL_HELDOUT_SQL,
         "event_value_histogram": OS.EVENT_VALUE_HISTOGRAM_SQL,
         "kg_sparql_values": OS.SPARQL_VALUES_SQL,
+        "kg_sparql_path_nps": OS.SPARQL_PATH_NPS_SQL,
         "embedding_label_centroids": OS.EMBEDDING_CENTROIDS_SQL,
         "embedding_kmeans_assign": OS.EMBEDDING_KMEANS_ASSIGN_SQL,
         "vocab_growth": OS.VOCAB_GROWTH_SQL,

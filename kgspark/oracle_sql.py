@@ -3594,3 +3594,15 @@ SELECT event_id, user_id, event_type, ts_us
 FROM keyed
 WHERE prev_us IS NULL OR ts_us - prev_us >= 60000000
 """
+
+
+# r6c: negated property set — forward edges except the excluded preds.
+SPARQL_PATH_NPS_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT t1.s AS e, t2.o AS o
+FROM tri t1
+JOIN tri t2 ON t2.s = t1.s
+WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
+  AND t2.p NOT IN ('rdf:type', 'ex:score')
+"""

@@ -3911,3 +3911,25 @@ def event_debounce(spark, sf_dir):
         )
         .select("event_id", "user_id", "event_type", "ts_us")
     )
+
+
+def kg_sparql_path_nps(spark, sf_dir):
+    """Round-6c: NEGATED PROPERTY SET path — all outgoing edges of
+    Commerce entities EXCEPT rdf:type and ex:score
+    (?e !(rdf:type|ex:score) ?o): SPARQL 1.1 §9.1 NPS compiled to one
+    predicate-exclusion filter on the forward scan (no closure, no
+    join beyond the type restriction) — a filter-pushdown plan at any
+    store size."""
+    from .pipeline import run_pipeline_cached
+    from .sparql import sparql_select
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return sparql_select(
+        t,
+        """
+        SELECT ?e ?o WHERE {
+          ?e rdf:type ex:Commerce .
+          ?e !(rdf:type|ex:score) ?o
+        }
+        """,
+    )
