@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": Q.vocab_growth,                # Heaps-law growth curve (r6c)
         "entity_neighbor_sample": Q.entity_neighbor_sample,  # GraphSAGE fanout sample (r6c)
         "event_debounce": Q.event_debounce,            # spam/sensor suppression (r6c)
+        "event_type_transitions": Q.event_type_transitions,  # Markov flow matrix (r6c)
+        "dedup_cluster_size_hist": Q.dedup_cluster_size_hist,  # cluster-size readout (r6c)
+        "corpus_stats_by_source": Q.corpus_stats_by_source,  # per-source corpus card (r6c)
+        "event_user_lifetime": Q.event_user_lifetime,  # LTV/churn base table (r6c)
         "embedding_quantize": Q.embedding_quantize,          # int8 SQ + recon error (r6)
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
@@ -297,6 +301,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": OS.VOCAB_GROWTH_SQL,
         "entity_neighbor_sample": OS.ENTITY_NEIGHBOR_SAMPLE_SQL,
         "event_debounce": OS.EVENT_DEBOUNCE_SQL,
+        "event_type_transitions": OS.EVENT_TRANSITIONS_SQL,
+        "dedup_cluster_size_hist": OS.DEDUP_CLUSTER_HIST_SQL,
+        "corpus_stats_by_source": OS.CORPUS_STATS_SQL,
+        "event_user_lifetime": OS.EVENT_USER_LIFETIME_SQL,
         "embedding_quantize": OS.EMBEDDING_QUANTIZE_SQL,
         "event_funnel": OS.EVENT_FUNNEL_SQL,
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,

@@ -3606,3 +3606,65 @@ JOIN tri t2 ON t2.s = t1.s
 WHERE t1.p = 'rdf:type' AND t1.o = 'ex:Commerce'
   AND t2.p NOT IN ('rdf:type', 'ex:score')
 """
+
+
+# r6c: event-type Markov transition counts (lag per user).
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT), event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# r6c: near-dup cluster size histogram over the keeper table.
+DEDUP_CLUSTER_HIST_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {_CLUSTERS_CTES},
+sizes AS (
+  SELECT keep_doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM ckeep GROUP BY keep_doc_id
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_dropped_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+# r6c: per-source corpus card.
+CORPUS_STATS_SQL = """
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST((1000000 * SUM(n_toks)) // COUNT(*) AS BIGINT) AS mean_len_e6
+FROM t GROUP BY source
+"""
+
+
+# r6c: per-user lifetime summary.
+EVENT_USER_LIFETIME_SQL = """
+WITH t AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+  FROM events
+)
+SELECT user_id, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+       CAST((MAX(ts_us) - MIN(ts_us)) // 86400000000 AS BIGINT) AS span_days
+FROM t GROUP BY user_id
+"""

@@ -3933,3 +3933,108 @@ def kg_sparql_path_nps(spark, sf_dir):
         }
         """,
     )
+
+
+def event_type_transitions(spark, sf_dir):
+    """Round-6c: EVENT-TYPE MARKOV TRANSITION MATRIX — per user the
+    type sequence in time order, counted as (from_type, to_type) pairs
+    (the session-flow / funnel-discovery readout; also the training
+    table for a first-order behavior model).  One lag window per user
+    + one map-side-combined aggregate — the shuffle carries one row
+    per transition type pair per partition, never sequences."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+
+
+def dedup_cluster_size_hist(spark, sf_dir):
+    """Round-6c: NEAR-DUP CLUSTER SIZE HISTOGRAM — per cluster size,
+    how many clusters and how many docs get dropped ((size−1) each):
+    the dedup observability readout that tells you whether you face a
+    long tail of doubletons or a few mega-clusters (very different
+    remediation).  Two aggregates over the keeper table — linear."""
+    from . import dedup as D
+
+    clusters = D.dedup_clusters(_t(spark, sf_dir, "documents"), jaccard_min=0.01)
+    sizes = clusters.groupBy("keep_doc_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("bigint")
+            .alias("n_dropped_docs"),
+        )
+    )
+
+
+def corpus_stats_by_source(spark, sf_dir):
+    """Round-6c: CORPUS CARD — per source: doc count, token count,
+    mean doc length (e6), distinct languages (the dataset datasheet
+    row every curation pipeline publishes per shard/source).  One
+    map-side-combined aggregate; exact integer mean."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.expr("size(filter(split(text, ' '), t -> t != ''))")
+            .cast("bigint")
+            .alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .withColumn(
+            "mean_len_e6",
+            F.expr("CAST((1000000 * n_tokens) DIV n_docs AS BIGINT)"),
+        )
+    )
+
+
+def event_user_lifetime(spark, sf_dir):
+    """Round-6c: USER LIFETIME SUMMARY — per user: first/last activity
+    (epoch micros), span in days, events, active days (the LTV /
+    churn-feature base table).  One aggregate; distinct-day count via
+    the integer epoch-day like the retention query."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    return (
+        ev.select(
+            "user_id",
+            us.alias("ts_us"),
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+                " AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("day").cast("bigint").alias("n_active_days"),
+        )
+        .withColumn(
+            "span_days",
+            F.expr("CAST((last_us - first_us) DIV 86400000000 AS BIGINT)"),
+        )
+    )
