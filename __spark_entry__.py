@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_nps": Q.kg_sparql_path_nps,    # negated property set (r6c)
         "embedding_label_centroids": Q.embedding_label_centroids,  # k-means M-step (r6c)
         "embedding_kmeans_assign": Q.embedding_kmeans_assign,  # k-means E-step (r6c)
+        "embedding_kmeans_inertia": Q.embedding_kmeans_inertia,  # convergence metric (r6c)
+        "doc_type_token_ratio": Q.doc_type_token_ratio,  # lexical diversity e6 (r6c)
+        "kg_class_cooccurrence": Q.kg_class_cooccurrence,  # schema-level affinity (r6c)
+        "entity_degree_moments": Q.entity_degree_moments,  # assortativity moments (r6c)
         "vocab_growth": Q.vocab_growth,                # Heaps-law growth curve (r6c)
         "entity_neighbor_sample": Q.entity_neighbor_sample,  # GraphSAGE fanout sample (r6c)
         "event_debounce": Q.event_debounce,            # spam/sensor suppression (r6c)
@@ -298,6 +302,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_path_nps": OS.SPARQL_PATH_NPS_SQL,
         "embedding_label_centroids": OS.EMBEDDING_CENTROIDS_SQL,
         "embedding_kmeans_assign": OS.EMBEDDING_KMEANS_ASSIGN_SQL,
+        "embedding_kmeans_inertia": OS.EMBEDDING_KMEANS_INERTIA_SQL,
+        "doc_type_token_ratio": OS.DOC_TTR_SQL,
+        "kg_class_cooccurrence": OS.KG_CLASS_COOCC_SQL,
+        "entity_degree_moments": OS.ENTITY_DEGREE_MOMENTS_SQL,
         "vocab_growth": OS.VOCAB_GROWTH_SQL,
         "entity_neighbor_sample": OS.ENTITY_NEIGHBOR_SAMPLE_SQL,
         "event_debounce": OS.EVENT_DEBOUNCE_SQL,

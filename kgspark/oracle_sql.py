@@ -3668,3 +3668,117 @@ SELECT user_id, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
        CAST((MAX(ts_us) - MIN(ts_us)) // 86400000000 AS BIGINT) AS span_days
 FROM t GROUP BY user_id
 """
+
+
+# r6c: k-means inertia — aggregate over the E-step assignment.
+EMBEDDING_KMEANS_INERTIA_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+ex AS (
+  SELECT label, d AS dim, e3[d] AS val
+  FROM v, UNNEST(generate_series(1, len(e3))) AS t(d)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(CASE WHEN SUM(val) >= 0 THEN SUM(val) // COUNT(*)
+                   ELSE -((-SUM(val)) // COUNT(*)) END AS BIGINT) AS mean_e3
+  FROM ex GROUP BY label, dim
+),
+cent_arr AS (
+  SELECT label AS c_label,
+         list(mean_e3 ORDER BY dim) AS cent
+  FROM cent GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, c.c_label,
+         CAST(list_sum(list_transform(generate_series(1, len(v.e3)),
+              i -> (v.e3[i] - c.cent[i]) * (v.e3[i] - c.cent[i])))
+           AS BIGINT) AS dist
+  FROM v CROSS JOIN cent_arr c
+),
+sel AS (SELECT vec_id, MIN(dist) AS dist_e6 FROM scored GROUP BY vec_id),
+assigned AS (
+  SELECT s.vec_id, CAST(MIN(sc.c_label) AS INT) AS assigned_label,
+         CAST(s.dist_e6 AS BIGINT) AS dist_e6
+  FROM sel s JOIN scored sc ON sc.vec_id = s.vec_id AND sc.dist = s.dist_e6
+  GROUP BY s.vec_id, s.dist_e6
+)
+SELECT assigned_label, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist_e6) AS BIGINT) AS inertia_e6
+FROM assigned GROUP BY assigned_label
+"""
+
+
+# r6c: per-doc type-token ratio (lexical diversity, e6 grid).
+DOC_TTR_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST((1000000 * len(list_distinct(toks))) // len(toks) AS BIGINT)
+         AS ttr_e6
+FROM t WHERE len(toks) > 0
+"""
+
+
+# r6c: class-level co-occurrence matrix (canonicalized pairs).
+KG_CLASS_COOCC_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+)
+SELECT least(ca.cls, cb.cls) AS class_a,
+       greatest(ca.cls, cb.cls) AS class_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(c.n_docs) AS BIGINT) AS n_doc_links
+FROM coocc c
+JOIN eclass ca ON ca.entity_id = c.entity_a
+JOIN eclass cb ON cb.entity_id = c.entity_b
+GROUP BY 1, 2
+"""
+
+
+# r6c: degree-assortativity exact moment sums over directed endpoints.
+ENTITY_DEGREE_MOMENTS_SQL = f"""
+{_KG_CTES},
+doc_ents AS (
+  SELECT DISTINCT mm.doc_id, e.entity_id
+  FROM mm JOIN eids e ON e.label = mm.root
+),
+coocc AS MATERIALIZED (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b
+  FROM doc_ents a JOIN doc_ents b
+    ON b.doc_id = a.doc_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT entity_a AS src, entity_b AS dst FROM coocc
+  UNION ALL SELECT entity_b, entity_a FROM coocc
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(dx.d) AS BIGINT) AS sum_x,
+       CAST(SUM(dy.d) AS BIGINT) AS sum_y,
+       CAST(SUM(dx.d * dy.d) AS BIGINT) AS sum_xy,
+       CAST(SUM(dx.d * dx.d) AS BIGINT) AS sum_x2,
+       CAST(SUM(dy.d * dy.d) AS BIGINT) AS sum_y2
+FROM bi
+JOIN deg dx ON dx.src = bi.src
+JOIN deg dy ON dy.src = bi.dst
+"""

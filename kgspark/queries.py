@@ -4038,3 +4038,98 @@ def event_user_lifetime(spark, sf_dir):
             F.expr("CAST((last_us - first_us) DIV 86400000000 AS BIGINT)"),
         )
     )
+
+
+def embedding_kmeans_inertia(spark, sf_dir):
+    """Round-6c: K-MEANS INERTIA — per assigned cluster, the exact
+    BIGINT sum of squared distances to the centroid plus member count
+    (the convergence/elbow metric that closes the M-step → E-step →
+    inertia training loop).  One aggregate over the E-step output —
+    the iteration cost stays O(N·k·dim) map + O(k) shuffle rows."""
+    assign = embedding_kmeans_assign(spark, sf_dir)
+    return assign.groupBy("assigned_label").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("dist_e6").cast("bigint").alias("inertia_e6"),
+    )
+
+
+def doc_type_token_ratio(spark, sf_dir):
+    """Round-6c: TYPE-TOKEN RATIO per document (lexical-diversity
+    quality signal — templated/spam text scores low): distinct words /
+    words on the e6 integer grid.  Pure per-document map (array
+    distinct inside the row) — zero shuffle beyond the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), t -> t != ''))")
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.expr("size(array_distinct(filter(split(text, ' '), t -> t != '')))")
+        .cast("bigint")
+        .alias("n_types"),
+    ).filter(F.col("n_tokens") > 0).withColumn(
+        "ttr_e6", F.expr("CAST((1000000 * n_types) DIV n_tokens AS BIGINT)")
+    )
+
+
+def kg_class_cooccurrence(spark, sf_dir):
+    """Round-6c: CLASS-LEVEL CO-OCCURRENCE MATRIX — how often entity
+    CLASSES co-occur (the schema-level affinity readout: does Commerce
+    cluster with Data?).  The entity-pair frame joins the slim
+    (entity, class) table once per side, then one aggregate; class
+    pairs are canonicalized (class_a <= class_b) so the matrix is
+    upper-triangular with no double counting."""
+    pairs = kg_entity_cooccurrence(spark, sf_dir).select(
+        "entity_a", "entity_b", "n_docs"
+    )
+    cls = kg_entity_class(spark, sf_dir).select("entity_id", "class")
+    joined = pairs.join(
+        cls.select(
+            F.col("entity_id").alias("entity_a"), F.col("class").alias("ca")
+        ),
+        "entity_a",
+    ).join(
+        cls.select(
+            F.col("entity_id").alias("entity_b"), F.col("class").alias("cb")
+        ),
+        "entity_b",
+    )
+    return (
+        joined.select(
+            F.least("ca", "cb").alias("class_a"),
+            F.greatest("ca", "cb").alias("class_b"),
+            "n_docs",
+        )
+        .groupBy("class_a", "class_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("n_docs").cast("bigint").alias("n_doc_links"),
+        )
+    )
+
+
+def entity_degree_moments(spark, sf_dir):
+    """Round-6c: DEGREE-ASSORTATIVITY MOMENT SUMS — over directed
+    edge endpoints (src-degree x, dst-degree y): n, Σx, Σy, Σxy, Σx²,
+    Σy², all exact BIGINT (the Pearson assortativity itself needs a
+    sqrt, so the contract publishes the exact moments and the consumer
+    divides — the only way the number is bit-identical across
+    engines).  One degree aggregate + two slim joins + one 1-row
+    aggregate."""
+    edges = _coocc_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    ep = (
+        edges.join(deg.withColumnRenamed("d", "dx"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+    )
+    return ep.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum("dx").cast("bigint").alias("sum_x"),
+        F.sum("dy").cast("bigint").alias("sum_y"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sum_y2"),
+    )

@@ -34,7 +34,9 @@ FAST = [
     "term_pmi", "embedding_srp_buckets", "event_value_histogram",
     "vocab_growth", "doc_surprisal_heldout", "dedup_incremental_pairs",
     "dedup_minhash_calibration", "embedding_label_centroids",
-    "embedding_kmeans_assign",
+    "embedding_kmeans_assign", "embedding_kmeans_inertia",
+    "doc_type_token_ratio", "event_type_transitions",
+    "corpus_stats_by_source", "event_user_lifetime", "event_debounce",
 ]
 
 
