@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": Q.embedding_label_centroids,  # k-means M-step (r6c)
         "embedding_kmeans_assign": Q.embedding_kmeans_assign,  # k-means E-step (r6c)
         "embedding_kmeans_inertia": Q.embedding_kmeans_inertia,  # convergence metric (r6c)
+        "embedding_kmeans_train": Q.embedding_kmeans_train,  # 2 Lloyd rounds unrolled (r6c)
         "doc_type_token_ratio": Q.doc_type_token_ratio,  # lexical diversity e6 (r6c)
         "kg_class_cooccurrence": Q.kg_class_cooccurrence,  # schema-level affinity (r6c)
         "entity_degree_moments": Q.entity_degree_moments,  # assortativity moments (r6c)
@@ -182,7 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": Q.event_funnel,
         "event_retention_cohorts": Q.event_retention_cohorts,  # cohort x offset (r6c)
         "event_cumulative_users": Q.event_cumulative_users,    # distinct-user growth curve (r6c)
-        "kg_label_index": Q.kg_label_index,                    # O7 inverted label index (r6c)                      # ordered conversion funnel (r6)
+        "kg_label_index": Q.kg_label_index,                    # O7 inverted label index (r6c)
+        "doc_search_topk": Q.doc_search_topk,                  # BM25-shaped top-10 search (r6c)
         "heavy_hitters_cms": Q.heavy_hitters_cms,            # count-min sketch top-k (r6)
         "bpe_merge_pairs": Q.bpe_merge_pairs,                # BPE pair counts round 1 (r6)
         "bpe_vocab_merges": Q.bpe_vocab_merges,              # iterative 3-round BPE (r6c)
@@ -303,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_centroids": OS.EMBEDDING_CENTROIDS_SQL,
         "embedding_kmeans_assign": OS.EMBEDDING_KMEANS_ASSIGN_SQL,
         "embedding_kmeans_inertia": OS.EMBEDDING_KMEANS_INERTIA_SQL,
+        "embedding_kmeans_train": OS.EMBEDDING_KMEANS_TRAIN_SQL,
         "doc_type_token_ratio": OS.DOC_TTR_SQL,
         "kg_class_cooccurrence": OS.KG_CLASS_COOCC_SQL,
         "entity_degree_moments": OS.ENTITY_DEGREE_MOMENTS_SQL,
@@ -318,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "event_retention_cohorts": OS.EVENT_RETENTION_SQL,
         "event_cumulative_users": OS.EVENT_CUM_USERS_SQL,
         "kg_label_index": OS.KG_LABEL_INDEX_SQL,
+        "doc_search_topk": OS.DOC_SEARCH_TOPK_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,
         "bpe_vocab_merges": OS.BPE_VOCAB_MERGES_SQL,

@@ -241,3 +241,48 @@ def snapshot_diff(
     added = new.exceptAll(old).withColumn("change", F.lit("+"))
     removed = old.exceptAll(new).withColumn("change", F.lit("-"))
     return added.unionByName(removed)
+
+
+def expire_snapshots(
+    cat: "SnapshotCatalog", name: str, keep_last: int = 2,
+    lock_timeout: float = 60.0,
+) -> dict:
+    """Round-6c: SNAPSHOT EXPIRY — the storage-maintenance half of the
+    snapshot seam (Iceberg ``expireSnapshots`` analogue): drop all but
+    the newest ``keep_last`` manifests, then delete every commit data
+    directory no surviving manifest references.  Readers pinned to a
+    SURVIVING version are unaffected (their file set is untouched);
+    time travel older than the horizon is intentionally gone.  Runs
+    under the store writer lock so no concurrent commit can publish a
+    manifest referencing a directory mid-delete.  Returns
+    {"kept_versions", "removed_versions", "removed_dirs"}."""
+    import shutil
+
+    from .rdfio import _StoreWriteLock
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    table = cat.path(name)
+    with _StoreWriteLock(table, timeout=lock_timeout):
+        vs = cat.versions(name)
+        if not vs:
+            raise FileNotFoundError(f"no committed snapshot for {name!r}")
+        kept, removed = vs[-keep_last:], vs[:-keep_last]
+        live_tags = set()
+        for v in kept:
+            live_tags.update(cat._load_manifest(name, v)["parts"].values())
+            live_tags.add(f"v{v}")  # a commit dir may hold only replaced parts
+        for v in removed:
+            os.remove(os.path.join(cat._mdir(name), f"v{v}.json"))
+        removed_dirs = []
+        ddir = cat._ddir(name)
+        if os.path.isdir(ddir):
+            for d in sorted(os.listdir(ddir)):
+                if d.startswith("v") and d not in live_tags:
+                    shutil.rmtree(os.path.join(ddir, d))
+                    removed_dirs.append(d)
+        return {
+            "kept_versions": kept,
+            "removed_versions": removed,
+            "removed_dirs": removed_dirs,
+        }

@@ -3782,3 +3782,84 @@ FROM bi
 JOIN deg dx ON dx.src = bi.src
 JOIN deg dy ON dy.src = bi.dst
 """
+
+
+# r6c: top-k document search for the fixed query (order data table).
+DOC_SEARCH_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+q AS (SELECT term FROM (VALUES ('order'), ('data'), ('table')) v(term)),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term != '' AND term IN (SELECT term FROM q)
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE term != '' AND term IN (SELECT term FROM q)
+  GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf * length(bin(CAST(n.n // df.df AS BIGINT))))
+              AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, n_terms_hit, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+# r6c: two unrolled Lloyd iterations (M→E→M→E), integer-exact.
+_KM_M = """
+cent{r} AS (
+  SELECT cl, dim,
+         CAST(CASE WHEN SUM(val) >= 0 THEN SUM(val) // COUNT(*)
+                   ELSE -((-SUM(val)) // COUNT(*)) END AS BIGINT) AS m
+  FROM (
+    SELECT cl, d AS dim, e3[d] AS val
+    FROM {src}, UNNEST(generate_series(1, len(e3))) AS t(d)
+  ) GROUP BY cl, dim
+),
+cent_arr{r} AS (
+  SELECT cl AS c_label, list(m ORDER BY dim) AS cent
+  FROM cent{r} GROUP BY cl
+),
+scored{r} AS (
+  SELECT v.vec_id, v.e3, c.c_label,
+         CAST(list_sum(list_transform(generate_series(1, len(v.e3)),
+              i -> (v.e3[i] - c.cent[i]) * (v.e3[i] - c.cent[i])))
+           AS BIGINT) AS dist
+  FROM kmv v CROSS JOIN cent_arr{r} c
+),
+sel{r} AS (SELECT vec_id, MIN(dist) AS dist FROM scored{r} GROUP BY vec_id),
+assigned{r} AS (
+  SELECT s.vec_id, any_value(sc.e3) AS e3,
+         CAST(MIN(sc.c_label) AS INT) AS cl,
+         CAST(s.dist AS BIGINT) AS dist
+  FROM sel{r} s
+  JOIN scored{r} sc ON sc.vec_id = s.vec_id AND sc.dist = s.dist
+  GROUP BY s.vec_id, s.dist
+)"""
+
+EMBEDDING_KMEANS_TRAIN_SQL = (
+    """
+WITH kmv AS (
+  SELECT vec_id, CAST(label AS INT) AS cl,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),"""
+    + _KM_M.format(r=1, src="kmv")
+    + ","
+    + _KM_M.format(r=2, src="assigned1")
+    + """
+SELECT vec_id, cl AS assigned_label, dist AS dist_e6 FROM assigned2
+"""
+)

@@ -4133,3 +4133,131 @@ def entity_degree_moments(spark, sf_dir):
         F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sum_x2"),
         F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sum_y2"),
     )
+
+
+def doc_search_topk(spark, sf_dir):
+    """Round-6c: TOP-K DOCUMENT SEARCH — BM25-shaped integer scoring
+    for a fixed query ('order data table'): score(d) =
+    Σ_t tf(t,d) · bitlen(N div df(t)), the same log2-quantized idf as
+    top_terms_tfidf, summed over matching query terms; top-10 by
+    (score DESC, doc_id).  Plan: the query-term filter prunes the
+    postings BEFORE any join (the inverted-index read pattern — at
+    100 TB only the 3 query postings lists move), df joins back on the
+    3-row term frame (broadcast), two-phase top-k caps the shuffle at
+    k rows per partition."""
+    QUERY = ["order", "data", "table"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.filter(F.col("term").isin(QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = (
+        toks.filter(F.col("term").isin(QUERY))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n")).select("n")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.length(F.bin(F.expr("n DIV df")))
+            ).cast("bigint").alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.desc("score"), F.asc("doc_id"))
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= 10)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "n_terms_hit", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_kmeans_train(spark, sf_dir):
+    """Round-6c: TWO FULL LLOYD ITERATIONS — the actual distributed
+    k-means training loop, integer-exact end to end: M-step (exact
+    BIGINT centroid sums, truncate-toward-zero mean) → E-step
+    (broadcast centroids, integer squared-L2, min-label ties) →
+    M-step over the NEW assignment → E-step again; output = the
+    round-2 assignment.  Each round is one posexplode aggregate
+    (partial sums per (cluster, dim, partition)) + one broadcast
+    map — O(N·k·dim) compute, O(k·dim) shuffle rows per round, the
+    plan that runs unchanged at 10^12 vectors.  The DuckDB oracle
+    unrolls both rounds as CTEs — bit-identical because every
+    operation is int64."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("e3"),
+    ).localCheckpoint(eager=False)
+
+    def m_step(assigned):
+        return (
+            assigned.select("cl", F.posexplode("e3").alias("dim", "val"))
+            .groupBy("cl", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .select(
+                "cl",
+                "dim",
+                F.expr(
+                    "CAST(CASE WHEN s >= 0 THEN s DIV c"
+                    " ELSE -((-s) DIV c) END AS BIGINT)"
+                ).alias("m"),
+            )
+            .groupBy("cl")
+            .agg(F.expr("array_sort(collect_list(struct(dim, m)))").alias("cs"))
+            .select(
+                F.col("cl").alias("c_label"),
+                F.expr("transform(cs, s -> s.m)").alias("cent"),
+            )
+        )
+
+    def e_step(cents):
+        dist = F.expr(
+            "aggregate(zip_with(e3, cent, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "e3", "c_label", dist.alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "c_label")).alias("best"),
+                # every row of a vec_id group carries the SAME e3 (the
+                # vector replicated k ways) — first() is deterministic
+                F.first("e3").alias("e3"),
+            )
+            .select(
+                "vec_id",
+                "e3",
+                F.col("best.c_label").cast("int").alias("cl"),
+                F.col("best.dist").cast("bigint").alias("dist"),
+            )
+        )
+
+    a1 = e_step(m_step(v.select(F.col("label").alias("cl"), "e3")))
+    a2 = e_step(m_step(a1.select("cl", "e3")))
+    return a2.select(
+        "vec_id",
+        F.col("cl").alias("assigned_label"),
+        F.col("dist").alias("dist_e6"),
+    )

@@ -139,3 +139,41 @@ def test_snapshot_diff_change_set(spark, tmp_path):
     }
     # identical versions diff empty
     assert snapshot_diff(spark, cat, "t", 3, 3).count() == 0
+
+
+def test_expire_snapshots_keeps_pinned_horizon(spark, tmp_path):
+    """3 commits → expire keep_last=2: v1 time travel is gone, v2/v3
+    read EXACTLY what they read before expiry (pinned readers inside
+    the horizon unaffected), and the unreferenced v1 commit directory
+    is physically removed."""
+    import os
+
+    from kgspark.catalog import SnapshotCatalog, expire_snapshots
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"), 4)
+    def df(vals):
+        return spark.createDataFrame(
+            [(i, v, i % 2) for i, v in enumerate(vals)],
+            "id int, val string, bucket int",
+        )
+    cat.commit_replace(df(["a", "b"]), "t")            # v1
+    cat.commit_replace(df(["c", "d"]), "t")            # v2 replaces both parts
+    cat.commit_replace(df(["e", "f"]), "t")            # v3
+    before2 = {tuple(r) for r in cat.read_at(spark, "t", 2).collect()}
+    before3 = {tuple(r) for r in cat.read_at(spark, "t", 3).collect()}
+
+    out = expire_snapshots(cat, "t", keep_last=2)
+    assert out["kept_versions"] == [2, 3]
+    assert out["removed_versions"] == [1]
+    assert "v1" in out["removed_dirs"]
+    assert not os.path.isdir(os.path.join(cat._ddir("t"), "v1"))
+
+    assert {tuple(r) for r in cat.read_at(spark, "t", 2).collect()} == before2
+    assert {tuple(r) for r in cat.read_at(spark, "t", 3).collect()} == before3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cat.read_at(spark, "t", 1)
+    # expiry is idempotent
+    out2 = expire_snapshots(cat, "t", keep_last=2)
+    assert out2["removed_versions"] == [] and out2["removed_dirs"] == []
