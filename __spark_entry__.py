@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priorities_with_lineitems": Q.order_priorities_with_lineitems,  # O23 semi
         "top2_lineitems_per_order": Q.top2_lineitems_per_order,     # O28 window
         "tpch_q3_topk": Q.tpch_q3_topk,                             # 3-way join + topk
+        "tpch_q5": Q.tpch_q5,                                       # 6-table star join (r6c)
         "event_moving_sum": Q.event_moving_sum,                     # RANGE-frame window
         "event_asof_join": Q.event_asof_join,                       # as-of via union+window (r3)
         "event_range_join": Q.event_range_join,                     # banded interval join (r3)

@@ -3863,3 +3863,22 @@ WITH kmv AS (
 SELECT vec_id, cl AS assigned_label, dist AS dist_e6 FROM assigned2
 """
 )
+
+
+# r6c: TPC-H Q5 shape — local-supplier revenue per (region, nation).
+TPCH_Q5_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(floor(1000000 * l.l_extendedprice * (1 - l.l_discount))
+                AS BIGINT)) AS BIGINT) AS revenue_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+RELATIONAL_SQL["tpch_q5"] = TPCH_Q5_SQL

@@ -4261,3 +4261,43 @@ def embedding_kmeans_train(spark, sf_dir):
         F.col("cl").alias("assigned_label"),
         F.col("dist").alias("dist_e6"),
     )
+
+
+def tpch_q5(spark, sf_dir):
+    """Round-6c: TPC-H Q5 shape — local-supplier revenue per nation
+    (customer and supplier in the SAME nation), 6-table join:
+    region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier.
+    Catalyst broadcasts every dimension (region/nation/customer/
+    supplier at fixture scale; on a real corpus AQE keeps the small
+    ones broadcast and shuffles the big ones) so the fact table
+    streams through BroadcastHashJoins — the canonical star-join plan.
+    Revenue on the e6 integer grid from the raw doubles, floor AFTER
+    the per-row product like revenue_by_nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = F.expr(
+        "CAST(floor(1000000 * l_extendedprice * (1 - l_discount)) AS BIGINT)"
+    )
+    j = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.select("n_name", "r_name", rev.alias("rev_e6"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("rev_e6").cast("bigint").alias("revenue_e6"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
