@@ -3882,3 +3882,45 @@ GROUP BY r.r_name, n.n_name
 """
 
 RELATIONAL_SQL["tpch_q5"] = TPCH_Q5_SQL
+
+
+# r6e: SCD Type-2 history from the events change stream.
+SCD2_USER_STATE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), r AS (
+  SELECT *, CAST(sum(CASE WHEN prev_type IS NULL
+                               OR prev_type <> event_type THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM e
+), runs AS (
+  SELECT user_id, run_id, min(event_type) AS state,
+         min(ts_us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, run_id, state, valid_from_us,
+  coalesce(lead(valid_from_us)
+             OVER (PARTITION BY user_id ORDER BY run_id), -1) AS valid_to_us,
+  n_events,
+  CAST(CASE WHEN lead(valid_from_us)
+              OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+       THEN 1 ELSE 0 END AS INT) AS is_current
+FROM runs
+"""
+
+# r6e: per-entity provenance summary (spindle-style proxy audit record).
+ENTITY_PROVENANCE_SQL = f"""
+{_KG_CTES}
+SELECT e.entity_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT mm.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT mm.source) AS BIGINT) AS n_sources,
+       CAST(min(mm.doc_id) AS BIGINT) AS first_doc,
+       CAST(max(mm.doc_id) AS BIGINT) AS last_doc
+FROM mm JOIN eids e ON e.label = mm.root
+GROUP BY 1
+"""

@@ -4301,3 +4301,84 @@ def tpch_q5(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_lineitems"),
         )
     )
+
+
+def scd2_user_state(spark, sf_dir):
+    """Round-6: SCD Type-2 dimension history — materialize the events
+    change stream into valid-from/valid-to interval rows per user (the
+    standard warehouse CDC pattern: consecutive runs of the same
+    event_type collapse into one versioned row; the open run carries
+    valid_to_us = -1 and is_current = 1).
+
+    Scale shape: ONE shuffle on user_id serves every step — the
+    run-boundary lag, the running-sum run_id, the per-run aggregate
+    (same key prefix), and the valid_to lead all ride the same
+    hash(user_id) partitioning; no sequence or array ever enters a
+    shuffle row.  At 10^12 events this is a single repartition plus
+    linear window work per user."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    e = e.withColumn("prev_type", F.lag("event_type").over(w)).withColumn(
+        "chg",
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    e = e.withColumn(
+        "run_id",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    runs = e.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_us").over(wr)
+    return runs.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(-1).cast("bigint")).alias("valid_to_us"),
+        "n_events",
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+def kg_entity_provenance(spark, sf_dir):
+    """Round-6: per-entity provenance summary — for every canonical
+    proxy, how many mentions/documents/sources support it and the
+    first/last supporting doc (the spindle-style provenance record a
+    store consumer uses to audit where a proxy came from).
+
+    Scale shape: one join of mentions to the (norm_text → label) frame,
+    one join to the per-label entity ids, then a single groupBy on
+    entity_id — all linear in mention count; the distinct-doc/source
+    counts are per-group aggregates, never a global distinct."""
+    m, labels = _labels(spark, sf_dir)
+    members = gen.entity_membership(m, labels)
+    eids = members.select("label", "entity_id").distinct()
+    mm = (
+        m.join(labels.withColumnRenamed("node", "norm_text"), "norm_text")
+        .withColumnRenamed("label", "root")
+        .join(eids.withColumnRenamed("label", "root"), "root")
+    )
+    return mm.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

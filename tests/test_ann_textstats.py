@@ -293,3 +293,36 @@ def test_event_debounce_hand_case(spark, tmp_path):
 
     kept = {r["event_id"] for r in QQ.event_debounce(spark, str(tmp_path)).collect()}
     assert kept == {1, 3, 4}
+
+
+def test_scd2_hand_case(spark, tmp_path):
+    """u1: click,click,view,click → three SCD-2 versions; intervals
+    tile exactly (valid_to == next valid_from), the open run carries
+    valid_to=-1/is_current=1, run counts reflect the collapsed rows."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + pd.Timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (3, base + pd.Timedelta(seconds=20), 1, "view", 1.0, "{}"),
+        (4, base + pd.Timedelta(seconds=30), 1, "click", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    import kgspark.queries as QQ
+
+    out = sorted(
+        QQ.scd2_user_state(spark, str(tmp_path)).collect(),
+        key=lambda r: r["run_id"],
+    )
+    assert [r["state"] for r in out] == ["click", "view", "click"]
+    assert [r["n_events"] for r in out] == [2, 1, 1]
+    # tiling: each version's valid_to is the next version's valid_from
+    assert out[0]["valid_to_us"] == out[1]["valid_from_us"]
+    assert out[1]["valid_to_us"] == out[2]["valid_from_us"]
+    assert out[2]["valid_to_us"] == -1 and out[2]["is_current"] == 1
+    assert [r["is_current"] for r in out[:2]] == [0, 0]
