@@ -893,3 +893,47 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
         "abs_err_e6",
         F.abs(F.col("est_jaccard_e6") - F.col("exact_jaccard_e6")).cast("bigint"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, w: int = G.WINNOW_W) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., MOSS): the
+    positional token-3-gram code stream per document, trailing windows
+    of ``w`` consecutive codes, each full window selecting its minimum
+    → the distinct selected (doc_id, code) set at ~2/(w+1) density.
+
+    Scale shape: the explode emits slim (doc_id, pos, code) rows — no
+    token array ever enters the per-doc window exchange — and the
+    window itself is a bounded ROWS frame (linear, no sort spill risk
+    beyond the per-doc sequence)."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(n)  # fixture = 1 file = 1 input partition
+    toks = F.split("text", " ")
+
+    def tc(col):
+        c = F.coalesce(col, F.lit(""))
+        return (
+            F.ascii(F.substring(c, 1, 1)).cast("bigint") * 65536
+            + F.ascii(F.substring(c, 2, 1)).cast("bigint") * 256
+            + F.length(c).cast("bigint")
+        )
+
+    def scode(i):
+        t1 = tc(F.get(toks, i - 1))
+        t2 = tc(F.get(toks, i))
+        t3 = tc(F.get(toks, i + 1))
+        return ((t1 * 31 + t2) * 31 + t3) % F.lit(G.FP_MOD)
+
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    pc = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, scode)).alias("pos0", "code"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "code")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = pc.withColumn("wmin", F.min("code").over(win)).filter(
+        (F.col("pos") >= w) & (F.col("code") == F.col("wmin"))
+    )
+    return sel.select("doc_id", "code").distinct()

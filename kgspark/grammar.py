@@ -344,3 +344,16 @@ BOILER_TEXT = (
 # ---------------------------------------------------------------------------
 NEG_HASH_OFFSET = 300
 NEG_SLOTS = 2
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS-style fingerprint selection, Schleimer et al. 2003):
+# over the positional token-3-gram code stream, each full trailing
+# window of WINNOW_W consecutive codes selects its minimum — density
+# ~2/(w+1) of positions, with the guarantee every WINNOW_W-window
+# shares at least one selected fingerprint with any verbatim copy.
+# Codes selected by more than WINNOW_MAX_DF documents are boilerplate
+# band-stops and are excluded from pair enumeration (the same hot-key
+# cap the LSH family applies).
+# ---------------------------------------------------------------------------
+WINNOW_W = 4
+WINNOW_MAX_DF = 64

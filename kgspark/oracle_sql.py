@@ -3924,3 +3924,44 @@ SELECT e.entity_id,
 FROM mm JOIN eids e ON e.label = mm.root
 GROUP BY 1
 """
+
+
+# r6e: winnowing (MOSS) fingerprint selection + verbatim-overlap pairs.
+DEDUP_WINNOW_SQL = f"""
+WITH dtok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+posed AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS pos,
+         toks
+  FROM dtok
+),
+pc AS (
+  SELECT doc_id, pos,
+         (({_TC_NULL.format(t='toks[pos]')} * 31
+           + {_TC_NULL.format(t='toks[pos+1]')}) * 31
+           + {_TC_NULL.format(t='toks[pos+2]')}) % {G.FP_MOD} AS code
+  FROM posed
+),
+sel AS (
+  SELECT doc_id, pos, code,
+         min(code) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {G.WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+  FROM pc
+),
+fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, code FROM sel
+  WHERE pos >= {G.WINNOW_W} AND code = wmin
+),
+keep AS MATERIALIZED (
+  SELECT code FROM fps GROUP BY code
+  HAVING count(*) BETWEEN 2 AND {G.WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a
+JOIN keep k ON k.code = a.code
+JOIN fps b ON b.code = a.code AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

@@ -4382,3 +4382,42 @@ def kg_entity_provenance(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+def dedup_winnow_pairs(spark, sf_dir):
+    """Round-6: winnowing near-verbatim pair detection (the MOSS
+    fingerprint scheme) — per document, every full trailing window of
+    WINNOW_W consecutive positional 3-gram codes selects its minimum;
+    documents sharing selected fingerprints become candidate pairs with
+    their shared-fingerprint count.  Winnowing's guarantee (any
+    verbatim run of WINNOW_W+2 tokens shares >= 1 fingerprint) makes
+    this the *recall-bounded* verbatim-overlap detector, at ~2/(w+1)
+    of the full shingle mass.
+
+    Scale shape: slim (doc_id, pos, code) rows through the per-doc
+    ROWS-frame window; pair enumeration only on the winnowed subset,
+    with codes above WINNOW_MAX_DF docs excluded as boilerplate
+    band-stops (the hot-key cap), so no code contributes more than
+    MAX_DF^2 pairs."""
+    from . import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs)
+    dfc = fps.groupBy("code").agg(F.count("*").cast("bigint").alias("df"))
+    keep = dfc.filter(
+        (F.col("df") >= 2) & (F.col("df") <= G.WINNOW_MAX_DF)
+    ).select("code")
+    a = fps.join(keep, "code").alias("a")
+    b = fps.join(keep, "code").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

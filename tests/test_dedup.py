@@ -339,3 +339,45 @@ def test_minhash_calibration_identical_pair_zero_error(spark, sf_dir):
         x["abs_err_e6"] == abs(x["est_jaccard_e6"] - x["exact_jaccard_e6"])
         for x in rows
     )
+
+
+def test_winnow_verbatim_copy_guaranteed(spark, sf_dir):
+    """Winnowing's recall bound: a full verbatim copy of a document
+    shares ALL its fingerprints with the original — the planted clone
+    pair must surface, and n_shared must equal the per-doc fingerprint
+    count.  Also checks the density claim: the winnowed set is a
+    strict (and much smaller) subset of the distinct shingle set."""
+    import pandas as pd
+
+    from kgspark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clone = docs.filter("doc_id = 7").toPandas()
+    clone["doc_id"] = 70007
+    planted = spark.createDataFrame(
+        pd.concat([docs.toPandas(), clone], ignore_index=True)
+    )
+    fps = D.winnow_fingerprints(planted)
+    n7 = fps.filter("doc_id = 7").count()
+    assert n7 > 0
+    shingles7 = (
+        D.with_shingles(docs.filter("doc_id = 7"))
+        .selectExpr("explode(shingles)")
+        .distinct()
+        .count()
+    )
+    assert n7 < shingles7  # selection actually thins the mass
+
+    dfc = fps.groupBy("code").count().filter("count >= 2 and count <= 64")
+    a, b = fps.alias("a"), fps.alias("b")
+    from pyspark.sql import functions as F
+
+    pairs = (
+        a.join(dfc.select("code"), "code")
+        .join(b, (F.col("a.code") == F.col("b.code"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .count()
+    )
+    hit = pairs.filter("doc_a = 7 and doc_b = 70007").collect()
+    assert len(hit) == 1 and hit[0]["count"] == n7

@@ -38,7 +38,7 @@ FAST = [
     "doc_type_token_ratio", "event_type_transitions",
     "corpus_stats_by_source", "event_user_lifetime", "event_debounce",
     # round-6e additions
-    "scd2_user_state", "kg_entity_provenance",
+    "scd2_user_state", "kg_entity_provenance", "dedup_winnow_pairs",
 ]
 
 
