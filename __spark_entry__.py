@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": Q.tpch_q5,                                       # 6-table star join (r6c)
         "scd2_user_state": Q.scd2_user_state,                       # SCD-2 CDC history (r6e)
         "dedup_winnow_pairs": Q.dedup_winnow_pairs,                 # MOSS winnowing pairs (r6e)
+        "kg_void_summary": Q.kg_void_summary,                       # VoID dataset stats (r6e)
         "kg_entity_provenance": Q.kg_entity_provenance,             # proxy provenance audit (r6e)
         "event_moving_sum": Q.event_moving_sum,                     # RANGE-frame window
         "event_asof_join": Q.event_asof_join,                       # as-of via union+window (r3)
@@ -328,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_search_topk": OS.DOC_SEARCH_TOPK_SQL,
         "scd2_user_state": OS.SCD2_USER_STATE_SQL,
         "dedup_winnow_pairs": OS.DEDUP_WINNOW_SQL,
+        "kg_void_summary": OS.KG_VOID_SUMMARY_SQL,
         "kg_entity_provenance": OS.ENTITY_PROVENANCE_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,

@@ -3965,3 +3965,19 @@ JOIN keep k ON k.code = a.code
 JOIN fps b ON b.code = a.code AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+# r6e: VoID dataset descriptor over the distinct triple set.
+KG_VOID_SUMMARY_SQL = f"""
+{_KG_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION})
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT p) AS BIGINT) AS n_predicates,
+       CAST(count(DISTINCT o) AS BIGINT) AS n_objects,
+       CAST(count(DISTINCT CASE WHEN p = '{G.P_TYPE}' THEN o END)
+            AS BIGINT) AS n_classes,
+       CAST(count(DISTINCT CASE WHEN s LIKE '{G.ENTITY_IRI_PREFIX}%'
+                           THEN s END) AS BIGINT) AS n_entities
+FROM trip
+"""

@@ -4421,3 +4421,32 @@ def dedup_winnow_pairs(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+def kg_void_summary(spark, sf_dir):
+    """Round-6: VoID dataset descriptor (the W3C VoID statistics a
+    Twine-style store publishes alongside the graph): triple count,
+    distinct subjects / predicates / objects, distinct classes in use
+    and entity (proxy) count — one summary row.
+
+    Scale shape: one pass over the distinct triple set; the four
+    COUNT(DISTINCT ...) columns are a single expand-aggregate (Spark
+    plans multi-distinct via expand, still one shuffle); no driver
+    iteration."""
+    from .pipeline import run_pipeline_cached
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_triples"),
+        F.countDistinct("s").cast("bigint").alias("n_subjects"),
+        F.countDistinct("p").cast("bigint").alias("n_predicates"),
+        F.countDistinct("o").cast("bigint").alias("n_objects"),
+        F.countDistinct(
+            F.when(F.col("p") == G.P_TYPE, F.col("o"))
+        ).cast("bigint").alias("n_classes"),
+        F.countDistinct(
+            F.when(
+                F.col("s").startswith(G.ENTITY_IRI_PREFIX), F.col("s")
+            )
+        ).cast("bigint").alias("n_entities"),
+    )
