@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": Q.scd2_user_state,                       # SCD-2 CDC history (r6e)
         "dedup_winnow_pairs": Q.dedup_winnow_pairs,                 # MOSS winnowing pairs (r6e)
         "kg_void_summary": Q.kg_void_summary,                       # VoID dataset stats (r6e)
+        "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
+        "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
+        "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
         "kg_entity_provenance": Q.kg_entity_provenance,             # proxy provenance audit (r6e)
         "event_moving_sum": Q.event_moving_sum,                     # RANGE-frame window
         "event_asof_join": Q.event_asof_join,                       # as-of via union+window (r3)
@@ -330,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_state": OS.SCD2_USER_STATE_SQL,
         "dedup_winnow_pairs": OS.DEDUP_WINNOW_SQL,
         "kg_void_summary": OS.KG_VOID_SUMMARY_SQL,
+        "kg_graph_hash": OS.KG_GRAPH_HASH_SQL,
         "kg_entity_provenance": OS.ENTITY_PROVENANCE_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,

@@ -3981,3 +3981,67 @@ SELECT CAST(count(*) AS BIGINT) AS n_triples,
                            THEN s END) AS BIGINT) AS n_entities
 FROM trip
 """
+
+
+# r6e: per-graph canonical content hash — BIT_XOR of the charcode
+# rolling hash of each distinct quad's canonical string.
+KG_GRAPH_HASH_SQL = f"""
+{_KG_CTES},
+dq AS (
+  SELECT DISTINCT g, s, p, o, o_kind, o_lang, o_datatype
+  FROM {_QUADS_UNION}
+),
+hq AS (
+  SELECT g,
+         {_CHARCODE.format(col="concat_ws('|', g, s, p, o, o_kind,"
+                               " coalesce(o_lang, ''),"
+                               " coalesce(o_datatype, ''))")} AS h
+  FROM dq
+)
+SELECT g, CAST(count(*) AS BIGINT) AS n_quads,
+       CAST(bit_xor(h) AS BIGINT) AS graph_hash
+FROM hq GROUP BY g
+"""
+
+
+# r6e: bounded-lookback EWMA — 8 power-of-two taps, integer DIV.
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(v, {k}) OVER w * {1 << (7 - k)}, 0)" if k else
+    f"v * {1 << 7}"
+    for k in range(8)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(v, {k}) OVER w IS NOT NULL THEN {1 << (7 - k)}"
+    " ELSE 0 END" if k else f"{1 << 7}"
+    for k in range(8)
+)
+RELATIONAL_SQL["event_ewma"] = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, {_e6('value')} AS v
+  FROM events
+),
+t AS (
+  SELECT user_id, event_id,
+         CAST({_EWMA_NUM} AS BIGINT) AS num,
+         CAST({_EWMA_DEN} AS BIGINT) AS den
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, CAST(num // den AS BIGINT) AS ewma_e6 FROM t
+"""
+
+
+# r6e: TPC-H Q4 shape — late-lineitem EXISTS per order priority.
+RELATIONAL_SQL["tpch_q4"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE epoch_us(o_orderdate) >= 820454400000000
+  AND epoch_us(o_orderdate) < 828316800000000
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_us(l.l_shipdate)
+          > epoch_us(o.o_orderdate) + CAST(5184000000000 AS BIGINT)
+  )
+GROUP BY o_orderpriority
+"""

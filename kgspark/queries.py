@@ -4450,3 +4450,116 @@ def kg_void_summary(spark, sf_dir):
             )
         ).cast("bigint").alias("n_entities"),
     )
+
+
+def kg_graph_hash(spark, sf_dir):
+    """Round-6: per-graph canonical content hash — the graph-identity
+    primitive behind change detection and replica verification (does
+    graph g hold byte-identical content on two stores without shipping
+    the triples?).  Each distinct quad renders to its canonical string
+    (s|p|o|kind|lang|datatype, NULL fields as '') and folds through the
+    grammar's char-level rolling hash; per-graph combine is BIT_XOR —
+    commutative and overflow-free, so the hash is independent of
+    partitioning, task order, and row order by construction.
+
+    Scale shape: one distinct + one aggregate, both keyed by g; the
+    combine is associative so map-side partials apply.  No arrays, no
+    driver iteration."""
+    from .pipeline import run_pipeline_cached
+
+    q = run_pipeline_cached(spark, sf_dir).quads
+    canon = (
+        "concat_ws('|', g, s, p, o, o_kind,"
+        " coalesce(o_lang, ''), coalesce(o_datatype, ''))"
+    )
+    return (
+        q.select(
+            "g",
+            F.expr(_charcode_expr(canon)).alias("h"),
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n_quads"),
+            F.expr("bit_xor(h)").cast("bigint").alias("graph_hash"),
+        )
+    )
+
+
+def event_ewma(spark, sf_dir):
+    """Round-6: bounded-lookback exponential moving average per user —
+    the smoothing operator monitoring stacks apply to event values.
+    Weights are powers of two over the trailing 8 events
+    (2^7 for the current row down to 2^0 for lag 7), so numerator and
+    denominator are exact BIGINTs on the e6 grid and the truncating
+    integer division is identical in Spark and DuckDB (values are
+    non-negative by fixture construction).  A true infinite-memory EWMA
+    is a linear recurrence no engine's window frame expresses without
+    exploding weights; the 8-tap truncation keeps >99.2% of the mass
+    (sum 2^0..2^7 vs the geometric tail) and stays integer-exact.
+
+    Scale shape: ONE user_id shuffle serves all eight lag() columns
+    (same window spec); no self-joins, no state."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        e6(F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    num = None
+    den = None
+    for k in range(8):
+        lv = F.lag("v", k).over(w) if k else F.col("v")
+        wt = F.lit(1 << (7 - k)).cast("bigint")
+        term = F.coalesce(lv * wt, F.lit(0).cast("bigint"))
+        mask = F.when(lv.isNotNull(), wt).otherwise(F.lit(0).cast("bigint"))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return base.select(
+        "user_id",
+        "event_id",
+        num.cast("bigint").alias("_num"),
+        den.cast("bigint").alias("_den"),
+    ).selectExpr(
+        "user_id", "event_id", "CAST(_num DIV _den AS BIGINT) AS ewma_e6"
+    )
+
+
+def tpch_q4(spark, sf_dir):
+    """Round-6: TPC-H Q4 shape — order-priority checking: count the
+    orders of one quarter that had at least one LATE lineitem
+    (l_shipdate more than 60 days after the order date; the fixture
+    lineitem has no commit/receipt dates so lateness is vs the order
+    date).  The EXISTS decorrelates to a LEFT SEMI join with the
+    non-equi lateness predicate INSIDE the join condition, so the
+    probe side never materializes matched multiplicity — the shape
+    that distinguishes semi-join from join+distinct at scale.  Date
+    arithmetic on epoch micros (integer-exact both engines)."""
+    _ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    Q_LO = 820454400000000  # 1996-01-01 UTC in micros
+    Q_HI = 828316800000000  # 1996-04-01 UTC in micros
+    orders = orders.filter(
+        (F.col("od_us") >= Q_LO) & (F.col("od_us") < Q_HI)
+    )
+    late = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("sd_us"),
+    )
+    sixty_days_us = 60 * 86400 * 1000000
+    j = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("sd_us") > F.col("od_us") + F.lit(sixty_days_us)),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )

@@ -1,0 +1,105 @@
+"""Round-6e operator tests: canonical graph hash, 8-tap integer EWMA,
+TPC-H Q4 semi-join shape, VoID summary sanity."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_hash_partitioning_invariant(spark):
+    """bit_xor of per-row charcodes is commutative: any repartition /
+    row order yields the same per-graph hash."""
+    from kgspark.queries import _charcode_expr
+
+    rows = [("g1", f"s{i}", "p", f"o{i}") for i in range(50)] + [
+        ("g2", f"s{i}", "p", "x") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, p string, o string")
+    canon = "concat_ws('|', g, s, p, o)"
+
+    def hashes(frame):
+        out = (
+            frame.select("g", F.expr(_charcode_expr(canon)).alias("h"))
+            .groupBy("g")
+            .agg(F.expr("bit_xor(h)").alias("gh"))
+            .collect()
+        )
+        return {r["g"]: r["gh"] for r in out}
+
+    a = hashes(df.repartition(1))
+    b = hashes(df.repartition(16).sortWithinPartitions(F.desc("s")))
+    assert a == b
+    # content-sensitivity: flipping one char flips the graph hash
+    df2 = df.withColumn(
+        "o",
+        F.when(
+            (F.col("s") == "s3") & (F.col("g") == "g1"), F.lit("oX")
+        ).otherwise(F.col("o")),
+    )
+    assert hashes(df2)["g1"] != a["g1"]
+    assert hashes(df2)["g2"] == a["g2"]
+
+
+def test_graph_hash_contract_runs(spark, sf_dir):
+    from kgspark.queries import kg_graph_hash
+
+    out = kg_graph_hash(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 1
+    assert all(r["n_quads"] > 0 for r in rows)
+
+
+def test_event_ewma_hand_case(spark):
+    """3-event user: weights 128/64/32 over the available history."""
+    import kgspark.queries as Q
+
+    # monkey-build: small frame through the same window logic by
+    # writing a temp parquet dir and pointing the query at it
+    import tempfile, os, pandas as pd
+
+    d = tempfile.mkdtemp()
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                 "2024-01-01 00:02:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [7, 7, 7],
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 2.0, 4.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_id"]: r["ewma_e6"]
+        for r in Q.event_ewma(spark, d).collect()
+    }
+    # row 1: 128*1e6 / 128 = 1_000_000
+    # row 2: (128*2e6 + 64*1e6) / 192 = 320e6/192 = 1_666_666
+    # row 3: (128*4e6 + 64*2e6 + 32*1e6) / 224 = 672e6/224 = 3_000_000
+    assert out == {1: 1_000_000, 2: 1_666_666, 3: 3_000_000}
+
+
+def test_tpch_q4_is_semi_join(spark, sf_dir):
+    from kgspark.queries import tpch_q4
+
+    plan = _plan(tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_void_summary_invariants(spark, sf_dir):
+    from kgspark.queries import kg_void_summary
+
+    r = kg_void_summary(spark, sf_dir).collect()[0]
+    assert r["n_subjects"] <= r["n_triples"]
+    assert r["n_entities"] <= r["n_subjects"]
+    assert r["n_classes"] <= r["n_objects"]
+    assert r["n_predicates"] >= 1
