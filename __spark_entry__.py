@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
         "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
+        "doc_zorder_key": Q.doc_zorder_key,                         # Morton export layout key (r6e)
+        "embedding_pq_codes": Q.embedding_pq_codes,                 # product quantization (r6e)
         "kg_entity_provenance": Q.kg_entity_provenance,             # proxy provenance audit (r6e)
         "event_moving_sum": Q.event_moving_sum,                     # RANGE-frame window
         "event_asof_join": Q.event_asof_join,                       # as-of via union+window (r3)
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": OS.DEDUP_WINNOW_SQL,
         "kg_void_summary": OS.KG_VOID_SUMMARY_SQL,
         "kg_graph_hash": OS.KG_GRAPH_HASH_SQL,
+        "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
         "kg_entity_provenance": OS.ENTITY_PROVENANCE_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,

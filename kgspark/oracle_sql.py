@@ -4045,3 +4045,70 @@ WHERE epoch_us(o_orderdate) >= 820454400000000
   )
 GROUP BY o_orderpriority
 """
+
+
+# r6e: Z-order (Morton) export layout key — 4+4 bit interleave.
+_Z_BITS = " + ".join(
+    f"(((len_b >> {k}) & 1) * {1 << (2 * k + 1)})"
+    f" + (((lang_b >> {k}) & 1) * {1 << (2 * k)})"
+    for k in range(4)
+)
+RELATIONAL_SQL["doc_zorder_key"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_CHARCODE.format(col='lang')} % 16 AS BIGINT) AS lang_b,
+         CAST(least(length(bin(n_chars)), 15) AS BIGINT) AS len_b
+  FROM documents
+)
+SELECT doc_id, lang_b, len_b, CAST({_Z_BITS} AS BIGINT) AS zkey FROM base
+"""
+
+
+# r6e: product-quantization codes — per-subspace label centroids on
+# the e3 grid, nearest-centroid assignment, exact integer sq error.
+EMBEDDING_PQ_CODES_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+ex AS (
+  SELECT label, d - 1 AS dim, e3[d] AS val
+  FROM v, UNNEST(generate_series(1, len(e3))) AS t(d)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(CASE WHEN SUM(val) >= 0 THEN SUM(val) // COUNT(*)
+                   ELSE -((-SUM(val)) // COUNT(*)) END AS BIGINT) AS mean_e3
+  FROM ex GROUP BY label, dim
+),
+cent_arr AS (
+  SELECT label AS c_label, dim // 16 AS m,
+         list(mean_e3 ORDER BY dim) AS cent
+  FROM cent GROUP BY 1, 2
+),
+sub AS (
+  SELECT vec_id, m,
+         list_transform(generate_series(1, 16),
+                        i -> e3[m * 16 + i]) AS sub
+  FROM v, UNNEST(generate_series(0, 3)) AS t(m)
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.c_label,
+         CAST(list_sum(list_transform(generate_series(1, 16),
+              i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i])))
+           AS BIGINT) AS dist
+  FROM sub s JOIN cent_arr c ON c.m = s.m
+),
+sel AS (
+  SELECT vec_id, m, MIN(dist) AS sq_err FROM scored GROUP BY 1, 2
+)
+SELECT s.vec_id, CAST(s.m AS INT) AS subspace,
+       CAST(MIN(sc.c_label) AS INT) AS code,
+       CAST(s.sq_err AS BIGINT) AS sq_err
+FROM sel s
+JOIN scored sc ON sc.vec_id = s.vec_id AND sc.m = s.m
+              AND sc.dist = s.sq_err
+GROUP BY s.vec_id, s.m, s.sq_err
+"""

@@ -4563,3 +4563,119 @@ def tpch_q4(spark, sf_dir):
     return j.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("order_count")
     )
+
+
+def doc_zorder_key(spark, sf_dir):
+    """Round-6: Z-ORDER (Morton) export layout key — the
+    multidimensional clustering trick warehouse layouts use so range
+    predicates on EITHER dimension prune file-level min/max zones.
+    Two 4-bit bucket codes per document — language bucket
+    (charcode(lang) mod 16) and log2 length bucket (bitlen(n_chars)
+    capped at 15) — bit-interleave into one 8-bit z-key; writing the
+    corpus sorted/partitioned by zkey co-locates documents that agree
+    on both dimensions.  Pure per-row integer arithmetic with literal
+    shift counts: map-only, zero shuffle, identical in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.expr(_charcode_expr("lang")) % 16).cast("bigint").alias("lang_b"),
+        F.least(
+            F.length(F.bin(F.col("n_chars"))).cast("bigint"), F.lit(15)
+        ).alias("len_b"),
+    )
+    z = None
+    for k in range(4):
+        hi = F.expr(f"(shiftright(len_b, {k}) & 1) * {1 << (2 * k + 1)}")
+        lo = F.expr(f"(shiftright(lang_b, {k}) & 1) * {1 << (2 * k)}")
+        z = hi + lo if z is None else z + hi + lo
+    return base.select(
+        "doc_id", "lang_b", "len_b", z.cast("bigint").alias("zkey")
+    )
+
+
+def embedding_pq_codes(spark, sf_dir):
+    """Round-6: PRODUCT QUANTIZATION codes — the ANN-index compression
+    step past scalar quantization (Jégou's PQ: split the vector into M
+    subspaces, code each subvector by its nearest per-subspace
+    centroid; the vector compresses to M small codes).  Codebooks are
+    the label centroids restricted to each subspace (the trained
+    M-step reused per 16-dim slice, sign-split DIV means on the e3
+    grid); assignment is integer squared-L2, ties -> min label; the
+    contract emits (vec_id, subspace, code, sq_err) so both the codes
+    AND the exact reconstruction error are pinned.
+
+    Scale shape: the codebook is k*M rows (tiny, broadcast); the
+    vector side explodes to M slim subvector rows, scores against the
+    broadcast codebook, and the argmin groupBy shuffles only
+    (vec_id, m, label, dist) int rows — no vector arrays ride the
+    shuffle after the local slice."""
+    M, SUB = 4, 16
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("e3"),
+    )
+    cents = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.expr(
+                "transform(embedding, x -> CAST(round(1000 *"
+                " CAST(x AS DOUBLE)) AS BIGINT))"
+            ).alias("e3"),
+        )
+        .select("label", F.posexplode("e3").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("val").cast("bigint").alias("s"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN s DIV n"
+                " ELSE -((-s) DIV n) END AS BIGINT)"
+            ).alias("mean_e3"),
+        )
+        .withColumn("m", F.expr(f"CAST(dim DIV {SUB} AS INT)"))
+        .groupBy("label", "m")
+        .agg(
+            F.expr("array_sort(collect_list(struct(dim, mean_e3)))").alias(
+                "cs"
+            )
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            "m",
+            F.expr("transform(cs, s -> s.mean_e3)").alias("cent"),
+        )
+    )
+    sub = v.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {M - 1}),"
+                f" m -> slice(e3, m * {SUB} + 1, {SUB}))"
+            )
+        ).alias("m", "sub"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = sub.join(F.broadcast(cents), "m").select(
+        "vec_id", "m", "c_label", dist.alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "c_label")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("m").cast("int").alias("subspace"),
+            F.col("best.c_label").cast("int").alias("code"),
+            F.col("best.dist").cast("bigint").alias("sq_err"),
+        )
+    )
