@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
         "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
+        "tpch_q14": Q.tpch_q14,                                     # promo share, pushed month filter (r6e)
+        "tpch_q19": Q.tpch_q19,                                     # OR-of-conjunctions join (r6e)
         "doc_zorder_key": Q.doc_zorder_key,                         # Morton export layout key (r6e)
         "embedding_pq_codes": Q.embedding_pq_codes,                 # product quantization (r6e)
         "kg_entity_provenance": Q.kg_entity_provenance,             # proxy provenance audit (r6e)

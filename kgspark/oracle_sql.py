@@ -4112,3 +4112,41 @@ JOIN scored sc ON sc.vec_id = s.vec_id AND sc.m = s.m
               AND sc.dist = s.sq_err
 GROUP BY s.vec_id, s.m, s.sq_err
 """
+
+
+# r6e: TPC-H Q14 shape — promo revenue share, integer e6 share form.
+RELATIONAL_SQL["tpch_q14"] = """
+WITH j AS (
+  SELECT CAST(floor(1000000 * l_extendedprice * (1 - l_discount))
+              AS BIGINT) AS rev_e6,
+         p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE epoch_us(l.l_shipdate) >= 825638400000000
+    AND epoch_us(l.l_shipdate) < 828316800000000
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END)
+              AS BIGINT) AS promo_rev_e6,
+         CAST(sum(rev_e6) AS BIGINT) AS total_rev_e6
+  FROM j
+)
+SELECT promo_rev_e6, total_rev_e6,
+       CAST(promo_rev_e6 // (total_rev_e6 // 1000000) AS BIGINT)
+         AS promo_share_e6
+FROM a
+"""
+
+
+# r6e: TPC-H Q19 shape — OR-of-conjunctions join predicate.
+RELATIONAL_SQL["tpch_q19"] = """
+SELECT CAST(sum(CAST(floor(1000000 * l_extendedprice * (1 - l_discount))
+                     AS BIGINT)) AS BIGINT) AS revenue_e6,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""

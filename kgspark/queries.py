@@ -4679,3 +4679,87 @@ def embedding_pq_codes(spark, sf_dir):
             F.col("best.dist").cast("bigint").alias("sq_err"),
         )
     )
+
+
+def tpch_q14(spark, sf_dir):
+    """Round-6: TPC-H Q14 shape — promotion revenue share: of one
+    month's lineitem revenue, the fraction from PROMO-type parts.
+    Part is broadcast (a dimension); the month filter prunes the fact
+    scan BEFORE the join (pushed to the parquet reader).  The share is
+    published on the e6 grid as promo_rev_e6 DIV (total_rev_e6 DIV
+    1e6) — a pure-integer form both engines compute identically, and
+    one that cannot overflow (multiplying promo_rev_e6 by 1e6 first
+    would pass 2^63 on a 100 TB fact table)."""
+    _ensure_utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    # filter on the RAW column (plain comparisons push to the parquet
+    # reader as PushedFilters; a unix_micros() wrapper would not)
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.expr(
+        "CAST(floor(1000000 * l_extendedprice * (1 - l_discount)) AS BIGINT)"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.select(
+        rev.alias("rev_e6"),
+        F.when(F.col("p_type") == "PROMO", rev)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("promo_e6"),
+    ).agg(
+        F.sum("promo_e6").cast("bigint").alias("promo_rev_e6"),
+        F.sum("rev_e6").cast("bigint").alias("total_rev_e6"),
+    )
+    return agg.selectExpr(
+        "promo_rev_e6",
+        "total_rev_e6",
+        "CAST(promo_rev_e6 DIV (total_rev_e6 DIV 1000000) AS BIGINT)"
+        " AS promo_share_e6",
+    )
+
+
+def tpch_q19(spark, sf_dir):
+    """Round-6: TPC-H Q19 shape — discounted revenue under an OR of
+    brand/size/quantity conjunctions.  The equi key (partkey) carries
+    the join; the disjunction stays a post-join filter Catalyst splits:
+    the part-only conjuncts (brand OR-list, size >= 1) push into the
+    broadcast side's scan, the mixed ones evaluate after the hash
+    probe — the shape that verifies disjunctive predicate splitting
+    rather than forcing a nested-loop join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.expr(
+            "CAST(floor(1000000 * l_extendedprice * (1 - l_discount))"
+            " AS BIGINT)"
+        ).alias("rev_e6"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum("rev_e6").cast("bigint").alias("revenue_e6"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )

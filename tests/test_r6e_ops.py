@@ -153,3 +153,23 @@ def test_pq_codebook_join_is_broadcast(spark, sf_dir):
     plan = _plan(embedding_pq_codes(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q14_month_filter_pushed_to_scan(spark, sf_dir):
+    from kgspark.queries import tpch_q14
+
+    plan = _plan(tpch_q14(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the month bounds must reach the parquet reader
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_q19_disjunction_no_nested_loop(spark, sf_dir):
+    from kgspark.queries import tpch_q19
+
+    plan = _plan(tpch_q19(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
