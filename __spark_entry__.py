@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": Q.tpch_q5,                                       # 6-table star join (r6c)
         "scd2_user_state": Q.scd2_user_state,                       # SCD-2 CDC history (r6e)
         "dedup_winnow_pairs": Q.dedup_winnow_pairs,                 # MOSS winnowing pairs (r6e)
+        "kg_store_merge": Q.kg_store_merge,                         # CDC MERGE upsert into store (r6e)
         "kg_void_summary": Q.kg_void_summary,                       # VoID dataset stats (r6e)
         "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
         "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": OS.DEDUP_WINNOW_SQL,
         "kg_void_summary": OS.KG_VOID_SUMMARY_SQL,
         "kg_graph_hash": OS.KG_GRAPH_HASH_SQL,
+        "kg_store_merge": OS.KG_STORE_MERGE_SQL,
         "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
         "kg_entity_provenance": OS.ENTITY_PROVENANCE_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,

@@ -4150,3 +4150,26 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+# r6e: CDC MERGE end state — (base \ retracts) ∪ adds over nation.
+KG_STORE_MERGE_SQL = """
+WITH base AS (
+  SELECT 'ex:reg' || CAST(n_regionkey AS VARCHAR) AS g,
+         'ex:nat' || CAST(n_nationkey AS VARCHAR) AS s,
+         'ex:name' AS p, n_name AS o, n_nationkey AS k
+  FROM nation
+),
+kept AS (SELECT g, s, p, o FROM base WHERE k % 2 = 1),
+adds AS (
+  SELECT 'ex:reg' || CAST(n_regionkey AS VARCHAR) AS g,
+         'ex:nat' || CAST(n_nationkey AS VARCHAR) AS s,
+         'ex:upd' AS p, 'v' || CAST(n_nationkey AS VARCHAR) AS o
+  FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL
+  SELECT 'ex:regnew', 'ex:meta', 'ex:created', 'true'
+)
+SELECT DISTINCT g, s, p, o FROM (
+  SELECT * FROM kept UNION ALL SELECT * FROM adds
+)
+"""

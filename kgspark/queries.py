@@ -4763,3 +4763,64 @@ def tpch_q19(spark, sf_dir):
         F.sum("rev_e6").cast("bigint").alias("revenue_e6"),
         F.count("*").cast("bigint").alias("n_lineitems"),
     )
+
+
+def kg_store_merge(spark, sf_dir):
+    """Round-6: DataFrame-level CDC MERGE into the store
+    (rdfio.merge_quads — the Delta-style upsert surface; SPARQL
+    INSERT/DELETE DATA covers driver-typed ground quads, this covers
+    the pipeline-emitted arbitrarily-large delta frame).  Build a
+    per-region nation store, merge one delta that exercises every
+    semantic branch — retract existing rows (even nation keys), retract
+    an absent quad (no-op), add a duplicate of a surviving quad
+    (no-op), add new quads (every 5th key), and add into a graph the
+    store has never seen — then read the end state back.  The oracle
+    recomputes (base \\ retracts) ∪ adds in DuckDB."""
+    import tempfile
+
+    from . import rdfio
+
+    nat = _t(spark, sf_dir, "nation")
+    quads = nat.select(
+        F.concat(F.lit("ex:reg"), F.col("n_regionkey").cast("string")).alias("g"),
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+    store = tempfile.mkdtemp(prefix="kgspark_merge_")
+    rdfio.write_nquads_store(quads, store)
+
+    retracts = quads.filter(
+        F.expr("CAST(substring(s, 7) AS BIGINT) % 2 = 0")
+    ).withColumn("op", F.lit("retract"))
+    ghost = spark.range(1).select(
+        F.lit("ex:reg0").alias("g"), F.lit("ex:nat999").alias("s"),
+        F.lit("ex:name").alias("p"), F.lit("NOWHERE").alias("o"),
+        F.lit("literal").alias("o_kind"), F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"), F.lit("retract").alias("op"),
+    )
+    dup = quads.filter(F.col("s") == "ex:nat1").withColumn(
+        "op", F.lit("add")
+    )
+    news = nat.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit("ex:reg"), F.col("n_regionkey").cast("string")).alias("g"),
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:upd").alias("p"),
+        F.concat(F.lit("v"), F.col("n_nationkey").cast("string")).alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    ).withColumn("op", F.lit("add"))
+    fresh = spark.range(1).select(
+        F.lit("ex:regnew").alias("g"), F.lit("ex:meta").alias("s"),
+        F.lit("ex:created").alias("p"), F.lit("true").alias("o"),
+        F.lit("literal").alias("o_kind"), F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"), F.lit("add").alias("op"),
+    )
+    delta = retracts.unionByName(ghost).unionByName(dup) \
+        .unionByName(news).unionByName(fresh)
+    rdfio.merge_quads(spark, delta, store)
+    return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")

@@ -1780,3 +1780,65 @@ def compact_store(
             out.append((g, before, len(data_files(old_dir))))
         shutil.rmtree(staging, ignore_errors=True)
         return out
+
+
+def merge_quads(
+    spark, delta: DataFrame, path: str, lock_timeout: float = 60.0
+) -> dict:
+    """CDC MERGE into the partitioned store: apply a DataFrame of
+    tagged changes — ``op`` ('add' | 'retract') + the parsed-quad
+    columns — in one atomic commit.  The DataFrame form is what an
+    ingest pipeline emits at scale (arbitrarily many rows, unlike the
+    ground-quad lists of SPARQL INSERT/DELETE DATA, which parse a
+    request string on the driver).
+
+    Semantics per affected graph: new = (current \\ retracts) ∪ adds,
+    distinct — so re-applying the same delta is a no-op (idempotent),
+    retracting an absent quad is a no-op, and adding a present quad is
+    a no-op.  Graphs the merge empties are dropped; graphs the delta
+    does not mention are untouched (their partition directories are
+    never read or rewritten).
+
+    Scale shape: reads ONLY the affected graphs' partitions
+    (partition-pruned under the MapInPandas parse, like every store
+    read); the retract anti-join and the add union shuffle on the quad
+    key; the affected-graph collect is metadata-scale (graphs touched
+    per merge, not rows).  The whole read-modify-write runs under the
+    store writer lock, serialized with SPARQL UPDATE and graph-replace
+    writers."""
+    delta = delta.localCheckpoint(eager=False)
+    og = delta.select("op", "g").distinct().collect()  # one metadata job
+    bad = {r["op"] for r in og} - {"add", "retract"}
+    if bad:
+        raise ValueError(f"merge_quads: unknown op values {sorted(bad)}")
+    quad_cols = [c.strip().split()[0] for c in QUADS_PARSED_DDL.split(",")]
+    affected = sorted({r["g"] for r in og})
+    with _StoreWriteLock(path, timeout=lock_timeout):
+        dirs = store_graph_dirs(path)
+        have = [g for g in affected if g in dirs]
+        adds = delta.filter(F.col("op") == "add").select(*quad_cols)
+        retr = delta.filter(F.col("op") == "retract").select(
+            "g", "s", "p", "o"
+        )
+        if have:
+            remaining = read_nquads_store(spark, path, graph=have).join(
+                retr, ["g", "s", "p", "o"], "left_anti"
+            )
+            new = remaining.unionByName(adds)
+        else:
+            new = adds
+        new = new.distinct().localCheckpoint(eager=False)
+        per_graph = {
+            r["g"]: r["n"]
+            for r in new.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        if per_graph:
+            _replace_graphs_unlocked(new, path)
+        removed = _remove_graph_dirs(
+            path, [g for g in have if g not in per_graph]
+        )
+    return {
+        "graphs": affected,
+        "removed": removed,
+        "rows_after": per_graph,
+    }

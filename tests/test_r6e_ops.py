@@ -173,3 +173,72 @@ def test_q19_disjunction_no_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_quads_semantics(spark, tmp_path):
+    """CDC merge: idempotent re-apply, untouched graphs' files not
+    rewritten, emptied graph dropped, unknown op rejected."""
+    import os
+
+    from kgspark import rdfio
+
+    store = str(tmp_path / "store")
+    rows = [
+        ("ex:gA", "ex:s1", "ex:p", "a", "literal", "", ""),
+        ("ex:gA", "ex:s2", "ex:p", "b", "literal", "", ""),
+        ("ex:gB", "ex:s3", "ex:p", "c", "literal", "", ""),
+        ("ex:gC", "ex:s4", "ex:p", "d", "literal", "", ""),
+    ]
+    quads = spark.createDataFrame(rows, rdfio.QUADS_PARSED_DDL)
+    rdfio.write_nquads_store(quads, store)
+    untouched_dir = rdfio.store_graph_dirs(store)["ex:gC"]
+    files_before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+
+    delta_rows = [
+        ("retract", "ex:gA", "ex:s1", "ex:p", "a", "literal", "", ""),
+        ("add", "ex:gA", "ex:s9", "ex:p", "z", "literal", "", ""),
+        ("retract", "ex:gB", "ex:s3", "ex:p", "c", "literal", "", ""),
+    ]
+    delta = spark.createDataFrame(
+        delta_rows, "op string, " + rdfio.QUADS_PARSED_DDL
+    )
+    res = rdfio.merge_quads(spark, delta, store)
+    assert res["removed"] == ["ex:gB"]
+
+    def state():
+        return sorted(
+            map(
+                tuple,
+                rdfio.read_nquads_store(spark, store)
+                .select("g", "s", "p", "o")
+                .collect(),
+            )
+        )
+
+    expect = sorted(
+        [
+            ("ex:gA", "ex:s2", "ex:p", "b"),
+            ("ex:gA", "ex:s9", "ex:p", "z"),
+            ("ex:gC", "ex:s4", "ex:p", "d"),
+        ]
+    )
+    assert state() == expect
+    # untouched graph: same files, same mtimes (never rewritten)
+    files_after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    assert files_after == files_before
+    # idempotent: re-applying the same delta is a no-op
+    rdfio.merge_quads(spark, delta, store)
+    assert state() == expect
+    # unknown op rejected
+    bad = spark.createDataFrame(
+        [("upsert", "ex:gA", "ex:s1", "ex:p", "a", "literal", "", "")],
+        "op string, " + rdfio.QUADS_PARSED_DDL,
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        rdfio.merge_quads(spark, bad, store)
