@@ -286,3 +286,30 @@ def expire_snapshots(
             "removed_versions": removed,
             "removed_dirs": removed_dirs,
         }
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Register ``df`` as a metastore-bucketed, bucket-sorted table —
+    the layout that makes repeated big-big equi-joins on ``key``
+    SHUFFLE-FREE: two tables bucketed the same way join bucket-to-
+    bucket with no Exchange on either side (and no Sort when both are
+    sortBy the key), which at 100 TB turns the dominant join cost into
+    a local merge.  This is the Spark-native analogue of the
+    co-located proxy/membership joins the generate stage repeats —
+    pay one bucketed write, then every downstream join on the key is
+    exchange-free (verified by plan gate in tests/test_r6e_ops.py).
+
+    Uses saveAsTable because bucket metadata lives in the session
+    catalog — plain ``.parquet(path)`` cannot record it."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
