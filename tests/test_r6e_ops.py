@@ -270,3 +270,42 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime-filter proof: a selective dimension filter induces a
+    bloom_filter_agg on the dim side and a might_contain probe on the
+    fact scan — the runtime semi-join reduction that, at 100 TB,
+    drops most fact rows before the shuffle.  The size thresholds are
+    sized for real clusters (10 GB application side), so the test
+    scales them to fixture size; result equality with the unfiltered
+    plan is asserted too."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size = 1")
+    import pyspark.sql.functions as Fn
+
+    def q():
+        return (
+            li.join(part, Fn.col("l_partkey") == Fn.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+
+    baseline = {(r["p_brand"], r["count"]) for r in q().collect()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = q()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert {(r["p_brand"], r["count"]) for r in j.collect()} == baseline
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
