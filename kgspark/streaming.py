@@ -378,3 +378,25 @@ def stream_view_purchase_attribution(events_stream: DataFrame) -> DataFrame:
         "view_ts",
         "purchase_ts",
     )
+
+
+def stream_enriched_counts(events_stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT JOIN — the remaining classic streaming
+    join shape (stream-stream lives in
+    :func:`stream_view_purchase_attribution`): every micro-batch joins
+    the unbounded event stream to a bounded, broadcast dimension
+    (user → segment) and maintains a running (segment, event_type)
+    count + value sum.  The static side is re-read per micro-batch by
+    Structured Streaming, so a slowly-changing dimension file picks up
+    between triggers without restarting the query; the join is
+    stateless (no watermark needed — only the aggregate holds state).
+    Left join: events with no dimension row keep a NULL segment rather
+    than silently dropping (the observability-preserving choice).
+    Converges to the equivalent batch aggregate (tested)."""
+    enriched = events_stream.join(F.broadcast(dim), "user_id", "left")
+    return enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr("CAST(floor(1000000 * value) AS BIGINT)")
+        ).alias("sum_value_e6"),
+    )

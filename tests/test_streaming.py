@@ -361,3 +361,75 @@ def test_stream_stream_attribution_converges_to_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrichment_converges_to_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join + running aggregate == the batch
+    join+aggregate once the stream drains; events missing a dimension
+    row survive with NULL segment."""
+    from kgspark.streaming import stream_enriched_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # deterministic user dimension; hold out users % 7 == 0 to exercise
+    # the left-join NULL-segment path
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 7 != 0)
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 4))
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    dim_static = spark.read.parquet(dim_path)
+
+    ev_dir = str(tmp_path / "ev_enrich")
+    import os
+    import shutil
+    import time
+
+    os.makedirs(ev_dir)
+    chunks = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    t0 = int(time.time()) - 100
+    for i, c in enumerate(chunks):
+        stage = str(tmp_path / f"enr_stage{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(ev_dir, f"chunk-{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        stream_enriched_counts(stream, dim_static)
+        .writeStream.format("memory")
+        .queryName("enriched_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enr"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["segment"], r["event_type"]): (r["n"], r["sum_value_e6"])
+        for r in spark.sql("SELECT * FROM enriched_counts").collect()
+    }
+    batch = {
+        (r["segment"], r["event_type"]): (r["n"], r["sum_value_e6"])
+        for r in ev.join(dim_static, "user_id", "left")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("CAST(floor(1000000 * value) AS BIGINT)")
+            ).alias("sum_value_e6"),
+        )
+        .collect()
+    }
+    assert got == batch
+    assert any(k[0] is None for k in got)  # held-out users surfaced
