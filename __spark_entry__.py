@@ -103,12 +103,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_store_merge": Q.kg_store_merge,                         # CDC MERGE upsert into store (r6e)
         "kg_void_summary": Q.kg_void_summary,                       # VoID dataset stats (r6e)
         "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
+        "kg_component_size_hist": Q.kg_component_size_hist,         # CC size distribution (r6e)
         "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
         "tpch_q14": Q.tpch_q14,                                     # promo share, pushed month filter (r6e)
         "tpch_q19": Q.tpch_q19,                                     # OR-of-conjunctions join (r6e)
         "doc_zorder_key": Q.doc_zorder_key,                         # Morton export layout key (r6e)
         "embedding_pq_codes": Q.embedding_pq_codes,                 # product quantization (r6e)
+        "embedding_knn_graph": Q.embedding_knn_graph,               # kNN graph build (r6e)
         "kg_entity_provenance": Q.kg_entity_provenance,             # proxy provenance audit (r6e)
         "event_moving_sum": Q.event_moving_sum,                     # RANGE-frame window
         "event_asof_join": Q.event_asof_join,                       # as-of via union+window (r3)
@@ -340,7 +342,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_void_summary": OS.KG_VOID_SUMMARY_SQL,
         "kg_graph_hash": OS.KG_GRAPH_HASH_SQL,
         "kg_store_merge": OS.KG_STORE_MERGE_SQL,
+        "kg_component_size_hist": OS.KG_COMPONENT_SIZE_HIST_SQL,
         "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
+        "embedding_knn_graph": OS.EMBEDDING_KNN_GRAPH_SQL,
         "kg_entity_provenance": OS.ENTITY_PROVENANCE_SQL,
         "heavy_hitters_cms": OS.HEAVY_HITTERS_CMS_SQL,
         "bpe_merge_pairs": OS.BPE_MERGE_PAIRS_SQL,

@@ -266,3 +266,33 @@ def ann_mips(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFram
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_e6")
     )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """k-NN GRAPH BUILD — every vector's top-k same-cell neighbors
+    (cell = the label coarse assignment, as in ``ann_ivf``): the input
+    structure HNSW/NSW index builds and GraphSAGE samplers consume.
+
+    Scale shape: at graph-build time the "query set" IS the corpus, so
+    the broadcast-queries pattern of the search paths is wrong — this
+    is a CELL-KEYED SELF-JOIN (both sides shuffle on the cell key;
+    block size = cell population, bounded by the quantizer, never
+    corpus-global) followed by the two-phase partial top-k.  One Arrow
+    cosine kernel evaluation per candidate pair, no vector arrays
+    beyond the cell-local join."""
+    a = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("q_emb"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("n_emb"),
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine_batch(F.col("q_emb"), F.col("n_emb")))
+    )
+    return _topk(scored, k)

@@ -4173,3 +4173,46 @@ SELECT DISTINCT g, s, p, o FROM (
   SELECT * FROM kept UNION ALL SELECT * FROM adds
 )
 """
+
+
+# r6e: component-size histogram over the sameAs closure (component
+# size = reach count incl. self; bucket = bitlen(size)).
+KG_COMPONENT_SIZE_HIST_SQL = f"""
+{_KG_CTES},
+tri AS (SELECT DISTINCT s, p, o FROM {_QUADS_UNION}),
+sa_edges AS (
+  SELECT s AS a, o AS b FROM tri WHERE p = 'owl:sameAs'
+  UNION
+  SELECT o AS a, s AS b FROM tri WHERE p = 'owl:sameAs'
+),
+sa_reach AS (
+  SELECT a, b FROM sa_edges
+  UNION
+  SELECT r.a, e.b FROM sa_reach r JOIN sa_edges e ON e.a = r.b
+),
+comp AS (
+  SELECT a AS node, MIN(b) AS root
+  FROM (SELECT a, b FROM sa_reach UNION SELECT a, a FROM sa_edges)
+  GROUP BY a
+),
+sizes AS (SELECT root, count(*) AS sz FROM comp GROUP BY root)
+SELECT CAST(length(bin(sz)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(sz) AS BIGINT) AS n_nodes
+FROM sizes GROUP BY 1
+"""
+
+
+# r6e: k-NN graph — same-cell top-3 neighbors for EVERY vector.
+EMBEDDING_KNN_GRAPH_SQL = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id != q.vec_id AND c.label = q.label
+) WHERE rank <= 3
+"""

@@ -4824,3 +4824,47 @@ def kg_store_merge(spark, sf_dir):
         .unionByName(news).unionByName(fresh)
     rdfio.merge_quads(spark, delta, store)
     return rdfio.read_nquads_store(spark, store).select("g", "s", "p", "o")
+
+
+def kg_component_size_hist(spark, sf_dir):
+    """Round-6: sameAs-component SIZE DISTRIBUTION — the CC
+    observability readout (the number every KG-construction operator
+    dashboard watches: a forming giant component shows up here as a
+    high bucket long before the closure query melts down).  Bucket =
+    bitlen(component size), so bucket k holds sizes in [2^(k-1), 2^k);
+    emits component and node counts per bucket.  Linear: one CC label
+    aggregate + one bucket aggregate, nothing pairwise."""
+    from .pipeline import run_pipeline_cached
+    from . import cc as cc_mod
+
+    t = run_pipeline_cached(spark, sf_dir).triples
+    e = t.filter(F.col("p") == "owl:sameAs").select(
+        F.col("s").alias("norm_a"), F.col("o").alias("norm_b")
+    )
+    nodes = (
+        e.select(F.col("norm_a").alias("node"))
+        .unionByName(e.select(F.col("norm_b").alias("node")))
+        .distinct()
+    )
+    labels = cc_mod.connected_components(e, nodes)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        sizes.select(
+            F.length(F.bin(F.col("size"))).cast("int").alias("bucket"),
+            "size",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_components"),
+            F.sum("size").cast("bigint").alias("n_nodes"),
+        )
+    )
+
+
+def embedding_knn_graph(spark, sf_dir):
+    """Round-6: k-NN graph construction over the embedding table (the
+    HNSW/GraphSAGE input structure) — see kgspark/ann.py knn_graph for
+    the cell-keyed self-join scale shape."""
+    from . import ann
+
+    return ann.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
