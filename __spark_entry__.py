@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
         "tpch_q14": Q.tpch_q14,                                     # promo share, pushed month filter (r6e)
         "tpch_q19": Q.tpch_q19,                                     # OR-of-conjunctions join (r6e)
+        "nation_coverage_full_join": Q.nation_coverage_full_join,   # FULL OUTER shape (r6e)
+        "orders_above_avg": Q.orders_above_avg,                     # scalar-subquery shape (r6e)
         "doc_zorder_key": Q.doc_zorder_key,                         # Morton export layout key (r6e)
         "embedding_pq_codes": Q.embedding_pq_codes,                 # product quantization (r6e)
         "embedding_knn_graph": Q.embedding_knn_graph,               # kNN graph build (r6e)

@@ -4216,3 +4216,34 @@ SELECT query_id, neighbor_id, rank FROM (
     ON c.vec_id != q.vec_id AND c.label = q.label
 ) WHERE rank <= 3
 """
+
+
+# r6e: FULL OUTER JOIN of two pre-aggregated per-nation counts.
+RELATIONAL_SQL["nation_coverage_full_join"] = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY 1
+),
+supp AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+"""
+
+
+# r6e: scalar-subquery shape — integer-exact global mean cut.
+RELATIONAL_SQL["orders_above_avg"] = f"""
+WITH o AS (
+  SELECT o_orderpriority, {_e6('o_totalprice')} AS tp_e6 FROM orders
+),
+a AS (SELECT CAST(sum(tp_e6) // count(*) AS BIGINT) AS avg_e6 FROM o)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(tp_e6) AS BIGINT) AS sum_price_e6
+FROM o, a WHERE tp_e6 > avg_e6
+GROUP BY o_orderpriority
+"""

@@ -4868,3 +4868,58 @@ def embedding_knn_graph(spark, sf_dir):
     from . import ann
 
     return ann.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def nation_coverage_full_join(spark, sf_dir):
+    """Round-6: FULL OUTER JOIN shape (the one outer-join variant the
+    registry lacked): per-nation customer count vs per-nation supplier
+    count, nations missing from either side kept with 0.  Both inputs
+    are pre-aggregated BEFORE the join — the full-outer join runs on
+    two ≤|nations| frames, never on raw fact rows (the scale-correct
+    order; joining raw then aggregating would shuffle every row twice).
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0))
+            .cast("bigint")
+            .alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0))
+            .cast("bigint")
+            .alias("n_suppliers"),
+        )
+    )
+
+
+def orders_above_avg(spark, sf_dir):
+    """Round-6: scalar-subquery shape — orders pricier than the global
+    mean, counted per priority.  The mean is exact integer arithmetic
+    (sum_e6 DIV n, one 1-row aggregate broadcast into the filter) so
+    the cut line is engine-identical; a float AVG() could flip rows
+    sitting exactly on the boundary."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", e6(F.col("o_totalprice")).alias("tp_e6")
+    )
+    avg = o.agg(
+        F.expr("CAST(sum(tp_e6) DIV count(*) AS BIGINT)").alias("avg_e6")
+    )
+    return (
+        o.join(F.broadcast(avg))
+        .filter(F.col("tp_e6") > F.col("avg_e6"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("tp_e6").cast("bigint").alias("sum_price_e6"),
+        )
+    )
