@@ -101,10 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": Q.scd2_user_state,                       # SCD-2 CDC history (r6e)
         "dedup_winnow_pairs": Q.dedup_winnow_pairs,                 # MOSS winnowing pairs (r6e)
         "kg_store_merge": Q.kg_store_merge,                         # CDC MERGE upsert into store (r6e)
+        "kg_store_diff": Q.kg_store_diff,                           # anti-entropy replica diff (r6e)
         "kg_void_summary": Q.kg_void_summary,                       # VoID dataset stats (r6e)
         "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
         "kg_component_size_hist": Q.kg_component_size_hist,         # CC size distribution (r6e)
         "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
+        "event_trending_daily": Q.event_trending_daily,             # per-day trending top-k (r6e)
+        "event_value_pctrank": Q.event_value_pctrank,               # integer percent_rank (r6e)
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
         "tpch_q14": Q.tpch_q14,                                     # promo share, pushed month filter (r6e)
         "tpch_q19": Q.tpch_q19,                                     # OR-of-conjunctions join (r6e)
@@ -344,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_void_summary": OS.KG_VOID_SUMMARY_SQL,
         "kg_graph_hash": OS.KG_GRAPH_HASH_SQL,
         "kg_store_merge": OS.KG_STORE_MERGE_SQL,
+        "kg_store_diff": OS.KG_STORE_DIFF_SQL,
         "kg_component_size_hist": OS.KG_COMPONENT_SIZE_HIST_SQL,
         "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
         "embedding_knn_graph": OS.EMBEDDING_KNN_GRAPH_SQL,

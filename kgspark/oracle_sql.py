@@ -4247,3 +4247,51 @@ SELECT o_orderpriority,
 FROM o, a WHERE tp_e6 > avg_e6
 GROUP BY o_orderpriority
 """
+
+
+# r6e: per-day trending top-3 event types.
+RELATIONAL_SQL["event_trending_daily"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(day AS BIGINT) AS day, event_type, n, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY n DESC, event_type ASC) AS rank
+  FROM daily
+) WHERE rank <= 3
+"""
+
+
+# r6e: integer-exact percent_rank per event type.
+RELATIONAL_SQL["event_value_pctrank"] = f"""
+WITH ev AS (
+  SELECT event_type, event_id, {_e6('value')} AS v_e6 FROM events
+),
+rk AS (
+  SELECT event_type, event_id,
+         rank() OVER (PARTITION BY event_type ORDER BY v_e6) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, event_id,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT)
+         AS pctrank_e6
+FROM rk
+"""
+
+
+# r6e: anti-entropy diff statuses, derived from the nation table.
+KG_STORE_DIFF_SQL = """
+WITH regs AS (SELECT DISTINCT n_regionkey AS r FROM nation)
+SELECT 'ex:reg' || CAST(r AS VARCHAR) AS g,
+       CASE WHEN r = 1 THEN 'only_a'
+            WHEN r = 3 THEN 'changed'
+            ELSE 'equal' END AS status
+FROM regs
+UNION ALL
+SELECT 'ex:regnew', 'only_b'
+"""

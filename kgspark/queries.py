@@ -4923,3 +4923,105 @@ def orders_above_avg(spark, sf_dir):
             F.sum("tp_e6").cast("bigint").alias("sum_price_e6"),
         )
     )
+
+
+def event_trending_daily(spark, sf_dir):
+    """Round-6: TIME-BUCKETED TRENDING TOP-K — per epoch-day, the top-3
+    event types by count with their ranks (the dashboard "what moved
+    today" readout).  Grouped top-k via rn <= k so Spark plans
+    WindowGroupLimit: each partition keeps only 3 candidate rows per
+    day BEFORE the exchange — at 10^12 events the shuffle carries
+    days*types partial counts, never event rows."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+                " DIV 86400000000 AS BIGINT)"
+            ).alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("day", "event_type", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def event_value_pctrank(spark, sf_dir):
+    """Round-6: integer-exact PERCENT_RANK within group — the
+    rank-based feature normalization ML pipelines apply to heavy-tailed
+    values (robust to outliers where min-max scaling is not).
+    pr_e6 = (rank - 1) * 1e6 DIV (n - 1) entirely in int64; ties share
+    the SQL rank() value on both engines, so the contract is
+    engine-exact where a float percent_rank() could differ in the last
+    ulp."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", e6(F.col("value")).alias("v_e6")
+    )
+    w = Window.partitionBy("event_type").orderBy("v_e6")
+    return (
+        ev.withColumn("rk", F.rank().over(w))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "CAST(CASE WHEN n = 1 THEN 0"
+            " ELSE (rk - 1) * 1000000 DIV (n - 1) END AS BIGINT)"
+            " AS pctrank_e6",
+        )
+    )
+
+
+def kg_store_diff(spark, sf_dir):
+    """Round-6: two-store ANTI-ENTROPY DIFF (rdfio.store_diff — the
+    replica-repair readout that closes the hash → diff → merge
+    replication loop): store A = per-region nation graphs; store B =
+    A after a merge that empties reg1 (→ only_a), updates reg3
+    (→ changed), and creates regnew (→ only_b); every other region
+    graph compares equal WITHOUT its triples ever being shipped —
+    the diff exchanges one (graph, count, hash) row per graph."""
+    import tempfile
+
+    from . import rdfio
+
+    nat = _t(spark, sf_dir, "nation")
+    quads = nat.select(
+        F.concat(F.lit("ex:reg"), F.col("n_regionkey").cast("string")).alias("g"),
+        F.concat(F.lit("ex:nat"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("ex:name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"),
+    )
+    store_a = tempfile.mkdtemp(prefix="kgspark_diff_a_")
+    store_b = tempfile.mkdtemp(prefix="kgspark_diff_b_")
+    rdfio.write_nquads_store(quads, store_a)
+    rdfio.write_nquads_store(quads, store_b)
+    retract_reg1 = quads.filter(F.col("g") == "ex:reg1").withColumn(
+        "op", F.lit("retract")
+    )
+    upd_reg3 = spark.range(1).select(
+        F.lit("ex:reg3").alias("g"), F.lit("ex:meta").alias("s"),
+        F.lit("ex:touched").alias("p"), F.lit("yes").alias("o"),
+        F.lit("literal").alias("o_kind"), F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"), F.lit("add").alias("op"),
+    )
+    fresh = spark.range(1).select(
+        F.lit("ex:regnew").alias("g"), F.lit("ex:meta").alias("s"),
+        F.lit("ex:created").alias("p"), F.lit("true").alias("o"),
+        F.lit("literal").alias("o_kind"), F.lit("").alias("o_lang"),
+        F.lit("").alias("o_datatype"), F.lit("add").alias("op"),
+    )
+    rdfio.merge_quads(
+        spark, retract_reg1.unionByName(upd_reg3).unionByName(fresh), store_b
+    )
+    return rdfio.store_diff(spark, store_a, store_b)

@@ -1842,3 +1842,64 @@ def merge_quads(
         "removed": removed,
         "rows_after": per_graph,
     }
+
+
+def graph_hashes(quads: DataFrame) -> DataFrame:
+    """Per-graph canonical content hash of a quad frame: charcode
+    rolling hash of each distinct quad's canonical string, combined
+    with BIT_XOR (commutative, overflow-free → partitioning- and
+    row-order-invariant).  The replication primitive behind
+    :func:`store_diff`; the contract-query form lives in
+    queries.kg_graph_hash."""
+    from . import grammar as G
+
+    canon = (
+        "concat_ws('|', g, s, p, o, o_kind,"
+        " coalesce(o_lang, ''), coalesce(o_datatype, ''))"
+    )
+    charcode = (
+        f"aggregate(transform(split({canon}, ''),"
+        " c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT),"
+        f" (a, c) -> (a * 31 + c) % {G.HASH_P})"
+    )
+    return (
+        quads.select("g", F.expr(charcode).alias("h"))
+        .distinct()
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n_quads"),
+            F.expr("bit_xor(h)").cast("bigint").alias("graph_hash"),
+        )
+    )
+
+
+def store_diff(spark, path_a: str, path_b: str) -> DataFrame:
+    """ANTI-ENTROPY DIFF of two stores: per-graph status in
+    {'equal', 'changed', 'only_a', 'only_b'} — the replica-repair
+    readout (run the diff, then :func:`merge_quads` only the graphs
+    that differ).  Compares canonical per-graph hashes, so the data
+    shipped between sites is one (graph, count, hash) row per graph —
+    never triples; two replicas holding byte-identical graphs under
+    different file layouts / row orders compare equal by
+    construction."""
+    ha = graph_hashes(read_nquads_store(spark, path_a)).select(
+        "g",
+        F.col("n_quads").alias("n_a"),
+        F.col("graph_hash").alias("h_a"),
+    )
+    hb = graph_hashes(read_nquads_store(spark, path_b)).select(
+        "g",
+        F.col("n_quads").alias("n_b"),
+        F.col("graph_hash").alias("h_b"),
+    )
+    j = ha.join(hb, "g", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("only_b"))
+        .when(F.col("h_b").isNull(), F.lit("only_a"))
+        .when(
+            (F.col("h_a") == F.col("h_b")) & (F.col("n_a") == F.col("n_b")),
+            F.lit("equal"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("g", status.alias("status"))

@@ -333,3 +333,22 @@ def test_component_size_hist_conserves_nodes(spark, sf_dir):
     n_nodes = sum(r["n_nodes"] for r in hist)
     assert n_nodes == kg_sameas_degree(spark, sf_dir).count()
     assert all(r["bucket"] >= 2 for r in hist)  # min component size 2
+
+
+def test_store_diff_layout_invariant(spark, tmp_path):
+    """Two stores with identical content but different row orders /
+    partition layouts compare 'equal' on every graph."""
+    from kgspark import rdfio
+
+    rows = [
+        ("ex:g1", f"ex:s{i}", "ex:p", f"o{i}", "literal", "", "")
+        for i in range(40)
+    ] + [("ex:g2", "ex:s", "ex:p", "x", "iri", "", "")]
+    q = spark.createDataFrame(rows, rdfio.QUADS_PARSED_DDL)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    rdfio.write_nquads_store(q.repartition(1), a)
+    rdfio.write_nquads_store(
+        q.repartition(8).sortWithinPartitions(F.desc("s")), b
+    )
+    out = {r["g"]: r["status"] for r in rdfio.store_diff(spark, a, b).collect()}
+    assert out == {"ex:g1": "equal", "ex:g2": "equal"}
