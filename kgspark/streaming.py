@@ -400,3 +400,21 @@ def stream_enriched_counts(events_stream: DataFrame, dim: DataFrame) -> DataFram
             F.expr("CAST(floor(1000000 * value) AS BIGINT)")
         ).alias("sum_value_e6"),
     )
+
+
+def stream_dedup_events(events_stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """NATIVE STREAMING DEDUP — dropDuplicatesWithinWatermark on the
+    event id: the engine-managed form of redelivery suppression (the
+    catalog path in :func:`stream_to_catalog` achieves idempotence at
+    the SINK; this suppresses duplicates at the SOURCE).  The watermark
+    bounds the dedup state: an id is remembered only within
+    ``horizon`` of the stream's max event time, so state is
+    O(arrival rate × horizon) — not O(stream length), the property
+    that keeps an unbounded at-least-once feed runnable.  Duplicates
+    farther apart than the horizon are by contract NOT suppressed
+    (that is the sink layer's job)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

@@ -433,3 +433,55 @@ def test_stream_static_enrichment_converges_to_batch(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert any(k[0] is None for k in got)  # held-out users surfaced
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Replayed chunk (at-least-once redelivery) is fully suppressed:
+    the deduped stream's event_id multiset equals the distinct batch
+    set, even though chunk 1 is delivered twice."""
+    from kgspark.streaming import stream_dedup_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    chunks = ev.randomSplit([1.0, 1.0], seed=11)
+    ev_dir = str(tmp_path / "ev_dedup")
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(ev_dir)
+    t0 = int(time.time()) - 100
+    # chunk0, chunk1, then chunk1 AGAIN (redelivery)
+    stages = [chunks[0], chunks[1], chunks[1]]
+    for i, c in enumerate(stages):
+        stage = str(tmp_path / f"dd_stage{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(ev_dir, f"chunk-{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        stream_dedup_events(stream)
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("dedup_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM dedup_events").collect()
+    ]
+    assert len(got) == len(set(got))  # no duplicate survived
+    assert sorted(got) == sorted(
+        r["event_id"] for r in ev.select("event_id").distinct().collect()
+    )
