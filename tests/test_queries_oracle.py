@@ -39,6 +39,11 @@ FAST = [
     "corpus_stats_by_source", "event_user_lifetime", "event_debounce",
     # round-6e additions
     "scd2_user_state", "kg_entity_provenance", "dedup_winnow_pairs",
+    "kg_void_summary", "kg_graph_hash", "event_ewma", "tpch_q4",
+    "tpch_q14", "tpch_q19", "doc_zorder_key", "embedding_pq_codes",
+    "kg_store_merge", "kg_component_size_hist", "embedding_knn_graph",
+    "nation_coverage_full_join", "orders_above_avg",
+    "event_trending_daily", "event_value_pctrank", "kg_store_diff",
 ]
 
 
