@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": Q.tpch_q19,                                     # OR-of-conjunctions join (r6e)
         "nation_coverage_full_join": Q.nation_coverage_full_join,   # FULL OUTER shape (r6e)
         "orders_above_avg": Q.orders_above_avg,                     # scalar-subquery shape (r6e)
+        "event_stats_unpivot": Q.event_stats_unpivot,               # UNPIVOT/melt shape (r6e)
+        "part_price_quartiles": Q.part_price_quartiles,             # NTILE window shape (r6e)
+        "priority_revenue_share": Q.priority_revenue_share,         # ratio-to-report window (r6e)
+        "revenue_grouping_sets": Q.revenue_grouping_sets,           # explicit GROUPING SETS (r6e)
         "doc_zorder_key": Q.doc_zorder_key,                         # Morton export layout key (r6e)
         "embedding_pq_codes": Q.embedding_pq_codes,                 # product quantization (r6e)
         "embedding_knn_graph": Q.embedding_knn_graph,               # kNN graph build (r6e)

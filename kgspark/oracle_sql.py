@@ -4295,3 +4295,73 @@ FROM regs
 UNION ALL
 SELECT 'ex:regnew', 'only_b'
 """
+
+
+# r6e: UNPIVOT of the wide per-type stats row.
+RELATIONAL_SQL["event_stats_unpivot"] = f"""
+WITH wide AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum({_e6('value')}) AS BIGINT) AS sum_e6,
+         CAST(min({_e6('value')}) AS BIGINT) AS min_e6,
+         CAST(max({_e6('value')}) AS BIGINT) AS max_e6
+  FROM events GROUP BY 1
+)
+SELECT event_type, 'n_events' AS metric, n_events AS value_e6 FROM wide
+UNION ALL
+SELECT event_type, 'sum_e6', sum_e6 FROM wide
+UNION ALL
+SELECT event_type, 'min_e6', min_e6 FROM wide
+UNION ALL
+SELECT event_type, 'max_e6', max_e6 FROM wide
+"""
+
+
+# r6e: NTILE(4) price quartiles with unique-key tie-break.
+RELATIONAL_SQL["part_price_quartiles"] = f"""
+WITH p AS (
+  SELECT p_partkey, {_e6('p_retailprice')} AS price_e6 FROM part
+),
+t AS (
+  SELECT price_e6,
+         ntile(4) OVER (ORDER BY price_e6, p_partkey) AS quartile
+  FROM p
+)
+SELECT CAST(quartile AS INT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(price_e6) AS BIGINT) AS min_price_e6,
+       CAST(max(price_e6) AS BIGINT) AS max_price_e6
+FROM t GROUP BY 1
+"""
+
+
+# r6e: ratio-to-report — per-priority revenue share of total.
+RELATIONAL_SQL["priority_revenue_share"] = f"""
+WITH grp AS (
+  SELECT o_orderpriority,
+         CAST(sum({_e6('o_totalprice')}) AS BIGINT) AS rev_e6
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, rev_e6,
+       CAST(rev_e6 // (sum(rev_e6) OVER () // 1000000) AS BIGINT)
+         AS share_e6
+FROM grp
+"""
+
+
+# r6e: explicit GROUPING SETS ((nation), (priority)) in one pass.
+RELATIONAL_SQL["revenue_grouping_sets"] = f"""
+WITH j AS (
+  SELECT n_name, o_orderpriority, {_e6('o_totalprice')} AS tp_e6
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, o_orderpriority,
+       CAST(grouping(n_name) AS INT) AS g_nation,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(sum(tp_e6) AS BIGINT) AS rev_e6,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
+"""

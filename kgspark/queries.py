@@ -5025,3 +5025,100 @@ def kg_store_diff(spark, sf_dir):
         spark, retract_reg1.unionByName(upd_reg3).unionByName(fresh), store_b
     )
     return rdfio.store_diff(spark, store_a, store_b)
+
+
+def event_stats_unpivot(spark, sf_dir):
+    """Round-6: UNPIVOT (melt) shape — the wide per-type stats row
+    rotated into (event_type, metric, value_e6) long format, the
+    transform every metrics exporter applies before shipping to a
+    time-series store.  Map-only after the aggregate: unpivot is a
+    generate, no extra shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", e6(F.col("value")).alias("v_e6")
+    )
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("v_e6").cast("bigint").alias("sum_e6"),
+        F.min("v_e6").cast("bigint").alias("min_e6"),
+        F.max("v_e6").cast("bigint").alias("max_e6"),
+    )
+    return wide.unpivot(
+        "event_type",
+        ["n_events", "sum_e6", "min_e6", "max_e6"],
+        "metric",
+        "value_e6",
+    )
+
+
+def part_price_quartiles(spark, sf_dir):
+    """Round-6: NTILE window shape — parts binned into price quartiles
+    (the bucketing step behind banded pricing reports and stratified
+    samplers).  The ordering carries the unique p_partkey tie-break,
+    so every row's bucket is total-order determined and engine-exact;
+    emitted as per-quartile aggregates (count + min/max price) so the
+    contract pins every bucket boundary."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", e6(F.col("p_retailprice")).alias("price_e6")
+    )
+    w = Window.orderBy("price_e6", "p_partkey")
+    return (
+        p.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.min("price_e6").cast("bigint").alias("min_price_e6"),
+            F.max("price_e6").cast("bigint").alias("max_price_e6"),
+        )
+        .select(F.col("quartile").cast("int").alias("quartile"),
+                "n_parts", "min_price_e6", "max_price_e6")
+    )
+
+
+def priority_revenue_share(spark, sf_dir):
+    """Round-6: RATIO-TO-REPORT window shape — each priority's share
+    of total order revenue, the denominator an unpartitioned window
+    sum over the (5-row) aggregate, share on the integer e6 grid via
+    the overflow-safe grp DIV (total DIV 1e6) form (see tpch_q14)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", e6(F.col("o_totalprice")).alias("tp_e6")
+    )
+    grp = o.groupBy("o_orderpriority").agg(
+        F.sum("tp_e6").cast("bigint").alias("rev_e6")
+    )
+    w = Window.partitionBy()
+    return grp.select(
+        "o_orderpriority",
+        "rev_e6",
+        F.expr(
+            "CAST(rev_e6 DIV (sum(rev_e6) OVER () DIV 1000000) AS BIGINT)"
+        ).alias("share_e6"),
+    )
+
+
+def revenue_grouping_sets(spark, sf_dir):
+    """Round-6: explicit GROUPING SETS shape (distinct from the
+    existing ROLLUP/CUBE queries: an arbitrary set list, here the two
+    single-dimension reports ((nation), (priority)) computed in ONE
+    pass over the join — Spark expands both groupings from the same
+    shuffle read instead of scanning twice).  GROUPING() flags
+    disambiguate the NULL-keyed rows exactly as in the cube query."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_orderpriority", e6(F.col("o_totalprice")).alias("tp_e6"))
+    )
+    j.createOrReplaceTempView("_rgs_j")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(sum(tp_e6) AS BIGINT) AS rev_e6,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM _rgs_j
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
+        """
+    )
