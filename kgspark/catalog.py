@@ -213,6 +213,96 @@ class SnapshotCatalog(ParquetCatalog):
             raise ValueError(f"manifest v{v} of {name!r} lists no partitions")
         return out
 
+    # ---- cross-table transactions -------------------------------------
+
+    def _txn_dir(self) -> str:
+        return os.path.join(self.root, "_txn")
+
+    def txn_versions(self) -> list[int]:
+        tdir = self._txn_dir()
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for f in os.listdir(tdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def commit_txn(
+        self,
+        replacements: dict[str, DataFrame],
+        partition_col: str = "bucket",
+        lock_timeout: float = 60.0,
+    ) -> int:
+        """Cross-table ATOMIC commit: replace partitions in several
+        tables such that a ``read_txn`` reader sees ALL tables' new
+        versions or NONE — the multi-table transaction Iceberg exposes
+        as a catalog-level commit, and the property the twine
+        generate stage wants when entities + attrs + props must stay
+        mutually consistent.
+
+        Mechanics: per-table ``commit_replace`` snapshots first (each
+        immutable and invisible to txn readers until referenced), then
+        ONE catalog-level txn manifest mapping table → version is
+        published with write-temp + atomic rename.  A writer dying
+        between the table commits and the txn publish leaves only
+        orphan table versions (never a torn transaction) — the same
+        all-or-nothing failure mode as Iceberg's metadata swap.
+        Writers serialize on a catalog-root lock; table versions
+        committed OUTSIDE a transaction never appear to txn readers."""
+        import json
+
+        from .rdfio import _StoreWriteLock
+
+        os.makedirs(self.root, exist_ok=True)
+        with _StoreWriteLock(self.root, timeout=lock_timeout):
+            tvs = self.txn_versions()
+            prev = {}
+            if tvs:
+                with open(
+                    os.path.join(self._txn_dir(), f"v{tvs[-1]}.json")
+                ) as f:
+                    prev = json.load(f)["tables"]
+            tables = dict(prev)
+            for name, df in sorted(replacements.items()):
+                tables[name] = self.commit_replace(
+                    df, name, partition_col=partition_col,
+                    lock_timeout=lock_timeout,
+                )
+            n = (tvs[-1] if tvs else 0) + 1
+            os.makedirs(self._txn_dir(), exist_ok=True)
+            tmp = os.path.join(self._txn_dir(), f".v{n}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"txn": n, "tables": tables}, f)
+            os.rename(tmp, os.path.join(self._txn_dir(), f"v{n}.json"))
+            return n
+
+    def read_txn(
+        self, spark: SparkSession, version: int | None = None
+    ) -> dict[str, DataFrame]:
+        """All tables of transaction ``version`` (default: latest) as a
+        mutually-consistent snapshot: every frame is pinned to the
+        exact per-table version the txn manifest recorded, so a
+        concurrent ``commit_txn`` (or a stray out-of-txn
+        ``commit_replace``) cannot tear the view."""
+        import json
+
+        tvs = self.txn_versions()
+        if not tvs:
+            raise FileNotFoundError("no committed transaction")
+        v = tvs[-1] if version is None else version
+        if v not in tvs:
+            raise ValueError(f"unknown txn {v} (have {tvs})")
+        with open(os.path.join(self._txn_dir(), f"v{v}.json")) as f:
+            tables = json.load(f)["tables"]
+        return {
+            name: self.read_at(spark, name, tv)
+            for name, tv in sorted(tables.items())
+        }
+
 
 def snapshot_diff(
     spark: SparkSession,

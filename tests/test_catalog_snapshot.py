@@ -177,3 +177,45 @@ def test_expire_snapshots_keeps_pinned_horizon(spark, tmp_path):
     # expiry is idempotent
     out2 = expire_snapshots(cat, "t", keep_last=2)
     assert out2["removed_versions"] == [] and out2["removed_dirs"] == []
+
+
+def test_multi_table_txn_atomic_and_pinned(spark, tmp_path):
+    """Cross-table transaction: read_txn sees a mutually-consistent
+    pair of tables; older txns stay pinned under later commits; a
+    stray OUT-of-txn commit_replace never leaks into txn readers;
+    a partial txn (one table) carries the other forward."""
+    from kgspark.catalog import SnapshotCatalog, with_bucket
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), n_buckets=4)
+
+    def frame(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, val string"
+        )
+        return with_bucket(df, 4)
+
+    t1 = cat.commit_txn({"ents": frame(["a", "b"]), "attrs": frame(["x"])})
+    assert t1 == 1
+    snap1 = cat.read_txn(spark)
+    assert sorted(r["val"] for r in snap1["ents"].collect()) == ["a", "b"]
+    assert [r["val"] for r in snap1["attrs"].collect()] == ["x"]
+
+    t2 = cat.commit_txn(
+        {"ents": frame(["a2", "b2"]), "attrs": frame(["x2"])}
+    )
+    assert t2 == 2
+    # txn 1 pinned: still the old consistent pair
+    old = cat.read_txn(spark, 1)
+    assert sorted(r["val"] for r in old["ents"].collect()) == ["a", "b"]
+    assert [r["val"] for r in old["attrs"].collect()] == ["x"]
+
+    # stray out-of-txn commit on ents does NOT leak into txn readers
+    cat.commit_replace(frame(["rogue"]), "ents")
+    latest = cat.read_txn(spark)
+    assert sorted(r["val"] for r in latest["ents"].collect()) == ["a2", "b2"]
+
+    # partial txn: replace attrs only; ents carried at its txn-2 pin
+    t3 = cat.commit_txn({"attrs": frame(["x3"])})
+    snap3 = cat.read_txn(spark, t3)
+    assert [r["val"] for r in snap3["attrs"].collect()] == ["x3"]
+    assert sorted(r["val"] for r in snap3["ents"].collect()) == ["a2", "b2"]
