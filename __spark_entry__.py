@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": Q.dedup_winnow_pairs,                 # MOSS winnowing pairs (r6e)
         "kg_store_merge": Q.kg_store_merge,                         # CDC MERGE upsert into store (r6e)
         "kg_store_diff": Q.kg_store_diff,                           # anti-entropy replica diff (r6e)
+        "kg_parse_error_stats": Q.kg_parse_error_stats,             # ingest drop-rate metric (r6e)
         "kg_void_summary": Q.kg_void_summary,                       # VoID dataset stats (r6e)
         "kg_graph_hash": Q.kg_graph_hash,                           # canonical graph hash (r6e)
         "kg_component_size_hist": Q.kg_component_size_hist,         # CC size distribution (r6e)
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_hash": OS.KG_GRAPH_HASH_SQL,
         "kg_store_merge": OS.KG_STORE_MERGE_SQL,
         "kg_store_diff": OS.KG_STORE_DIFF_SQL,
+        "kg_parse_error_stats": OS.KG_PARSE_ERROR_STATS_SQL,
         "kg_component_size_hist": OS.KG_COMPONENT_SIZE_HIST_SQL,
         "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
         "embedding_knn_graph": OS.EMBEDDING_KNN_GRAPH_SQL,

@@ -4365,3 +4365,20 @@ SELECT n_name, o_orderpriority,
 FROM j
 GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
 """
+
+
+# r6e: ingest parse-error stats — the parser must drop EXACTLY the
+# corrupted every-7th-key lines.
+KG_PARSE_ERROR_STATS_SQL = """
+WITH c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN n_nationkey % 7 != 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_parsed
+  FROM nation
+)
+SELECT n_lines, n_parsed,
+       CAST(n_lines - n_parsed AS BIGINT) AS n_dropped,
+       CAST((n_lines - n_parsed) * 1000000 // n_lines AS BIGINT)
+         AS drop_rate_e6
+FROM c
+"""

@@ -5122,3 +5122,42 @@ def revenue_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
         """
     )
+
+
+def kg_parse_error_stats(spark, sf_dir):
+    """Round-6: INGEST ERROR OBSERVABILITY — the drop-rate metric over
+    the quarantine policy (the parse kernels silently drop malformed
+    lines; production ingest needs that rate on a dashboard, not
+    silent).  Build N-Quads text from the nation table, deterministically
+    corrupt the lines of every 7th nation key, run the real
+    mapInPandas N-Quads parser, and report total / parsed / dropped /
+    drop-rate-e6 in one row.  The oracle recomputes the same counts
+    arithmetically — pinning that the parser drops EXACTLY the
+    malformed lines, no more, no fewer."""
+    from . import rdfio
+
+    nat = _t(spark, sf_dir, "nation")
+    good = F.concat(
+        F.lit("<http://ex/nat"), F.col("n_nationkey").cast("string"),
+        F.lit("> <http://ex/name> \""), F.col("n_name"),
+        F.lit("\" <http://ex/reg"), F.col("n_regionkey").cast("string"),
+        F.lit("> ."),
+    )
+    lines = nat.select(
+        F.when(F.col("n_nationkey") % 7 == 0, F.lit("<bad"))
+        .otherwise(good)
+        .alias("line")
+    ).localCheckpoint(eager=False)
+    parsed = rdfio.parse_nquads(lines)
+    totals = lines.agg(F.count("*").cast("bigint").alias("n_lines"))
+    ok = parsed.agg(F.count("*").cast("bigint").alias("n_parsed"))
+    return (
+        totals.crossJoin(ok)
+        .selectExpr(
+            "n_lines",
+            "n_parsed",
+            "CAST(n_lines - n_parsed AS BIGINT) AS n_dropped",
+            "CAST((n_lines - n_parsed) * 1000000 DIV n_lines AS BIGINT)"
+            " AS drop_rate_e6",
+        )
+    )
