@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ewma": Q.event_ewma,                                 # 8-tap integer EWMA (r6e)
         "event_trending_daily": Q.event_trending_daily,             # per-day trending top-k (r6e)
         "event_value_pctrank": Q.event_value_pctrank,               # integer percent_rank (r6e)
+        "user_event_diversity": Q.user_event_diversity,             # bitlen entropy feature (r6e)
+        "embedding_dim_stats": Q.embedding_dim_stats,               # per-dim standardization stats (r6e)
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
         "tpch_q14": Q.tpch_q14,                                     # promo share, pushed month filter (r6e)
         "tpch_q19": Q.tpch_q19,                                     # OR-of-conjunctions join (r6e)
@@ -354,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_store_merge": OS.KG_STORE_MERGE_SQL,
         "kg_store_diff": OS.KG_STORE_DIFF_SQL,
         "kg_parse_error_stats": OS.KG_PARSE_ERROR_STATS_SQL,
+        "embedding_dim_stats": OS.EMBEDDING_DIM_STATS_SQL,
         "kg_component_size_hist": OS.KG_COMPONENT_SIZE_HIST_SQL,
         "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
         "embedding_knn_graph": OS.EMBEDDING_KNN_GRAPH_SQL,

@@ -4382,3 +4382,45 @@ SELECT n_lines, n_parsed,
          AS drop_rate_e6
 FROM c
 """
+
+
+# r6e: integer log-domain behavioral diversity per user.
+RELATIONAL_SQL["user_event_diversity"] = """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY 1
+)
+SELECT c.user_id,
+       CAST(min(t.n_types) AS BIGINT) AS n_types,
+       CAST(min(t.total) AS BIGINT) AS n_events,
+       CAST(sum(c.cnt * length(bin(t.total // c.cnt))) AS BIGINT)
+         AS diversity_bits
+FROM cnt c JOIN tot t ON t.user_id = c.user_id
+GROUP BY c.user_id
+"""
+
+
+# r6e: per-dimension feature statistics on the e3 grid.
+EMBEDDING_DIM_STATS_SQL = """
+WITH v AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS e3
+  FROM embeddings
+),
+ex AS (
+  SELECT d - 1 AS dim, e3[d] AS x
+  FROM v, UNNEST(generate_series(1, len(e3))) AS t(d)
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_e3,
+       CAST(sum(x * x) AS BIGINT) AS sum_sq_e6,
+       CAST(CASE WHEN sum(x) >= 0 THEN sum(x) // count(*)
+                 ELSE -((-sum(x)) // count(*)) END AS BIGINT) AS mean_e3
+FROM ex GROUP BY dim
+"""

@@ -5161,3 +5161,76 @@ def kg_parse_error_stats(spark, sf_dir):
             " AS drop_rate_e6",
         )
     )
+
+
+def user_event_diversity(spark, sf_dir):
+    """Round-6: BEHAVIORAL DIVERSITY per user — the log2-quantized
+    entropy sum Σ cnt·bitlen(total DIV cnt) over the user's event-type
+    distribution (the same integer log-domain convention as term_pmi /
+    tf-idf: a float Shannon entropy flaps across engines at ulp
+    boundaries, bitlen never does).  A uniform user scores high, a
+    single-type user scores cnt·bitlen(1)=cnt — the bot-detection /
+    segmentation feature.  Two map-side-combined aggregates, linear."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    tot = cnt.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    return (
+        cnt.join(tot, "user_id")
+        .select(
+            "user_id",
+            "n_types",
+            "total",
+            (
+                F.col("cnt")
+                * F.length(F.bin(F.expr("total DIV cnt")))
+            ).alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("n_types").alias("n_types"),
+            F.first("total").cast("bigint").alias("n_events"),
+            F.sum("term").cast("bigint").alias("diversity_bits"),
+        )
+    )
+
+
+def embedding_dim_stats(spark, sf_dir):
+    """Round-6: PER-DIMENSION FEATURE STATISTICS — the standardization
+    table (mean + exact second-moment sums per dimension) a
+    normalization / whitening preprocessing step consumes.  All exact
+    BIGINT on the e3 grid: mean is the sign-split truncating DIV, and
+    variance is published as the exact moment pair (Σx, Σx²) because
+    finishing it needs a division the consumer should do in its own
+    precision (the degree-assortativity convention).  One posexplode +
+    one map-side-combined aggregate on (dim): 64 reducer groups at any
+    corpus size."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("e3")
+    )
+    return (
+        v.select(F.posexplode("e3").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sum_e3"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_sq_e6"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "sum_e3",
+            "sum_sq_e6",
+            F.expr(
+                "CAST(CASE WHEN sum_e3 >= 0 THEN sum_e3 DIV n"
+                " ELSE -((-sum_e3) DIV n) END AS BIGINT)"
+            ).alias("mean_e3"),
+        )
+    )
