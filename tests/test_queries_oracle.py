@@ -44,6 +44,9 @@ FAST = [
     "kg_store_merge", "kg_component_size_hist", "embedding_knn_graph",
     "nation_coverage_full_join", "orders_above_avg",
     "event_trending_daily", "event_value_pctrank", "kg_store_diff",
+    "event_stats_unpivot", "part_price_quartiles",
+    "priority_revenue_share", "revenue_grouping_sets",
+    "kg_parse_error_stats", "user_event_diversity", "embedding_dim_stats",
 ]
 
 
