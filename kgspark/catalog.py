@@ -357,7 +357,26 @@ def expire_snapshots(
         vs = cat.versions(name)
         if not vs:
             raise FileNotFoundError(f"no committed snapshot for {name!r}")
-        kept, removed = vs[-keep_last:], vs[:-keep_last]
+        # versions pinned by ANY surviving cross-table transaction
+        # manifest stay live regardless of the horizon: expiring them
+        # would tear read_txn on an older transaction.  (Expire old
+        # txn manifests first — expire_txns — to release their pins.
+        # Safe without the catalog-root lock: a concurrent commit_txn
+        # can only pin versions carried forward from the latest txn
+        # manifest, which this read preserves, or brand-new ones.)
+        import json as _json
+
+        pinned: set[int] = set()
+        tdir = getattr(cat, "_txn_dir", lambda: None)()
+        if tdir and os.path.isdir(tdir):
+            for tv in cat.txn_versions():
+                with open(os.path.join(tdir, f"v{tv}.json")) as f:
+                    tables = _json.load(f)["tables"]
+                if name in tables:
+                    pinned.add(tables[name])
+        keep = set(vs[-keep_last:]) | (pinned & set(vs))
+        kept = [v for v in vs if v in keep]
+        removed = [v for v in vs if v not in keep]
         live_tags = set()
         for v in kept:
             live_tags.update(cat._load_manifest(name, v)["parts"].values())
@@ -403,3 +422,25 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def expire_txns(
+    cat: "SnapshotCatalog", keep_last: int = 2, lock_timeout: float = 60.0
+) -> dict:
+    """Expire old cross-table transaction manifests (metadata-only:
+    one JSON file per txn) — releasing their per-table version pins so
+    a subsequent :func:`expire_snapshots` can reclaim the data those
+    transactions referenced.  Runs under the catalog-root lock shared
+    with :meth:`SnapshotCatalog.commit_txn`."""
+    from .rdfio import _StoreWriteLock
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    with _StoreWriteLock(cat.root, timeout=lock_timeout):
+        tvs = cat.txn_versions()
+        if not tvs:
+            return {"kept_txns": [], "removed_txns": []}
+        kept, removed = tvs[-keep_last:], tvs[:-keep_last]
+        for v in removed:
+            os.remove(os.path.join(cat._txn_dir(), f"v{v}.json"))
+        return {"kept_txns": kept, "removed_txns": removed}

@@ -219,3 +219,41 @@ def test_multi_table_txn_atomic_and_pinned(spark, tmp_path):
     snap3 = cat.read_txn(spark, t3)
     assert [r["val"] for r in snap3["attrs"].collect()] == ["x3"]
     assert sorted(r["val"] for r in snap3["ents"].collect()) == ["a2", "b2"]
+
+
+def test_expire_respects_txn_pins(spark, tmp_path):
+    """expire_snapshots must keep table versions pinned by surviving
+    txn manifests (read_txn on an old txn stays byte-identical);
+    expire_txns releases the pins so a second expiry reclaims them."""
+    from kgspark.catalog import (
+        SnapshotCatalog,
+        expire_snapshots,
+        expire_txns,
+        with_bucket,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), n_buckets=4)
+
+    def frame(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, val string"
+        )
+        return with_bucket(df, 4)
+
+    cat.commit_txn({"t": frame(["v1"])})          # t@1 pinned by txn 1
+    cat.commit_txn({"t": frame(["v2"])})          # t@2 pinned by txn 2
+    cat.commit_replace(frame(["v3"]), "t")        # t@3 unpinned
+    cat.commit_replace(frame(["v4"]), "t")        # t@4 unpinned latest
+
+    res = expire_snapshots(cat, "t", keep_last=1)
+    # naive horizon would keep only v4; txn pins keep v1 and v2 alive
+    assert res["kept_versions"] == [1, 2, 4]
+    assert res["removed_versions"] == [3]
+    assert [r["val"] for r in cat.read_txn(spark, 1)["t"].collect()] == ["v1"]
+    assert [r["val"] for r in cat.read_txn(spark, 2)["t"].collect()] == ["v2"]
+
+    # releasing txn 1's pin lets the next expiry reclaim t@1
+    assert expire_txns(cat, keep_last=1)["removed_txns"] == [1]
+    res2 = expire_snapshots(cat, "t", keep_last=1)
+    assert 1 in res2["removed_versions"]
+    assert [r["val"] for r in cat.read_txn(spark, 2)["t"].collect()] == ["v2"]
