@@ -4424,3 +4424,57 @@ SELECT CAST(dim AS INT) AS dim,
                  ELSE -((-sum(x)) // count(*)) END AS BIGINT) AS mean_e3
 FROM ex GROUP BY dim
 """
+
+
+# r6e: hour-of-day seasonality profile.
+RELATIONAL_SQL["event_hourly_seasonality"] = f"""
+SELECT event_type,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({_e6('value')}) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY 1, 2
+"""
+
+
+# r6e: per-predicate coverage of the property index.
+KG_ATTR_COVERAGE_SQL = f"""
+{_KG_CTES}, {PROPS_CTE}
+, ecount AS (
+  SELECT CAST(count(DISTINCT e.entity_id) AS BIGINT) AS n_entities
+  FROM mm JOIN eids e ON e.label = mm.root
+)
+SELECT p.pred,
+       CAST(count(DISTINCT p.entity_id) AS BIGINT) AS n_with_value,
+       CAST(min(c.n_entities) AS BIGINT) AS n_entities,
+       CAST(count(DISTINCT p.entity_id) * 1000000 // min(c.n_entities)
+            AS BIGINT) AS coverage_e6
+FROM eprops p CROSS JOIN ecount c
+GROUP BY p.pred
+"""
+
+
+# r6e: month-over-month revenue growth, trunc-toward-zero sign-split.
+RELATIONAL_SQL["orders_monthly_growth"] = f"""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS month_idx,
+         {_e6('o_totalprice')} AS tp_e6
+  FROM orders
+),
+monthly AS (
+  SELECT month_idx, CAST(sum(tp_e6) AS BIGINT) AS rev_e6
+  FROM o GROUP BY 1
+),
+lagged AS (
+  SELECT month_idx, rev_e6,
+         lag(rev_e6) OVER (ORDER BY month_idx) AS prev_e6
+  FROM monthly
+)
+SELECT month_idx, rev_e6,
+       CAST(CASE WHEN prev_e6 IS NULL THEN NULL
+                 WHEN rev_e6 >= prev_e6 THEN
+                   (rev_e6 - prev_e6) // (prev_e6 // 1000000)
+                 ELSE -((prev_e6 - rev_e6) // (prev_e6 // 1000000))
+            END AS BIGINT) AS growth_e6
+FROM lagged
+"""

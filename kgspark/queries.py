@@ -5234,3 +5234,94 @@ def embedding_dim_stats(spark, sf_dir):
             ).alias("mean_e3"),
         )
     )
+
+
+def event_hourly_seasonality(spark, sf_dir):
+    """Round-6: HOUR-OF-DAY SEASONALITY profile per event type — the
+    modular-time grouping behind load forecasting and anomaly
+    baselines (distinct from the hypertable rollup, which buckets
+    CALENDAR time; this folds all days onto one 24-hour cycle).
+    hour = (epoch_us DIV 3600e6) % 24 — pure integer, UTC-pinned.
+    One map-side-combined aggregate, at most types×24 groups."""
+    _ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST((unix_micros(CAST(ts AS TIMESTAMP))"
+                " DIV 3600000000) % 24 AS INT)"
+            ).alias("hour"),
+            e6(F.col("value")).alias("v_e6"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("v_e6").cast("bigint").alias("sum_value_e6"),
+        )
+    )
+
+
+def kg_attr_coverage(spark, sf_dir):
+    """Round-6: KG COMPLETENESS metric — per-predicate coverage of the
+    property index: for each target predicate, how many entities carry
+    a value and what fraction of the full entity set that is (e6
+    grid).  The quality readout a KG build publishes per release
+    (dropping coverage on a predicate flags an upstream rule or
+    extraction regression).  Linear: one aggregate over the property
+    index + the (1-row) entity count broadcast."""
+    m, labels = _labels(spark, sf_dir)
+    props = gen.entity_props(m, labels)
+    n_entities = (
+        gen.entity_membership(m, labels)
+        .select("entity_id")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_entities"))
+    )
+    per_pred = props.groupBy("pred").agg(
+        F.count_distinct("entity_id").cast("bigint").alias("n_with_value")
+    )
+    return per_pred.join(F.broadcast(n_entities)).selectExpr(
+        "pred",
+        "n_with_value",
+        "n_entities",
+        "CAST(n_with_value * 1000000 DIV n_entities AS BIGINT)"
+        " AS coverage_e6",
+    )
+
+
+def orders_monthly_growth(spark, sf_dir):
+    """Round-6: MONTH-OVER-MONTH growth — revenue per calendar month
+    with the signed growth rate vs the previous month.  The division
+    is the SIGN-SPLIT integer form (Spark DIV truncates toward zero,
+    DuckDB // floors — they disagree on negatives, so the operator
+    spec pins trunc-toward-zero explicitly).  Months on the epoch
+    grid via UTC year*12+month; one global-window lag over an
+    already-aggregated months frame (tiny)."""
+    _ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "year(CAST(o_orderdate AS TIMESTAMP)) * 12"
+            " + month(CAST(o_orderdate AS TIMESTAMP)) - 1"
+        ).cast("bigint").alias("month_idx"),
+        e6(F.col("o_totalprice")).alias("tp_e6"),
+    )
+    monthly = o.groupBy("month_idx").agg(
+        F.sum("tp_e6").cast("bigint").alias("rev_e6")
+    )
+    w = Window.partitionBy().orderBy("month_idx")
+    return (
+        monthly.withColumn("prev_e6", F.lag("rev_e6").over(w))
+        .selectExpr(
+            "month_idx",
+            "rev_e6",
+            # DIV-first (the tpch_q14 overflow-safe convention):
+            # multiplying a monthly revenue sum by 1e6 first would pass
+            # 2^63 on a 100 TB fact table
+            "CAST(CASE WHEN prev_e6 IS NULL THEN NULL"
+            " WHEN rev_e6 >= prev_e6 THEN"
+            "   (rev_e6 - prev_e6) DIV (prev_e6 DIV 1000000)"
+            " ELSE -((prev_e6 - rev_e6) DIV (prev_e6 DIV 1000000))"
+            " END AS BIGINT) AS growth_e6",
+        )
+    )
