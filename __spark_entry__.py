@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": Q.embedding_dim_stats,               # per-dim standardization stats (r6e)
         "event_hourly_seasonality": Q.event_hourly_seasonality,     # hour-of-day profile (r6e)
         "kg_attr_coverage": Q.kg_attr_coverage,                     # KG completeness metric (r6e)
+        "kg_label_collisions": Q.kg_label_collisions,               # label ambiguity metric (r6e)
+        "doc_prefix_dup_groups": Q.doc_prefix_dup_groups,           # truncation-dup detector (r6e)
         "orders_monthly_growth": Q.orders_monthly_growth,           # MoM growth, sign-split DIV (r6e)
         "tpch_q4": Q.tpch_q4,                                       # EXISTS semi-join Q4 (r6e)
         "tpch_q14": Q.tpch_q14,                                     # promo share, pushed month filter (r6e)
@@ -361,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_parse_error_stats": OS.KG_PARSE_ERROR_STATS_SQL,
         "embedding_dim_stats": OS.EMBEDDING_DIM_STATS_SQL,
         "kg_attr_coverage": OS.KG_ATTR_COVERAGE_SQL,
+        "kg_label_collisions": OS.KG_LABEL_COLLISIONS_SQL,
         "kg_component_size_hist": OS.KG_COMPONENT_SIZE_HIST_SQL,
         "embedding_pq_codes": OS.EMBEDDING_PQ_CODES_SQL,
         "embedding_knn_graph": OS.EMBEDDING_KNN_GRAPH_SQL,

@@ -4478,3 +4478,26 @@ SELECT month_idx, rev_e6,
             END AS BIGINT) AS growth_e6
 FROM lagged
 """
+
+
+# r6e: near-name ambiguity (4-char label-prefix collisions) over the
+# attrs index — exact-label collisions are structurally impossible.
+KG_LABEL_COLLISIONS_SQL = f"""
+{_KG_CTES}
+SELECT substring(label, 1, 4) AS label_prefix,
+       CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+FROM attrs GROUP BY 1 HAVING count(DISTINCT entity_id) > 1
+"""
+
+
+# r6e: identical-prefix duplicate groups (charcode of first 200 chars).
+RELATIONAL_SQL["doc_prefix_dup_groups"] = f"""
+WITH pref AS (
+  SELECT doc_id,
+         {_CHARCODE.format(col='substring(text, 1, 200)')} AS pcode
+  FROM documents
+)
+SELECT pcode, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM pref GROUP BY pcode HAVING count(*) > 1
+"""

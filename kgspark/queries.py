@@ -5325,3 +5325,47 @@ def orders_monthly_growth(spark, sf_dir):
             " END AS BIGINT) AS growth_e6",
         )
     )
+
+
+def kg_label_collisions(spark, sf_dir):
+    """Round-6: NEAR-NAME AMBIGUITY metric — distinct entities whose
+    display labels share a 4-char prefix (exact-label collisions are
+    structurally impossible here: CC canonicalization mints one entity
+    per normalized name, verified by this query's development — so the
+    actionable readout is the near-name group feeding a human
+    disambiguation queue).  One aggregate over the attrs index,
+    collision groups only."""
+    m, labels = _labels(spark, sf_dir)
+    attrs = gen.entity_attrs_df(m, labels)
+    return (
+        attrs.select(
+            F.expr("substring(label, 1, 4)").alias("label_prefix"),
+            "entity_id",
+        )
+        .groupBy("label_prefix")
+        .agg(F.count_distinct("entity_id").cast("bigint").alias("n_entities"))
+        .filter(F.col("n_entities") > 1)
+    )
+
+
+def doc_prefix_dup_groups(spark, sf_dir):
+    """Round-6: PREFIX-DUPLICATE detection — documents sharing an
+    identical first-200-char prefix (the truncation-duplicate class
+    exact whole-text dedup misses: one copy cut off mid-stream, a
+    retry that appended).  Group key is the charcode rolling hash of
+    the prefix — slim BIGINT rows through the shuffle, never text —
+    and groups publish size + min doc id (the keeper rule).  Linear;
+    collision groups only."""
+    docs = _t(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.expr(_charcode_expr("substring(text, 1, 200)")).alias("pcode"),
+    )
+    return (
+        pref.groupBy("pcode")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
