@@ -47,6 +47,9 @@ FAST = [
     "event_stats_unpivot", "part_price_quartiles",
     "priority_revenue_share", "revenue_grouping_sets",
     "kg_parse_error_stats", "user_event_diversity", "embedding_dim_stats",
+    "event_hourly_seasonality", "kg_attr_coverage",
+    "orders_monthly_growth", "kg_label_collisions",
+    "doc_prefix_dup_groups",
 ]
 
 
