@@ -125,14 +125,15 @@ def _driver_union_find(edges: DataFrame, nodes: DataFrame, node_col: str) -> Dat
     ep_rows = [(n, find(n)) for n in parent]
     ep = spark.createDataFrame(ep_rows, "node string, label string")
     node_ids = nodes.select(F.col(node_col).alias("node"))
-    # keep only endpoints the caller's node set contains (exact historic
-    # contract), then label every remaining node as its own singleton
-    # component — both steps distributed, no node collect
-    labeled = ep.join(node_ids, "node", "left_semi")
-    singles = node_ids.join(ep, "node", "left_anti").select(
-        "node", F.col("node").alias("label")
+    # One BROADCAST left join replaces the old semi+anti pair (two
+    # shuffles → zero): every caller node gets its endpoint label or —
+    # singleton — itself; endpoints outside the caller's node set drop
+    # out by construction (we start from node_ids).  ep is bounded by
+    # the same driver_threshold that gated the collect, so the
+    # broadcast is safe by the same argument.
+    return node_ids.join(F.broadcast(ep), "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
     )
-    return labeled.unionByName(singles)
 
 
 def _distributed_cc(

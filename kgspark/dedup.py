@@ -42,6 +42,11 @@ def with_shingles(docs: DataFrame, repartition: bool = True) -> DataFrame:
     fingerprint stage runs serially."""
     if repartition:
         n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        # round-robin, not hash(doc_id): measured faster at sf0.1
+        # (minhash 1.9 s vs 2.3 s, simhash 1.25 s vs 1.75 s warm) — the
+        # perfectly even round-robin split beats hash imbalance for the
+        # Arrow kernel stage tail, and the local sortBeforeRepartition
+        # of 5-column doc rows is cheap
         docs = docs.repartition(n)
     toks = F.split("text", " ")
 

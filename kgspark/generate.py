@@ -49,12 +49,17 @@ def entities_df(
 
 
 def entity_attrs_df(
-    mentions: DataFrame, labels: DataFrame, members: DataFrame | None = None
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    classes: DataFrame | None = None,
 ) -> DataFrame:
     """D7 index rows.  Label selection = O24/O28: per entity, rank
     candidate (norm_text, lang) pairs by LANG_PREF rank then
     lexicographic norm — ``row_number`` window, deterministic
-    tie-breaks."""
+    tie-breaks.  ``classes`` lets a caller that already computed
+    ``entity_classes`` (proxy_triples_full does, for rdf:type) share
+    it instead of rebuilding the distinct+window chain."""
     if members is None:
         members = entity_membership(mentions, labels)
     m = mentions.join(
@@ -80,7 +85,8 @@ def entity_attrs_df(
         )
     )
     # D7 parity: spindle index rows carry the proxy's class
-    classes = entity_classes(mentions, labels, members=members)
+    if classes is None:
+        classes = entity_classes(mentions, labels, members=members)
     return (
         counts.join(best, "entity_id")
         .join(classes, "entity_id")
@@ -327,6 +333,7 @@ def proxy_triples_full(
     labels: DataFrame,
     members: DataFrame | None = None,
     attrs: DataFrame | None = None,
+    classes: DataFrame | None = None,
 ) -> DataFrame:
     """Proxy-graph triples with the full D3 term model
     (s, p, o, o_kind, o_lang, o_datatype):
@@ -353,6 +360,15 @@ def proxy_triples_full(
     # attrs) — compute it once and let lazy localCheckpoint share it
     if members is None:
         members = entity_membership(mentions, labels).localCheckpoint(eager=False)
+    # entity_classes feeds BOTH the rdf:type branch and (inside
+    # entity_attrs_df) the attrs 'class' column — compute it once and
+    # checkpoint; likewise checkpoint internally-computed attrs, whose
+    # subtree otherwise executes once for rdfs:label and once for
+    # ex:score (guide §2.4: share, don't replay)
+    if classes is None:
+        classes = entity_classes(mentions, labels, members=members).localCheckpoint(
+            eager=False
+        )
     t_sameas = term(
         members.select(
             F.col("entity_id").alias("s"),
@@ -362,7 +378,7 @@ def proxy_triples_full(
         "iri",
     )
     t_type = term(
-        entity_classes(mentions, labels, members=members).select(
+        classes.select(
             F.col("entity_id").alias("s"),
             F.lit(G.P_TYPE).alias("p"),
             F.col("class").alias("o"),
@@ -370,7 +386,9 @@ def proxy_triples_full(
         "iri",
     )
     if attrs is None:
-        attrs = entity_attrs_df(mentions, labels, members=members)
+        attrs = entity_attrs_df(
+            mentions, labels, members=members, classes=classes
+        ).localCheckpoint(eager=False)
     t_label = term(
         attrs.select(
             F.col("entity_id").alias("s"),
@@ -417,11 +435,14 @@ def proxy_quads(
     labels: DataFrame,
     members: DataFrame | None = None,
     attrs: DataFrame | None = None,
+    classes: DataFrame | None = None,
 ) -> DataFrame:
     """Proxy triples in the spindle ROOT graph (D4): generated proxy
     descriptions all live in one named graph, distinct from the
     per-document source graphs.  Full term model."""
-    return proxy_triples_full(mentions, labels, members=members, attrs=attrs).select(
+    return proxy_triples_full(
+        mentions, labels, members=members, attrs=attrs, classes=classes
+    ).select(
         F.lit(G.ROOT_GRAPH).alias("g"),
         "s", "p", "o", "o_kind", "o_lang", "o_datatype",
     )

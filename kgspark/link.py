@@ -124,6 +124,17 @@ _cosine_batch_once = F.pandas_udf(T.DoubleType())(
 ).asNondeterministic()
 
 
+def pandas_udf_nondeterministic(return_type):
+    """Decorator: a FRESH pandas_udf flipped nondeterministic — safe to
+    mutate because the object is never shared (contrast the module-level
+    `_cosine_batch_once` construction above, round-3 ADVICE)."""
+
+    def deco(fn):
+        return F.pandas_udf(return_type)(fn).asNondeterministic()
+
+    return deco
+
+
 def scored_edges(
     mentions: DataFrame,
     embeddings: DataFrame,
@@ -190,29 +201,26 @@ def scored_edges(
             .orderBy("tok").limit(63).collect()
         )
         if len(probe) > 62:
-            return _scored_edges_array(norms, embeddings, tau, block_cap)
+            return _scored_edges_array(norms, embeddings, tau, block_cap,
+                                       n_emb=n_embeddings)
         vocab = [r["tok"] for r in probe]
     if len(vocab) <= 62:
-        if caller_vocab:
-            # a caller-supplied dictionary is a CLAIM, not a fact: a
-            # token absent from vocab would silently corrupt the
-            # bitmask (array_position → 0 → bit -1 → contributes
-            # nothing yet counts in len, skewing Jaccard).  One cheap
-            # limit(1) job over the (small) distinct-norm table guards
-            # it; on any unknown token fall back to the exact array
-            # path instead.
-            vocab_lit = F.lit(list(vocab)).cast("array<string>")
-            unknown = (
-                norms.filter(
-                    F.exists("tokset", lambda t: ~F.array_contains(vocab_lit, t))
-                )
-                .limit(1)
-                .count()
-            )
-            if unknown:
-                return _scored_edges_array(norms, embeddings, tau, block_cap)
-        return _scored_edges_bitmask(norms, embeddings, vocab, tau, block_cap)
-    return _scored_edges_array(norms, embeddings, tau, block_cap)
+        # A caller-supplied dictionary is a CLAIM, not a fact: a token
+        # absent from vocab would silently corrupt the bitmask
+        # (array_position → 0 → bit -1 → contributes nothing yet counts
+        # in len, skewing Jaccard).  The guard rides INSIDE the bitmask
+        # path's one mandatory stats job (r7: the old separate limit(1)
+        # probe job doubled the untimed construction cost of the stage);
+        # on any unknown token the bitmask path returns None and the
+        # exact array path takes over.
+        out = _scored_edges_bitmask(
+            norms, embeddings, vocab, tau, block_cap,
+            verify_vocab=caller_vocab, n_emb=n_embeddings,
+        )
+        if out is not None:
+            return out
+    return _scored_edges_array(norms, embeddings, tau, block_cap,
+                               n_emb=n_embeddings)
 
 
 def _scored_edges_array(
@@ -220,6 +228,7 @@ def _scored_edges_array(
     embeddings: DataFrame,
     tau: float,
     block_cap: int | None,
+    n_emb: int | None = None,
 ) -> DataFrame:
     """General sorted-int-array implementation (vocabularies > 62
     tokens); identical output to the bitmask path (tested)."""
@@ -328,26 +337,99 @@ def _scored_edges_array(
         )
     )
 
-    return _score_band(intra.unionByName(cross), embeddings)
+    return _score_band(intra.unionByName(cross), embeddings, n_emb=n_emb)
 
 
-def _score_band(band: DataFrame, embeddings: DataFrame) -> DataFrame:
+# Above this many embedding rows the in-kernel dictionary (a numpy
+# matrix shipped once per task) stops being the right shape and the
+# join-based scorer takes over.  65k × 64 dims × 8 B ≈ 33 MB per worker
+# — the same memory class as the two F.broadcast(emb) builds it
+# replaces.  Env-overridable for fat-memory deployments.
+EMB_DICT_MAX = 65_536
+
+
+def _emb_dict_max() -> int:
+    import os
+
+    return int(os.environ.get("KGSPARK_EMB_DICT_MAX", EMB_DICT_MAX))
+
+
+def _score_band(
+    band: DataFrame, embeddings: DataFrame, n_emb: int | None = None
+) -> DataFrame:
     """O22 scorer over the J ≥ COSINE_JACCARD_MIN candidate band.
 
-    Cosine work is deduplicated to the DISTINCT (vec_a, vec_b) pairs:
-    the Arrow kernel scores each embedding pair once (bounded by
-    n_emb², constant in corpus size for the fixed pseudo-embedding
-    dictionary) and the band joins the small scored table back —
-    embeddings never ride on the full band, and the kernel input
-    shrinks ~1.5× at sf0.1 (and unboundedly at larger SF as band pairs
-    repeat vec pairs).  Broadcast is right for the dictionary regime;
-    a per-entity embedding store would swap this to a shuffle join.
+    Zero-join scoring (r7): vec ids index the FIXED pseudo-embedding
+    dictionary (bounded, constant in corpus size), so the cosine needs
+    no join at all — the dictionary rides into one Arrow kernel as a
+    float64 matrix built once per task (guide §4.5 / §8: move the
+    small dictionary to the pairs, not the pairs to a join).  Only two
+    int columns cross the Python boundary per pair.  The previous
+    join shape (distinct vec pairs → kernel → broadcast join-back)
+    built and broadcast a scored table of up to n_emb² rows — at sf0.1
+    that broadcast-and-probe alone cost ~6 s of an ~11 s stage, and
+    the band had to be materialized twice.
 
-    Measured alternative (rejected): a native zip_with/aggregate cosine
-    keeps everything JVM-side but evaluates the lambda expression tree
-    per element — 8× SLOWER than the Arrow-batched numpy kernel on the
-    sf0.1 band (81.6 s vs 10.0 s).  The Arrow boundary is the right
-    call here; the win is shrinking what crosses it."""
+    Past ``KGSPARK_EMB_DICT_MAX`` rows (a per-entity embedding store
+    rather than a dictionary) the join-based scorer takes over —
+    identical output.
+
+    Measured alternative (rejected in r2): a native zip_with/aggregate
+    cosine keeps everything JVM-side but evaluates the lambda
+    expression tree per element — 8× SLOWER than the Arrow-batched
+    numpy kernel on the sf0.1 band (81.6 s vs 10.0 s)."""
+    if n_emb is None:
+        n_emb = embeddings.count()
+    if n_emb > _emb_dict_max():
+        return _score_band_join(band, embeddings)
+
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    size = max((int(r["vec_id"]) for r in rows), default=-1) + 1
+    dim = len(rows[0]["embedding"]) if rows else 1
+    mat = np.full((max(size, 1), dim), np.nan, dtype=np.float64)
+    for r in rows:
+        mat[int(r["vec_id"])] = np.asarray(r["embedding"], dtype=np.float64)
+
+    # Independent UDF object + asNondeterministic: the acceptance
+    # filter consumes the kernel's output column, and a deterministic
+    # flag would let PushDownPredicates duplicate the kernel into two
+    # ArrowEvalPython nodes (the round-2 double-eval finding).
+    @pandas_udf_nondeterministic(T.DoubleType())
+    def _cos_by_id(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        ia = va.to_numpy()
+        ib = vb.to_numpy()
+        ok = (ia >= 0) & (ia < mat.shape[0]) & (ib >= 0) & (ib < mat.shape[0])
+        a = mat[_np.where(ok, ia, 0)]
+        b = mat[_np.where(ok, ib, 0)]
+        dots = _np.einsum("ij,ij->i", a, b)
+        na = _np.sqrt(_np.einsum("ij,ij->i", a, a))
+        nb = _np.sqrt(_np.einsum("ij,ij->i", b, b))
+        res = dots / (na * nb)
+        res = _np.where(ok, res, _np.nan)
+        # same vec id ⇒ cosine is 1 by definition — avoids float-noise
+        # flapping around the exactly-representable 1.0 grid point
+        res = _np.where(ia == ib, 1.0, res)
+        return pd.Series(res)
+
+    scored = band.withColumn("cosine", _cos_by_id(F.col("vec_a"), F.col("vec_b")))
+    accepted = scored.filter(
+        (F.col("jaccard") >= G.JACCARD_TAU) | (F.col("cosine") >= G.COSINE_TAU)
+    )
+    return accepted.select("norm_a", "norm_b", "jaccard", "cosine")
+
+
+def _score_band_join(band: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Join-based scorer (the pre-r7 shape) for embedding stores too
+    large for the in-kernel dictionary: cosine work deduplicated to
+    the DISTINCT (vec_a, vec_b) pairs, scored table joined back.
+    Identical output to the kernel path."""
+    # the band subtree feeds TWO consumers (the distinct-vec-pair
+    # build and the probe side) — share one materialization
+    band = band.localCheckpoint(eager=False)
     emb = embeddings.select("vec_id", "embedding")
     vp = (
         band.filter(F.col("vec_a") != F.col("vec_b"))
@@ -356,18 +438,18 @@ def _score_band(band: DataFrame, embeddings: DataFrame) -> DataFrame:
     )
     scored_vp = (
         vp.join(
-            F.broadcast(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))),
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")),
             "vec_a",
         )
         .join(
-            F.broadcast(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))),
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
             "vec_b",
         )
         .select(
             "vec_a", "vec_b", _cosine_batch(F.col("emb_a"), F.col("emb_b")).alias("cosine")
         )
     )
-    scored = band.join(F.broadcast(scored_vp), ["vec_a", "vec_b"], "left").withColumn(
+    scored = band.join(scored_vp, ["vec_a", "vec_b"], "left").withColumn(
         # same vec id ⇒ cosine is 1 by definition — avoids float-noise
         # flapping around the exactly-representable 1.0 grid point
         "cosine",
@@ -425,22 +507,34 @@ def _scored_edges_bitmask(
     vocab: list[str],
     tau: float,
     block_cap: int | None,
-) -> DataFrame:
+    verify_vocab: bool = False,
+    n_emb: int | None = None,
+) -> DataFrame | None:
     """Bitmask implementation of the exact set-similarity join (see
     scored_edges docstring): toksets are int64 masks over the ≤62-token
     dictionary; the global prefix order is the bit order.  Produces the
-    identical edge set to the array path (tested)."""
+    identical edge set to the array path (tested).
+
+    ``verify_vocab``: the dictionary came from the caller, not from a
+    probe of the data — detect unknown tokens inside the one stats job
+    that materializes ``groups`` anyway (zero extra jobs) and return
+    ``None`` so the caller falls back to the exact array path."""
     vocab_lit = F.lit(vocab).cast("array<string>")
 
-    # tokset -> bitmask + per-set prefix mask (lowest `plen` set bits)
+    # tokset -> bitmask + per-set prefix mask (lowest `plen` set bits).
+    # Bit weights via shiftleft — pure int64, no double pow round-trip.
     bits = F.transform("tokset", lambda t: F.array_position(vocab_lit, t) - 1)
+
+    def bit(i):
+        return F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+
     coded = (
         norms.select(
             "norm_text",
             "vec_id",
             F.aggregate(
                 bits, F.lit(0).cast("bigint"),
-                lambda acc, i: acc.bitwiseOR(F.pow(F.lit(2.0), i).cast("bigint")),
+                lambda acc, i: acc.bitwiseOR(bit(i)),
             ).alias("mask"),
             F.array_sort(bits).alias("idx"),
         )
@@ -453,9 +547,11 @@ def _scored_edges_bitmask(
             "pmask",
             F.aggregate(
                 F.slice("idx", 1, F.col("plen")), F.lit(0).cast("bigint"),
-                lambda acc, i: acc.bitwiseOR(F.pow(F.lit(2.0), i).cast("bigint")),
+                lambda acc, i: acc.bitwiseOR(bit(i)),
             ),
         )
+        # unknown token ⇔ array_position returned 0 ⇔ a -1 bit index
+        .withColumn("has_unk", F.array_contains("idx", -1))
     )
 
     groups = (
@@ -463,8 +559,19 @@ def _scored_edges_bitmask(
         .agg(
             F.collect_list(F.struct("norm_text", "vec_id")).alias("members"),
             F.first("idx").alias("idx"),
+            F.max("has_unk").alias("has_unk"),
         )
     ).localCheckpoint(eager=False)
+
+    # ONE job: materializes the shared groups checkpoint and returns
+    # both the group count (cartesian-vs-inverted dispatch) and the
+    # unknown-token flag (vocab guard).
+    stats = groups.agg(
+        F.count("*").alias("n"), F.max("has_unk").alias("unk")
+    ).collect()[0]
+    if verify_vocab and bool(stats["unk"]):
+        return None
+    n_groups = int(stats["n"])
 
     # (A) intra-group pairs: identical toksets ⇒ jaccard exactly 1
     intra = (
@@ -483,7 +590,7 @@ def _scored_edges_bitmask(
     # (B-fast) small distinct-mask space: broadcast integer cartesian —
     # SLIM (mask, len) rows only; the jaccard predicate is 5 bit ops in
     # whole-stage codegen; members join back for the surviving pairs
-    if groups.count() <= CART_GROUPS_MAX:
+    if n_groups <= CART_GROUPS_MAX:
         slim_a = groups.select(
             F.col("mask").alias("mask_a"), F.col("len").alias("len_a")
         )
@@ -514,7 +621,7 @@ def _scored_edges_bitmask(
         )
         return _score_band(
             intra.unionByName(_expand_mask_pairs(tokset_pairs, groups)),
-            embeddings,
+            embeddings, n_emb=n_emb,
         )
 
     # (B) cross-tokset: prefix-inverted, salted, bit-verified
@@ -571,7 +678,8 @@ def _scored_edges_bitmask(
     )
 
     return _score_band(
-        intra.unionByName(_expand_mask_pairs(tokset_pairs, groups)), embeddings
+        intra.unionByName(_expand_mask_pairs(tokset_pairs, groups)), embeddings,
+        n_emb=n_emb,
     )
 
 

@@ -125,7 +125,14 @@ def run_pipeline(
         eager=False
     )
     entities = generate.entities_df(mentions, labels, members=members)
-    attrs = generate.entity_attrs_df(mentions, labels, members=members)
+    # one class-selection chain shared by the attrs index AND the
+    # proxy rdf:type branch (each used to rebuild it independently)
+    classes = generate.entity_classes(mentions, labels, members=members)
+    if materialize:
+        classes = classes.localCheckpoint(eager=False)
+    attrs = generate.entity_attrs_df(
+        mentions, labels, members=members, classes=classes
+    )
     if materialize:
         attrs = attrs.localCheckpoint(eager=False)
     # named-graph full-term quad view: per-doc graphs + proxy root graph
@@ -133,7 +140,9 @@ def run_pipeline(
     quads = (
         base_quads.select("g", *term_cols)
         .unionByName(
-            generate.proxy_quads(mentions, labels, members=members, attrs=attrs)
+            generate.proxy_quads(
+                mentions, labels, members=members, attrs=attrs, classes=classes
+            )
         )
         .dropDuplicates(["g", *term_cols])
     )

@@ -101,11 +101,26 @@ def _labels(spark, sf_dir):
     """Memoized per (session, sf_dir) like run_pipeline_cached: seven
     contract queries derive from the same mentions+edges+CC chain —
     lazy localCheckpoints make the first consumer pay once and the
-    rest reuse the materialized lineage."""
+    rest reuse the materialized lineage.
+
+    r7 ordering fix: the mentions checkpoint is taken BEFORE the edge
+    DAG is built and the edges are checkpointed BEFORE CC consumes
+    them — previously the un-checkpointed edge DAG (mentions kernel
+    included) re-executed once for CC's edge count and again for the
+    driver union-find collect, tripling the chain's one-time cost."""
     key = (id(spark.sparkContext), sf_dir)
     if key not in _LABELS_CACHE:
-        m, edges = _edges(spark, sf_dir)
-        m = m.localCheckpoint(eager=False)
+        m = extract.mentions_df(fixtures.flat_spans(spark, sf_dir)).localCheckpoint(
+            eager=False
+        )
+        emb = _t(spark, sf_dir, "embeddings")
+        # mention tokens are the ENTITY_TOKENS alternation by
+        # construction (grammar.MENTION_PATTERN); the bitmask path's
+        # in-job guard falls back to the exact array path on any
+        # unknown token, so passing the dictionary is a pure shortcut.
+        edges = link.scored_edges(
+            m, emb, vocab=sorted(G.ENTITY_TOKENS)
+        ).localCheckpoint(eager=False)
         norms = m.select(F.col("norm_text").alias("node")).distinct()
         labels = cc_mod.connected_components(edges, norms).localCheckpoint(
             eager=False
@@ -114,14 +129,31 @@ def _labels(spark, sf_dir):
     return _LABELS_CACHE[key]
 
 
+_MEMBERS_CACHE: dict = {}
+
+
+def _members(spark, sf_dir):
+    """Memoized entity membership on top of the _labels chain: the
+    generate-family queries (entities, attrs, classes, props, media,
+    cooccurrence) all start from the same membership join — share one
+    checkpointed computation instead of rebuilding it per query."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _MEMBERS_CACHE:
+        m, labels = _labels(spark, sf_dir)
+        _MEMBERS_CACHE[key] = gen.entity_membership(m, labels).localCheckpoint(
+            eager=False
+        )
+    return _MEMBERS_CACHE[key]
+
+
 def kg_entities(spark, sf_dir):
     m, labels = _labels(spark, sf_dir)
-    return gen.entities_df(m, labels)
+    return gen.entities_df(m, labels, members=_members(spark, sf_dir))
 
 
 def kg_entity_attrs(spark, sf_dir):
     m, labels = _labels(spark, sf_dir)
-    return gen.entity_attrs_df(m, labels)
+    return gen.entity_attrs_df(m, labels, members=_members(spark, sf_dir))
 
 
 def kg_triples(spark, sf_dir):
@@ -804,14 +836,14 @@ def kg_graph_counts(spark, sf_dir):
 def kg_entity_class(spark, sf_dir):
     """O25 rulebase-driven class selection per entity."""
     m, labels = _labels(spark, sf_dir)
-    return gen.entity_classes(m, labels)
+    return gen.entity_classes(m, labels, members=_members(spark, sf_dir))
 
 
 def kg_entity_props(spark, sf_dir):
     """O24 full D7 form: multi-predicate property selection via the
     broadcast PROPERTY_RULES table (priority + lang-pref window)."""
     m, labels = _labels(spark, sf_dir)
-    return gen.entity_props(m, labels)
+    return gen.entity_props(m, labels, members=_members(spark, sf_dir))
 
 
 def kg_props_triples(spark, sf_dir):
@@ -820,7 +852,7 @@ def kg_props_triples(spark, sf_dir):
     predicate) — what a spindle-style generate stage would write for
     the property rulebase's winners."""
     m, labels = _labels(spark, sf_dir)
-    props = gen.entity_props(m, labels)
+    props = gen.entity_props(m, labels, members=_members(spark, sf_dir))
     return props.select(
         F.col("entity_id").alias("s"),
         F.col("pred").alias("p"),
@@ -840,7 +872,7 @@ def kg_entity_cooccurrence(spark, sf_dir):
     global; pairs are canonicalized (a < b) before the count groupBy
     (map-side combined)."""
     m, labels = _labels(spark, sf_dir)
-    members = gen.entity_membership(m, labels)
+    members = _members(spark, sf_dir)
     doc_ents = (
         m.join(labels.withColumnRenamed("node", "norm_text"), "norm_text")
         .join(members.select("label", "entity_id").distinct(), "label")
@@ -891,7 +923,7 @@ def entity_communities(spark, sf_dir):
     community-detection companion to entity_pagerank; round count is
     part of the operator definition, identical on both engines."""
     m, labels = _labels(spark, sf_dir)
-    members = gen.entity_membership(m, labels)
+    members = _members(spark, sf_dir)
     nodes = members.select("entity_id").distinct()
     return cc_mod.label_propagation(
         _coocc_edges(spark, sf_dir), nodes, n_iter=4, node_col="entity_id"
@@ -941,7 +973,7 @@ def kg_entity_media(spark, sf_dir):
     carry no media span."""
     m, labels = _labels(spark, sf_dir)
     flat = fixtures.flat_spans(spark, sf_dir)
-    return gen.entity_media(m, labels, flat)
+    return gen.entity_media(m, labels, flat, members=_members(spark, sf_dir))
 
 
 def kg_media_triples(spark, sf_dir):
@@ -1114,9 +1146,14 @@ def kg_sameas_degree(spark, sf_dir):
         .distinct()
     )
     labels = cc_mod.connected_components(e, nodes)
-    sizes = labels.groupBy("label").agg(F.count("*").alias("n_reach"))
-    return labels.join(sizes, "label").select(
-        F.col("node").alias("x"), F.col("n_reach").cast("bigint").alias("n_reach")
+    # component size via ONE window over the label key — the old
+    # groupBy + join-back shape paid a second exchange for the same
+    # partitioning (guide §2.4: two operations keyed the same way
+    # share one exchange)
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("x"),
+        F.count("*").over(w).cast("bigint").alias("n_reach"),
     )
 
 
@@ -1637,7 +1674,7 @@ def entity_pagerank(spark, sf_dir, n_iter: int = 5):
     one edge join + one map-side-combined aggregate — O(E) per round,
     the same plan family as the CC loop."""
     m, labels = _labels(spark, sf_dir)
-    members = gen.entity_membership(m, labels)
+    members = _members(spark, sf_dir)
     nodes = members.select("entity_id").distinct()
     return cc_mod.pagerank_int(
         _coocc_edges(spark, sf_dir), nodes, n_iter=n_iter, node_col="entity_id"
@@ -2155,7 +2192,7 @@ def entity_hops(spark, sf_dir):
     anti-join per round; the DuckDB oracle unrolls the same 4
     rounds, so horizon truncation is identical)."""
     m, labels = _labels(spark, sf_dir)
-    members = gen.entity_membership(m, labels)
+    members = _members(spark, sf_dir)
     nodes = members.select("entity_id").distinct()
     seeds = nodes.filter(
         F.substring("entity_id", 13, 1).isin("0", "1")
@@ -3426,7 +3463,7 @@ def entity_ppr(spark, sf_dir, n_iter: int = 4):
     mass returning only to seeds (cc.ppr_int); 4 unrolled iterations
     mirrored as CTEs in the DuckDB oracle.  O(E) per round."""
     m, labels = _labels(spark, sf_dir)
-    members = gen.entity_membership(m, labels)
+    members = _members(spark, sf_dir)
     pfx = len(G.ENTITY_IRI_PREFIX)
     nodes = (
         members.select("entity_id")
@@ -4368,7 +4405,7 @@ def kg_entity_provenance(spark, sf_dir):
     entity_id — all linear in mention count; the distinct-doc/source
     counts are per-group aggregates, never a global distinct."""
     m, labels = _labels(spark, sf_dir)
-    members = gen.entity_membership(m, labels)
+    members = _members(spark, sf_dir)
     eids = members.select("label", "entity_id").distinct()
     mm = (
         m.join(labels.withColumnRenamed("node", "norm_text"), "norm_text")

@@ -106,6 +106,12 @@ def langid(
     DuckDB value-hash oracle — see oracle_sql.LANGID_SQL)."""
     n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     d = docs.select("doc_id", "lang", "text").repartition(n)
+    # r7 note — two rejected rewrites, measured at sf0.1 (3 warm reps):
+    # pre-aggregating to (doc, code, n) counts before the checkpoint is
+    # 3.3 s vs 2.4 s (the trigram space is ~17k codes, so per-doc
+    # distinct ≈ per-doc occurrences and the added 4M-group hash
+    # aggregate outweighs the shrink); dropping the checkpoint re-runs
+    # the explode per consumer (4.2 s).  The r6 shape stands.
     tris = _langid_tricodes(d).localCheckpoint(eager=False)
 
     counts = tris.groupBy("lang", "code").agg(F.count("*").alias("cnt"))

@@ -105,12 +105,12 @@ def test_vocab_probe_is_driver_bounded(spark, monkeypatch):
     # patch the RUNTIME DataFrame class (pyspark.sql.classic on 4.x —
     # the pyspark.sql.DataFrame facade is never dispatched through)
     cls = type(m)
-    sizes: list[int] = []
+    collects: list[tuple[list[str], int]] = []
     orig = cls.collect
 
     def spy(self):
         rows = orig(self)
-        sizes.append(len(rows))
+        collects.append((list(self.columns), len(rows)))
         return rows
 
     monkeypatch.setattr(cls, "collect", spy)
@@ -121,5 +121,15 @@ def test_vocab_probe_is_driver_bounded(spark, monkeypatch):
     out = link.scored_edges(m, emb, n_embeddings=500)
     n = len(orig(out))  # count via un-spied collect
     assert n >= 0
-    assert sizes, "expected the probe collect to run"
-    assert max(sizes) <= 63, f"driver received {max(sizes)} rows from a probe"
+    # two deliberate bounded collects are allowed: the token PROBE
+    # (≤ 63 rows by construction) and the r7 embedding-DICTIONARY
+    # fetch for the zero-join cosine kernel (≤ KGSPARK_EMB_DICT_MAX,
+    # here n_embeddings = 500).  Anything else is a regression.
+    probe_sizes = [n for cols, n in collects if cols == ["tok"]]
+    dict_sizes = [n for cols, n in collects if cols == ["vec_id", "embedding"]]
+    other = [(c, n) for c, n in collects
+             if c not in (["tok"], ["vec_id", "embedding"])]
+    assert probe_sizes, "expected the probe collect to run"
+    assert max(probe_sizes) <= 63, f"probe shipped {max(probe_sizes)} rows"
+    assert all(n <= 500 for n in dict_sizes)
+    assert not other, f"unexpected driver collects: {other}"
