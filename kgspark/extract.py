@@ -53,6 +53,16 @@ def media_features_df(flat: DataFrame) -> DataFrame:
     return media_spans(flat).mapInPandas(PROCESSORS["media"], schema=MEDIA_FEATURES_DDL)
 
 
+def media_features_from(media_span_rows: DataFrame) -> DataFrame:
+    """Media kernel over an already-extracted (doc_id, span_pos,
+    media_ref) frame — e.g. fixtures.media_spans_direct, which derives
+    the media rows arithmetically instead of synthesizing every text
+    chunk (r7)."""
+    return media_span_rows.select("doc_id", "span_pos", "media_ref").mapInPandas(
+        PROCESSORS["media"], schema=MEDIA_FEATURES_DDL
+    )
+
+
 def mentions_df_native(flat: DataFrame) -> DataFrame:
     """JVM-only equivalent (regexp_extract_all + posexplode)."""
     runs = text_spans(flat).select(

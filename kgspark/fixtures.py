@@ -26,7 +26,14 @@ from . import grammar as G
 # Shared sub-expressions (Spark SQL dialect). `toks` and `mref` are
 # columns prepared by with_spans().
 _CHUNK = f"array_join(slice(toks, k*{G.CHUNK_TOKENS}+1, {G.CHUNK_TOKENS}), ' ')"
-_OFF = f"if(k = 0, 0, length(array_join(slice(toks, 1, k*{G.CHUNK_TOKENS}), ' ')) + 1)"
+# offset = length(join of the first k·CHUNK tokens with ' ')) + 1
+#        = Σ length(tok) + k·CHUNK  — computed as an integer aggregate
+# (r7: the old form BUILT the whole prefix string per chunk just to
+# measure it — O(doc²) bytes of allocation across a doc's chunks)
+_OFF = (
+    f"if(k = 0, 0, aggregate(slice(toks, 1, k*{G.CHUNK_TOKENS}), 0,"
+    f" (a, t) -> a + length(t)) + k*{G.CHUNK_TOKENS})"
+)
 _TEXT_SPAN = (
     f"named_struct('kind','text','text',{_CHUNK},'media_ref','','offset',{_OFF})"
 )
@@ -64,7 +71,52 @@ def with_spans(documents: DataFrame) -> DataFrame:
 
 
 def docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Read + span synthesis.  The fixture is ONE parquet file (= one
+    scan task), so without an exchange BELOW the synthesis projection
+    the whole span/mention chain of every sf_dir-path consumer runs
+    serially (r7 finding: kg_spans_flat 1.2 s → 0.4 s on local[32]);
+    pipeline.py does the same for its own document frame."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return with_spans(docs.repartition(n))
+
+
+def media_spans_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed form of ``extract.media_spans(flat_spans(spark, sf_dir))``
+    — the media-span rows WITHOUT synthesizing any text chunk (r7,
+    guide §1.2 "don't compute things you throw away"):
+
+    with c = ceil(n_tokens / CHUNK_TOKENS) chunks, a media span follows
+    every MEDIA_EVERY-th chunk, so media span i (1-based,
+    i ≤ c div MEDIA_EVERY) sits at flattened span position
+    (MEDIA_EVERY+1)·i − 1, and every media span of a doc carries the
+    same doc-derived ref.  Equality with the explode path is pinned by
+    tests/test_spans.py::test_media_spans_direct_equals_exploded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    c = F.ceil(F.size(F.split("text", " ")) / F.lit(float(G.CHUNK_TOKENS))).cast("int")
+    n_media = F.expr(f"CAST(ceil(size(split(text, ' ')) / {G.CHUNK_TOKENS}.0) AS INT) div {G.MEDIA_EVERY}")
+    return (
+        docs.repartition(n)
+        # docs with fewer than MEDIA_EVERY chunks have no media span —
+        # filter BEFORE sequence(1, 0) could produce a descending range
+        .filter(c >= G.MEDIA_EVERY)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("media://vec/"),
+                (F.col("doc_id") % G.MEDIA_MOD).cast("string"),
+            ).alias("media_ref"),
+            F.explode(F.sequence(F.lit(1), n_media)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            ((F.lit(G.MEDIA_EVERY + 1) * F.col("_i")) - 1)
+            .cast("int")
+            .alias("span_pos"),
+            "media_ref",
+        )
+    )
 
 
 def flat_spans(spark_or_df, sf_dir: str | None = None) -> DataFrame:

@@ -220,6 +220,7 @@ def entity_media(
     labels: DataFrame,
     flat: DataFrame,
     members: DataFrame | None = None,
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """Per-entity license + representative-media selection — the
     spindle ``license.c`` / ``media.c`` rule families (SURVEY O7/D7
@@ -259,11 +260,15 @@ def entity_media(
         .select("entity_id", "license")
     )
 
-    media = (
-        flat.filter(F.col("kind") == "media")
-        .select("doc_id", "media_ref")
-        .distinct()
-    )
+    if media is None:
+        # derive (doc_id, media_ref) from the span frame; callers that
+        # can produce the media rows without synthesizing text chunks
+        # (fixtures.media_spans_direct) pass ``media`` directly (r7)
+        media = (
+            flat.filter(F.col("kind") == "media")
+            .select("doc_id", "media_ref")
+            .distinct()
+        )
     med_num = F.regexp_extract("media_ref", "([0-9]+)$", 1).cast("int")
     med = (
         docs.select("entity_id", "doc_id")

@@ -163,8 +163,10 @@ def kg_triples(spark, sf_dir):
 
 
 def kg_media_features(spark, sf_dir):
-    flat = fixtures.flat_spans(spark, sf_dir)
-    return extract.media_features_df(flat).select(
+    # closed-form media rows (fixtures.media_spans_direct) — no text
+    # chunk is synthesized; same rows as the explode path (tested)
+    ms = fixtures.media_spans_direct(spark, sf_dir)
+    return extract.media_features_from(ms).select(
         "doc_id", "span_pos", "media_ref", "media_kind", "ref_bytes",
         "vec_id", "content_fp",
     )
@@ -972,8 +974,12 @@ def kg_entity_media(spark, sf_dir):
     entity picks the winners; NULL media for entities whose documents
     carry no media span."""
     m, labels = _labels(spark, sf_dir)
-    flat = fixtures.flat_spans(spark, sf_dir)
-    return gen.entity_media(m, labels, flat, members=_members(spark, sf_dir))
+    media = fixtures.media_spans_direct(spark, sf_dir).select(
+        "doc_id", "media_ref"
+    ).distinct()
+    return gen.entity_media(
+        m, labels, flat=None, members=_members(spark, sf_dir), media=media
+    )
 
 
 def kg_media_triples(spark, sf_dir):

@@ -70,7 +70,14 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
 def _langid_tricodes(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, code) — one row per char-trigram occurrence, as
     the lang-rotated integer code defined in grammar.py (synthetic
-    language signal; 100% native exprs)."""
+    language signal; 100% native exprs).
+
+    r7 shape: the per-char shifted code array is computed ONCE per doc
+    (split to chars, one rotation CASE per char) and trigram codes
+    index into it.  The previous form called substr(text, i, 1) per
+    trigram position — an O(i) byte scan each, O(len²) per document —
+    and evaluated every char's rotation three times (once per
+    overlapping trigram).  Identical integer codes by construction."""
     rot = (
         F.ascii(F.substring("lang", 1, 1)) * 31 + F.ascii(F.substring("lang", 2, 1))
     ) % 26
@@ -78,17 +85,20 @@ def _langid_tricodes(docs: DataFrame) -> DataFrame:
     def sh(a):
         return F.when((a >= 97) & (a <= 122), F.lit(97) + (a - 97 + rot) % 26).otherwise(a)
 
-    def code_at(i):
-        c1 = sh(F.ascii(F.col("text").substr(i, F.lit(1))))
-        c2 = sh(F.ascii(F.col("text").substr(i + 1, F.lit(1))))
-        c3 = sh(F.ascii(F.col("text").substr(i + 2, F.lit(1))))
-        return (c1.cast("bigint") * 65536 + c2.cast("bigint") * 256 + c3.cast("bigint"))
-
-    tric = F.transform(F.sequence(F.lit(1), F.length("text") - 2), code_at)
-    return (
+    chcodes = F.transform(F.split("text", ""), lambda c: sh(F.ascii(c)))
+    with_codes = (
         docs.filter(F.length("text") >= 3)
-        .select("doc_id", "lang", F.explode(tric).alias("code"))
+        .select("doc_id", "lang", chcodes.alias("ch"))
     )
+    tric = F.transform(
+        F.sequence(F.lit(1), F.size("ch") - 2),
+        lambda i: (
+            F.get("ch", i - 1).cast("bigint") * 65536
+            + F.get("ch", i).cast("bigint") * 256
+            + F.get("ch", i + 1).cast("bigint")
+        ),
+    )
+    return with_codes.select("doc_id", "lang", F.explode(tric).alias("code"))
 
 
 def langid(

@@ -54,3 +54,16 @@ def test_interleaving_shape(spark, sf_dir):
         & ~F.col("media_ref").rlike(r"^media://vec/[0-9]+$")
     ).count()
     assert badref == 0
+
+
+def test_media_spans_direct_equals_exploded(spark, sf_dir):
+    """r7: the closed-form media-span frame (no text-chunk synthesis)
+    must equal extract.media_spans over the exploded span view —
+    row-for-row (doc_id, span_pos, media_ref)."""
+    from kgspark import extract
+
+    exploded = extract.media_spans(fixtures.flat_spans(spark, sf_dir))
+    direct = fixtures.media_spans_direct(spark, sf_dir)
+    a = sorted(map(tuple, exploded.select("doc_id", "span_pos", "media_ref").collect()))
+    b = sorted(map(tuple, direct.select("doc_id", "span_pos", "media_ref").collect()))
+    assert a == b
