@@ -347,6 +347,16 @@ def _scored_edges_array(
 # replaces.  Env-overridable for fat-memory deployments.
 EMB_DICT_MAX = 65_536
 
+# Up to this many embedding rows, one driver matmul (O(n²·d)) is cheap
+# enough to pre-enumerate the vec pairs that can possibly pass
+# COSINE_TAU (guide §3.2 Bloom-style pre-filter: superset, the kernel
+# still decides exactly).  4096² × 64 ≈ 1 GFLOP ≈ sub-second.
+EMB_ACC_MAX = 4_096
+# ...and if the embedding space is so clustered that the candidate
+# pair set itself explodes, broadcasting it stops paying — skip the
+# pre-filter and let the kernel score the whole band.
+ACC_MAX_PAIRS = 500_000
+
 
 def _emb_dict_max() -> int:
     import os
@@ -354,8 +364,51 @@ def _emb_dict_max() -> int:
     return int(os.environ.get("KGSPARK_EMB_DICT_MAX", EMB_DICT_MAX))
 
 
+def _emb_acc_max() -> int:
+    import os
+
+    return int(os.environ.get("KGSPARK_EMB_ACC_MAX", EMB_ACC_MAX))
+
+
+def _emb_prefilter(embeddings: DataFrame, n_emb: int):
+    """Collect the (bounded) embedding dictionary into a float64 matrix
+    and — when the dictionary is small enough for one driver matmul —
+    enumerate the SUPERSET of off-diagonal vec pairs that can possibly
+    clear COSINE_TAU (guide §3.2 Bloom-style pre-filter; the 1e-6
+    margin is ~7 orders above any dgemm-vs-einsum float discrepancy,
+    so no false negatives; the Arrow kernel still decides exactly).
+
+    Returns (mat, acc): ``acc`` is a list of (va, vb) candidate pairs,
+    possibly empty — meaning NO off-diagonal pair can be cosine-
+    accepted — or None when unknown (dictionary too large for the
+    matmul, or the candidate set too large to broadcast)."""
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    size = max((int(r["vec_id"]) for r in rows), default=-1) + 1
+    dim = len(rows[0]["embedding"]) if rows else 1
+    mat = np.full((max(size, 1), dim), np.nan, dtype=np.float64)
+    for r in rows:
+        mat[int(r["vec_id"])] = np.asarray(r["embedding"], dtype=np.float64)
+
+    acc = None
+    if mat.shape[0] <= _emb_acc_max():
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cmat = (mat @ mat.T) / np.outer(nrm, nrm)
+        ii, jj = np.where(cmat >= G.COSINE_TAU - 1e-6)
+        off = ii != jj
+        ii, jj = ii[off], jj[off]
+        if len(ii) <= ACC_MAX_PAIRS:
+            acc = list(zip(ii.tolist(), jj.tolist()))
+    return mat, acc
+
+
 def _score_band(
-    band: DataFrame, embeddings: DataFrame, n_emb: int | None = None
+    band: DataFrame,
+    embeddings: DataFrame,
+    n_emb: int | None = None,
+    embinfo=None,
 ) -> DataFrame:
     """O22 scorer over the J ≥ COSINE_JACCARD_MIN candidate band.
 
@@ -383,14 +436,31 @@ def _score_band(
     if n_emb > _emb_dict_max():
         return _score_band_join(band, embeddings)
 
-    import numpy as np
+    if embinfo is None:
+        embinfo = _emb_prefilter(embeddings, n_emb)
+    mat, acc = embinfo
 
-    rows = embeddings.select("vec_id", "embedding").collect()
-    size = max((int(r["vec_id"]) for r in rows), default=-1) + 1
-    dim = len(rows[0]["embedding"]) if rows else 1
-    mat = np.full((max(size, 1), dim), np.nan, dtype=np.float64)
-    for r in rows:
-        mat[int(r["vec_id"])] = np.asarray(r["embedding"], dtype=np.float64)
+    # Bloom-style pre-filter (guide §3.2): only rows that can still be
+    # accepted reach the Python kernel — already in on Jaccard,
+    # same-vec (cosine ≡ 1), or a candidate vec pair from the driver
+    # matmul.  Superset, same stage, no extra shuffle; with an EMPTY
+    # candidate set no join is needed at all.
+    if acc is not None:
+        keep = (F.col("jaccard") >= G.JACCARD_TAU) | (
+            F.col("vec_a") == F.col("vec_b")
+        )
+        if acc:
+            acc_df = band.sparkSession.createDataFrame(
+                [(int(a), int(b)) for a, b in acc],
+                "vec_a bigint, vec_b bigint",
+            ).withColumn("_acc", F.lit(True))
+            band = (
+                band.join(F.broadcast(acc_df), ["vec_a", "vec_b"], "left")
+                .filter(keep | F.col("_acc").isNotNull())
+                .drop("_acc")
+            )
+        else:
+            band = band.filter(keep)
 
     # Independent UDF object + asNondeterministic: the acceptance
     # filter consumes the kernel's output column, and a deterministic
@@ -573,6 +643,12 @@ def _scored_edges_bitmask(
         return None
     n_groups = int(stats["n"])
 
+    # One embedding-dictionary fetch + driver matmul shared by the
+    # mask-level prune and the band scorer (r7, guide §3.2).
+    embinfo = None
+    if n_emb is not None and n_emb <= _emb_dict_max():
+        embinfo = _emb_prefilter(embeddings, n_emb)
+
     # (A) intra-group pairs: identical toksets ⇒ jaccard exactly 1
     intra = (
         groups.select(F.explode("members").alias("a"), F.col("members"))
@@ -619,9 +695,16 @@ def _scored_edges_bitmask(
             )
             .select("mask_a", "mask_b", "jaccard")
         )
+        # Rejected after measurement: a mask-level arrays_overlap prune
+        # before the member expansion — Catalyst pushes the predicate
+        # INTO the broadcast-cartesian join condition, evaluating the
+        # array intersection for all n_groups² candidate pairs (~5 s vs
+        # the ~50 ms it would cost post-join).  The row-level prefilter
+        # in _score_band already keeps the Python kernel input at
+        # O(accepted), which is the win that matters.
         return _score_band(
             intra.unionByName(_expand_mask_pairs(tokset_pairs, groups)),
-            embeddings, n_emb=n_emb,
+            embeddings, n_emb=n_emb, embinfo=embinfo,
         )
 
     # (B) cross-tokset: prefix-inverted, salted, bit-verified
@@ -679,7 +762,7 @@ def _scored_edges_bitmask(
 
     return _score_band(
         intra.unionByName(_expand_mask_pairs(tokset_pairs, groups)), embeddings,
-        n_emb=n_emb,
+        n_emb=n_emb, embinfo=embinfo,
     )
 
 
