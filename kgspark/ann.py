@@ -113,7 +113,9 @@ def assign_cells(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
     integer centroids of ``cell_centroids_int``.  Returns
     (vec_id, cell).  Deterministic on every engine because the whole
     scoring chain is int64."""
-    cent = cell_centroids_int(embeddings, scale)
+    # the centroid table feeds TWO consumers (the per-vector score join
+    # and the norm aggregate) — share one materialization (r7)
+    cent = cell_centroids_int(embeddings, scale).localCheckpoint(eager=False)
     vdims = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -163,7 +165,8 @@ def ann_ivf_probe(
     order-insensitive), making the cell choice deterministic and
     oracle-checkable; the within-cell scorer is the same Arrow cosine
     kernel as every other ANN path."""
-    cent = cell_centroids_int(embeddings, scale)
+    # shared by the query-score join and the norm aggregate (r7)
+    cent = cell_centroids_int(embeddings, scale).localCheckpoint(eager=False)
     qdims = (
         embeddings.filter(F.col("vec_id") < n_queries)
         .select("vec_id", F.posexplode("embedding").alias("dim", "x"))

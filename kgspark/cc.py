@@ -130,9 +130,13 @@ def _driver_union_find(edges: DataFrame, nodes: DataFrame, node_col: str) -> Dat
     # singleton — itself; endpoints outside the caller's node set drop
     # out by construction (we start from node_ids).  ep is bounded by
     # the same driver_threshold that gated the collect, so the
-    # broadcast is safe by the same argument.
-    return node_ids.join(F.broadcast(ep), "node", "left").select(
-        "node", F.coalesce("label", F.col("node")).alias("label")
+    # broadcast is safe by the same argument.  The result is lazily
+    # checkpointed: every downstream consumer (membership, attrs,
+    # classes) otherwise re-executes the node-distinct + join (r7).
+    return (
+        node_ids.join(F.broadcast(ep), "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+        .localCheckpoint(eager=False)
     )
 
 

@@ -66,7 +66,7 @@ def entity_attrs_df(
         labels.withColumnRenamed("node", "norm_text"), "norm_text"
     ).join(
         members.select("label", "entity_id").distinct(), "label"
-    )
+    ).localCheckpoint(eager=False)  # feeds counts AND cands (r7)
     counts = m.groupBy("entity_id").agg(
         F.countDistinct("mention_iri").alias("n_members"),
         F.count("*").alias("n_mentions"),
