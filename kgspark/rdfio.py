@@ -645,7 +645,19 @@ class _StoreWriteLock:
                 try:
                     os.link(steal, self.lockfile)
                 except FileExistsError:
-                    pass  # that writer already released and moved on
+                    # r7 ADVICE fix: a LIVE writer's lock was stolen
+                    # (it re-created the file between our staleness
+                    # check and the rename) AND a third waiter has
+                    # since O_EXCL-acquired — the store may now have
+                    # two writers.  The old code assumed "that writer
+                    # already released" and proceeded silently; fail
+                    # loudly instead so the corruption window is
+                    # surfaced, not raced past.
+                    raise RuntimeError(
+                        "store write lock: stale-break raced a live "
+                        f"writer on {self.lockfile}; manual check "
+                        "required (two writers may be active)"
+                    )
         finally:
             try:
                 os.unlink(steal)
@@ -1737,10 +1749,13 @@ def compact_store(
     exactly one task (files-per-graph becomes 1 without a per-graph
     driver loop), written to an underscore-prefixed staging dir that
     partition discovery ignores, then swapped in directory-at-a-time
-    under the store write lock — readers never observe a half-compacted
-    graph, and a crash mid-swap loses no data (the staging copy only
-    replaces a graph after its rewrite is complete).  Returns
-    (graph, files_before, files_after) per compacted graph."""
+    under the store write lock.  Crash safety (r7): each swap parks the
+    old directory ASIDE (dot-prefixed) before renaming the staged
+    rewrite in and deletes the aside copy only after the swap — at
+    every instant the graph's only copy is in a durable location, and
+    the next compaction restores any aside left by a crash before
+    touching the staging dir.  Returns (graph, files_before,
+    files_after) per compacted graph."""
     import shutil
 
     def data_files(d: str) -> list[str]:
@@ -1751,6 +1766,21 @@ def compact_store(
         ]
 
     with _StoreWriteLock(path, timeout=lock_timeout):
+        # Crash recovery (r7 ADVICE fix): a previous compaction may
+        # have died mid-swap.  The swap below renames each graph dir
+        # ASIDE (dot-prefixed, ignored by partition discovery) before
+        # renaming the staged rewrite in, so at every instant the
+        # graph's only copy lives in a durable location — restore any
+        # aside whose real dir is missing, drop asides whose swap
+        # completed, and only THEN clear the staging dir.
+        for entry in os.listdir(path):
+            if entry.startswith(".") and entry.endswith(".gc"):
+                aside = os.path.join(path, entry)
+                real = os.path.join(path, entry[1:-3])
+                if os.path.isdir(real):
+                    shutil.rmtree(aside)
+                else:
+                    os.rename(aside, real)
         dirs = store_graph_dirs(path)
         eligible = {
             g: d for g, d in dirs.items() if len(data_files(d)) >= min_files
@@ -1759,7 +1789,7 @@ def compact_store(
             return []
         staging = os.path.join(path, "_compact_tmp")
         if os.path.isdir(staging):
-            shutil.rmtree(staging)  # leftover from a crashed compaction
+            shutil.rmtree(staging)  # safe: every graph restored above
         raw = spark.read.text(path).filter(
             F.col("g").isin(list(eligible))
         )
@@ -1775,8 +1805,12 @@ def compact_store(
             if new_dir is None:
                 continue  # graph had only empty files; leave it alone
             before = len(data_files(old_dir))
-            shutil.rmtree(old_dir)
-            os.rename(new_dir, old_dir)
+            aside = os.path.join(
+                path, "." + os.path.basename(old_dir) + ".gc"
+            )
+            os.rename(old_dir, aside)   # old copy parked, never deleted
+            os.rename(new_dir, old_dir)  # staged rewrite swapped in
+            shutil.rmtree(aside)         # swap complete — drop old copy
             out.append((g, before, len(data_files(old_dir))))
         shutil.rmtree(staging, ignore_errors=True)
         return out

@@ -1954,14 +1954,16 @@ def _exec_update_op(
         return {"op": kind, "src": src, "graphs": affected, "quads": n_new}
 
     if kind in ("add", "move", "copy"):
-        # Graph management (SPARQL 1.1 Update §3.2.3–5) as
-        # METADATA-scale file operations — no Spark job at all: the
-        # graph name lives only in the partition directory name, so
-        # COPY/MOVE are a directory copy/rename and ADD a file-level
-        # union (deterministically-named copies, so re-ADD from the
-        # same source is idempotent).  At cluster scale these are the
-        # table format's manifest/snapshot operations.
-        import hashlib
+        # Graph management (SPARQL 1.1 Update §3.2.3–5).  COPY/MOVE are
+        # METADATA-scale file operations (directory copy/rename — the
+        # graph name lives only in the partition directory name); at
+        # cluster scale these are the table format's manifest/snapshot
+        # operations.  ADD routes through read-union-distinct-rewrite
+        # (r7 ADVICE fix): the old raw file-copy union emitted
+        # duplicate N-Quads lines for quads present in both src and dst
+        # (and on re-ADD after a src rewrite), breaking the set
+        # invariant every other write path maintains via .distinct(),
+        # so graph-scoped bag reads double-counted.
         import os
         import shutil
 
@@ -1988,16 +1990,16 @@ def _exec_update_op(
         if kind in ("copy", "move"):
             rdfio._remove_graph_dirs(path, [dst_g])
             shutil.copytree(src_dir, dst_dir)
-        else:  # add: dst ∪ src, src untouched
-            os.makedirs(dst_dir, exist_ok=True)
-            tag = hashlib.sha1(src_g.encode()).hexdigest()[:8]
-            for f in os.listdir(src_dir):
-                if f.startswith((".", "_")):
-                    continue
-                shutil.copy2(
-                    os.path.join(src_dir, f),
-                    os.path.join(dst_dir, f"add_{tag}_{f}"),
+        else:  # add: dst ∪ src set-semantic, src untouched
+            src_quads = rdfio.read_nquads_store(spark, path, graph=[src_g])
+            data_cols = [c for c in src_quads.columns if c != "g"]
+            new = src_quads.select(F.lit(dst_g).alias("g"), *data_cols)
+            if dst_g in dirs:
+                new = new.unionByName(
+                    rdfio.read_nquads_store(spark, path, graph=[dst_g])
+                    .select(F.lit(dst_g).alias("g"), *data_cols)
                 )
+            rdfio._replace_graphs_unlocked(new.distinct(), path)
         if kind == "move":
             shutil.rmtree(src_dir)
         return {"op": kind, "src": src_g, "dst": dst_g,

@@ -798,3 +798,41 @@ def test_compact_store_merges_small_files(spark, tmp_path):
     assert sorted(os.listdir(dirs["ex:solo"])) == solo_files
     # idempotent: second pass finds nothing to do
     assert rdfio.compact_store(spark, store) == []
+
+
+def test_compact_store_recovers_crashed_swap(spark, tmp_path):
+    """r7 ADVICE fix: a compaction that crashed between parking a graph
+    aside and swapping the rewrite in must NOT lose the graph — the
+    next compact_store restores the aside copy before clearing the
+    staging dir (the old code deleted staging unconditionally, losing
+    the graph's only copy)."""
+    import os
+    import shutil
+
+    store = str(tmp_path / "store")
+    rows = [("ex:g0", f"ex:s{i}", "ex:p", f"v{i}", "literal", "", "")
+            for i in range(20)]
+    q = spark.createDataFrame(
+        rows,
+        "g string, s string, p string, o string, o_kind string,"
+        " o_lang string, o_datatype string",
+    )
+    rdfio.write_nquads_store(q.repartition(4), store)
+    before = {tuple(r) for r in rdfio.read_nquads_store(spark, store).collect()}
+
+    # simulate the crash window: graph parked aside, staging present,
+    # real dir missing
+    dirs = rdfio.store_graph_dirs(store)
+    gdir = dirs["ex:g0"]
+    aside = os.path.join(store, "." + os.path.basename(gdir) + ".gc")
+    os.rename(gdir, aside)
+    os.makedirs(os.path.join(store, "_compact_tmp"), exist_ok=True)
+
+    result = rdfio.compact_store(spark, store)
+    after = {tuple(r) for r in rdfio.read_nquads_store(spark, store).collect()}
+    assert after == before
+    # the aside copy is gone (either restored-then-compacted or dropped
+    # post-swap) and no staging remains
+    assert not any(e.endswith(".gc") for e in os.listdir(store))
+    assert not os.path.isdir(os.path.join(store, "_compact_tmp"))
+    assert result and result[0][0] == "ex:g0"

@@ -471,3 +471,27 @@ def test_create_graph(spark, tmp_path):
     store_update(spark, store, "CREATE SILENT GRAPH ex:g1")
     # store contents untouched throughout
     assert _state(spark, store) == {("ex:g1", "ex:a", "ex:p", "ex:b")}
+
+
+def test_add_overlapping_content_keeps_set_semantics(spark, tmp_path):
+    """r7 ADVICE fix: ADD of a source sharing quads with the target
+    must not leave duplicate N-Quads lines — graph-scoped BAG reads
+    (counts) would double-count.  Checked at the raw line level."""
+    store = str(tmp_path / "store")
+    store_update(spark, store, '''
+        INSERT DATA { GRAPH ex:src { ex:a ex:p "1" . ex:b ex:p "2" }
+                      GRAPH ex:dst { ex:a ex:p "1" . ex:c ex:p "3" } } ;
+        ADD GRAPH ex:src TO GRAPH ex:dst''')
+    parsed = rdfio.read_nquads_store(spark, store, graph="ex:dst")
+    rows = [tuple(r) for r in parsed.select("s", "o").collect()]
+    # bag read: exactly one row per quad, no line-level duplicates
+    assert sorted(rows) == [("ex:a", "1"), ("ex:b", "2"), ("ex:c", "3")]
+    # re-ADD after the source graph is REWRITTEN (new part-file names —
+    # the scenario that defeated the old deterministic-copy-name dedup)
+    store_update(spark, store, '''
+        DELETE DATA { GRAPH ex:src { ex:b ex:p "2" } } ;
+        INSERT DATA { GRAPH ex:src { ex:b ex:p "2" } } ;
+        ADD GRAPH ex:src TO GRAPH ex:dst''')
+    rows = [tuple(r) for r in rdfio.read_nquads_store(
+        spark, store, graph="ex:dst").select("s", "o").collect()]
+    assert sorted(rows) == [("ex:a", "1"), ("ex:b", "2"), ("ex:c", "3")]
