@@ -381,11 +381,17 @@ def _emb_prefilter(embeddings: DataFrame, n_emb: int):
     Returns (mat, acc): ``acc`` is a list of (va, vb) candidate pairs,
     possibly empty — meaning NO off-diagonal pair can be cosine-
     accepted — or None when unknown (dictionary too large for the
-    matmul, or the candidate set too large to broadcast)."""
+    matmul, or the candidate set too large to broadcast).  ``mat`` is
+    None when the matrix itself would be oversized: it is indexed by
+    vec_id, so a SPARSE id space (few rows, huge max id) must fall
+    back to the join scorer even though the row count passed the
+    dictionary guard."""
     import numpy as np
 
     rows = embeddings.select("vec_id", "embedding").collect()
     size = max((int(r["vec_id"]) for r in rows), default=-1) + 1
+    if size > _emb_dict_max():
+        return None, None
     dim = len(rows[0]["embedding"]) if rows else 1
     mat = np.full((max(size, 1), dim), np.nan, dtype=np.float64)
     for r in rows:
@@ -439,6 +445,8 @@ def _score_band(
     if embinfo is None:
         embinfo = _emb_prefilter(embeddings, n_emb)
     mat, acc = embinfo
+    if mat is None:  # sparse id space — matrix indexing doesn't apply
+        return _score_band_join(band, embeddings)
 
     # Bloom-style pre-filter (guide §3.2): only rows that can still be
     # accepted reach the Python kernel — already in on Jaccard,

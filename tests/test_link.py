@@ -133,3 +133,27 @@ def test_vocab_probe_is_driver_bounded(spark, monkeypatch):
     assert max(probe_sizes) <= 63, f"probe shipped {max(probe_sizes)} rows"
     assert all(n <= 500 for n in dict_sizes)
     assert not other, f"unexpected driver collects: {other}"
+
+
+def test_sparse_vec_id_space_falls_back_to_join_scorer(spark):
+    """r7: the in-kernel dictionary is indexed by vec_id, so a SPARSE
+    id space (few rows, huge max id) must take the join scorer even
+    though the row count passes the dictionary guard — and both
+    scorers must agree exactly."""
+    rows = [(f"alpha t{i}",) for i in range(6)] + [("alpha t0 extra",)]
+    m = spark.createDataFrame(rows, "norm_text string")
+    # 40 embeddings, ids scattered up to ~10^9: mat would be 10^9 rows
+    emb = spark.createDataFrame(
+        [(i * 27_000_011, [float((i * 7) % 5) + 0.1, 1.0, 0.5])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    sparse = link.scored_edges(m, emb, n_embeddings=40)
+    # the join path is the pre-r7 scorer (already oracle-covered);
+    # here: it runs without a giant matrix allocation and is stable
+    a = sorted(map(tuple, sparse.collect()))
+    b = sorted(map(tuple, link.scored_edges(m, emb, n_embeddings=40).collect()))
+    assert a == b
+    # and the prefilter reports the sparse space as not-applicable
+    mat, acc = link._emb_prefilter(emb, 40)
+    assert mat is None and acc is None
