@@ -222,6 +222,17 @@ def order_priorities_with_lineitems(spark, sf_dir):
 
 def top2_lineitems_per_order(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # Input-skew fix (guide §2.5): the fixture table is ONE parquet file
+    # with a single row group, so the map-side sort + partial
+    # WindowGroupLimit run in one task.  Hash-repartition by the window
+    # key parallelizes the sort (measured 0.75 → 0.40 s noop at sf0.1) —
+    # but ONLY when the scan is degenerate: on a well-split input the
+    # implicit exchange's partial WindowGroupLimit halves the shuffled
+    # rows, which the explicit repartition would forfeit.
+    if li.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        li = li.select("l_orderkey", "l_linenumber", "l_extendedprice").repartition(
+            "l_orderkey"
+        )
     w = Window.partitionBy("l_orderkey").orderBy(
         F.desc("l_extendedprice"), F.asc("l_linenumber")
     )
