@@ -97,13 +97,24 @@ def connected_components(
         return _distributed_cc(edges, nodes, node_col, max_iter, salt_buckets)
     if driver_threshold is None:
         driver_threshold = _driver_threshold_default()
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(edges, nodes, node_col)
+    # ONE bounded job decides the path AND fetches the edge list:
+    # limit(threshold+1) collects at most threshold+1 endpoint pairs —
+    # when the graph fits, limit of a superset-sized frame returns
+    # every row, so the collected rows ARE the full edge list and the
+    # old count-then-collect pair of jobs collapses into one.  Past
+    # the threshold the (bounded, ≤ threshold+1-row) partial collect
+    # is discarded and the distributed loop takes over.  The driver
+    # never receives more rows than the old count-guarded collect
+    # allowed, so the OOM argument is unchanged.
+    probe = edges.select("norm_a", "norm_b").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _driver_union_find(edges, nodes, node_col, rows=probe)
     return _distributed_cc(edges, nodes, node_col, max_iter, salt_buckets)
 
 
-def _driver_union_find(edges: DataFrame, nodes: DataFrame, node_col: str) -> DataFrame:
+def _driver_union_find(
+    edges: DataFrame, nodes: DataFrame, node_col: str, rows=None
+) -> DataFrame:
     spark = edges.sparkSession
     parent: dict[str, str] = {}
 
@@ -113,8 +124,12 @@ def _driver_union_find(edges: DataFrame, nodes: DataFrame, node_col: str) -> Dat
             x = parent[x]
         return x
 
-    # union-find over edge endpoints ONLY (bounded by 2·n_edges)
-    for a, b in edges.select("norm_a", "norm_b").collect():
+    # union-find over edge endpoints ONLY (bounded by 2·n_edges);
+    # ``rows`` lets connected_components pass the edge list it already
+    # collected for the path decision instead of re-running the scan
+    if rows is None:
+        rows = edges.select("norm_a", "norm_b").collect()
+    for a, b in rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

@@ -333,14 +333,21 @@ def entity_classes(
     )
 
 
-def proxy_triples_full(
+def _proxy_branches(
     mentions: DataFrame,
     labels: DataFrame,
     members: DataFrame | None = None,
     attrs: DataFrame | None = None,
     classes: DataFrame | None = None,
 ) -> DataFrame:
-    """Proxy-graph triples with the full D3 term model
+    """Un-deduplicated union of the four proxy-triple branches (full
+    term model).  Callers apply their own set-semantics dedup at the
+    granularity they need — proxy_triples_full at the 6-column term
+    level, proxy_triples directly at (s,p,o), which saves the full
+    intermediate 6-column exchange (guide §2.4: dedup of a projection
+    equals projection of the dedup as a set, one exchange cheaper).
+
+    Proxy-graph triples with the full D3 term model
     (s, p, o, o_kind, o_lang, o_datatype):
 
     * ``owl:sameAs``  member links            (IRI objects)
@@ -417,8 +424,21 @@ def proxy_triples_full(
         t_sameas.unionByName(t_type)
         .unionByName(t_label)
         .unionByName(t_score)
-        .dropDuplicates(["s", "p", "o", "o_kind", "o_lang", "o_datatype"])
     )
+
+
+def proxy_triples_full(
+    mentions: DataFrame,
+    labels: DataFrame,
+    members: DataFrame | None = None,
+    attrs: DataFrame | None = None,
+    classes: DataFrame | None = None,
+) -> DataFrame:
+    """Proxy-graph triples with the full D3 term model — see
+    ``_proxy_branches`` for the branch construction and sharing."""
+    return _proxy_branches(
+        mentions, labels, members=members, attrs=attrs, classes=classes
+    ).dropDuplicates(["s", "p", "o", "o_kind", "o_lang", "o_datatype"])
 
 
 def proxy_triples(
@@ -427,9 +447,12 @@ def proxy_triples(
     members: DataFrame | None = None,
     attrs: DataFrame | None = None,
 ) -> DataFrame:
-    """Graph-agnostic (s,p,o) view of the proxy triples."""
+    """Graph-agnostic (s,p,o) view of the proxy triples.  Dedups ONCE
+    at (s,p,o) on the raw branch union — the old full-term dedup +
+    re-dedup of the projection paid an extra 6-column exchange for an
+    identical result set."""
     return (
-        proxy_triples_full(mentions, labels, members=members, attrs=attrs)
+        _proxy_branches(mentions, labels, members=members, attrs=attrs)
         .select("s", "p", "o")
         .dropDuplicates(["s", "p", "o"])
     )

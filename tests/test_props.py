@@ -85,3 +85,28 @@ def test_props_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, gen.entity_props(m.repartition(1), labels).collect()))
     b = sorted(map(tuple, gen.entity_props(m.repartition(16), labels).collect()))
     assert a == b
+
+
+def test_proxy_triples_single_dedup_equals_full_projection(spark):
+    """r7: proxy_triples dedups ONCE at (s,p,o) on the raw branch
+    union; the result set must equal the old shape (full 6-column
+    dedup, then project, then re-dedup) and carry no duplicates."""
+    rows = [
+        ("value vector", f"ex://s{i%3}/value_vector#{i}", l, f"s{i%3}")
+        for i, l in enumerate(["en", "de", "fr", "zh", "es"] * 4)
+    ] + [
+        ("alpha unit", f"ex://s{i%2}/alpha_unit#{i}", "en", f"s{i%2}")
+        for i in range(4)
+    ]
+    m = _mentions(spark, rows)
+    labels = _labels(spark, [("value vector", "R"), ("alpha unit", "A")])
+    new = [tuple(r) for r in gen.proxy_triples(m, labels).collect()]
+    old = [
+        tuple(r)
+        for r in gen.proxy_triples_full(m, labels)
+        .select("s", "p", "o")
+        .dropDuplicates(["s", "p", "o"])
+        .collect()
+    ]
+    assert sorted(new) == sorted(old)
+    assert len(new) == len(set(new))
